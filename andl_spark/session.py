@@ -1,0 +1,77 @@
+"""SparkSession factory and table loading for andl_spark.
+
+Replaces the reference's engine bootstrap (Andl.Runtime/Runtime.cs,
+Catalog.cs startup): here a session is a configured SparkSession with
+AQE + Arrow on, and "the database" is a dict of lazily-loaded parquet
+DataFrames registered as temp views so `spark.sql` works everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated TPC-H-ish star schema plus pipeline tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor
+#: (region=5, nation=25 rows always; supplier/part grow slowly).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def get_spark(app_name: str = "andl_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session tuned for the test harness.
+
+    On a real cluster the same configs apply; only master() changes.
+    AQE handles runtime coalesce + skew-join splitting, which is the
+    scale story for 100 TB fact-fact joins.
+    """
+    master = os.environ.get("SPARK_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    parts = shuffle_partitions or int(os.environ.get("ANDL_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("ANDL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir``; lazily scanned.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst
+    automatically because every andl_spark operator is declarative.
+    """
+    # Testdata parquet carries TIMESTAMP(NANOS); Spark needs this legacy
+    # conf to accept it (reads as timestamp_ntz). Runtime-settable, so it
+    # also covers driver-owned sessions that didn't use get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

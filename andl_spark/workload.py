@@ -1,0 +1,639 @@
+"""Driver-contract workload: named queries + DuckDB oracle SQL.
+
+Each query exercises one capability row of SURVEY.md §2 through the
+andl_spark public API and has a semantically-identical ANSI-SQL oracle
+for DuckDB. Column names and roundings are aligned on both sides so
+the driver's order-insensitive value-hash matches.
+
+Conventions for oracle parity:
+  * every computed column aliased identically on both sides
+  * double aggregates ROUND(x + 1e-6, 2) (4 for small ratios) on both sides
+  * integer-ish computed columns cast to BIGINT on both sides
+    (Spark row_number/year are int32; DuckDB's are int64)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import scalar as S
+from .operators import divide as Div
+from .operators import joins as J
+from .operators import setops as SO
+from .operators import whileop as W
+from .operators import nest as N
+from .relation import Relation
+from .session import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def r2(col) -> F.Column:
+    """ROUND(x + 1e-6, 2) — epsilon nudges values whose shortest decimal
+    repr sits exactly on a .xx5 boundary, where Spark (HALF_UP on the
+    decimal string) and DuckDB (binary-value rounding) disagree. The
+    SQL oracles use the same expression, so both engines shift the
+    same hair's width and round identically."""
+    return F.round(col + F.lit(1e-6), 2)
+
+
+def r4(col) -> F.Column:
+    return F.round(col + F.lit(1e-9), 4)
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, register_views=False)
+
+
+# =====================================================================
+# §2.9 flagship TPC-H-style
+# =====================================================================
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity) + 1e-6, 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice) + 1e-6, 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2)  AS sum_charge,
+       ROUND(AVG(l_quantity) + 1e-9, 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 1e-9, 4)                                   AS avg_price,
+       ROUND(AVG(l_discount) + 1e-9, 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: Andl aggregated projection (.select{k, fold(...)}).
+
+    Scan-side: shipdate predicate + 7-column pruning pushed to parquet;
+    one shuffle on (returnflag, linestatus) with map-side combine.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return Relation(li).where(F.col("l_shipdate") <= F.lit("1998-09-02")).aggregate(
+        ["l_returnflag", "l_linestatus"],
+        sum_qty=r2(F.sum("l_quantity")),
+        sum_base_price=r2(F.sum("l_extendedprice")),
+        sum_disc_price=r2(F.sum(disc_price)),
+        sum_charge=r2(F.sum(disc_price * (1 + F.col("l_tax")))),
+        avg_qty=r4(F.avg("l_quantity")),
+        avg_price=r4(F.avg("l_extendedprice")),
+        avg_disc=r4(F.avg("l_discount")),
+        count_order=F.count(F.lit(1)),
+    ).df
+
+
+@q("q3_shipping_priority", """
+WITH rev AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate  > TIMESTAMP '1998-03-15'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM rev
+QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: natural-join pipeline + agg + deterministic top-k."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (
+        t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    li = (
+        t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    joined = J.natural_join(J.natural_join(cust, orders), li)
+    rev = (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+
+
+@q("q5_local_supplier", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-ish: 6-table join; dims broadcast (region/nation always
+    tiny; supplier small relative to facts at every SF)."""
+    t = _t(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    nat = F.broadcast(t["nation"])
+    reg = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
+    sup = F.broadcast(t["supplier"])
+    j = (
+        t["customer"].join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+
+
+# =====================================================================
+# §2.1 monadic operators
+# =====================================================================
+
+@q("q_where_regex", """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')
+""")
+def q_where_regex(spark, sf_dir):
+    """Andl .where with `=~` regex (sample2.andl:70)."""
+    part = _t(spark, sf_dir)["part"]
+    return (
+        Relation(part)
+        .where(S.matches("p_name", "^(red|blue) .*(bolt|gear)$"))
+        .project("p_partkey", "p_name", "p_type")
+        .df
+    )
+
+
+@q("q_project", """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""")
+def q_project(spark, sf_dir):
+    """Andl projection — set semantics dedupe (sample2.andl:79)."""
+    return Relation(_t(spark, sf_dir)["customer"]).project("c_nationkey", "c_mktsegment").df
+
+
+@q("q_rename_extend", """
+SELECT s_suppkey AS supp_id,
+       UPPER(SUBSTR(s_name, 1, 3)) AS prefix,
+       ROUND(s_acctbal * 1.1 + 1e-6, 2)   AS boosted
+FROM supplier
+""")
+def q_rename_extend(spark, sf_dir):
+    """Andl rename + extension (.select{* x := e}, sample2.andl:73-89)."""
+    sup = _t(spark, sf_dir)["supplier"]
+    return (
+        Relation(sup)
+        .extend(prefix=S.toupper(S.left("s_name", 3)), boosted=r2(F.col("s_acctbal") * 1.1))
+        .rename(supp_id="s_suppkey")
+        .project("supp_id", "prefix", "boosted", distinct=False)
+        .df
+    )
+
+
+@q("q_agg_fold", """
+SELECT c_nationkey,
+       COUNT(*)                 AS n_cust,
+       ROUND(SUM(c_acctbal) + 1e-6, 2) AS total_bal,
+       ROUND(MIN(c_acctbal) + 1e-6, 2) AS min_bal,
+       ROUND(MAX(c_acctbal) + 1e-6, 2) AS max_bal,
+       ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
+FROM customer
+GROUP BY c_nationkey
+""")
+def q_agg_fold(spark, sf_dir):
+    """Andl fold(+|min|max) aggregated projection (sample2.andl:97)."""
+    cust = _t(spark, sf_dir)["customer"]
+    return Relation(cust).aggregate(
+        ["c_nationkey"],
+        n_cust=F.count(F.lit(1)),
+        total_bal=r2(F.sum("c_acctbal")),
+        min_bal=r2(F.min("c_acctbal")),
+        max_bal=r2(F.max("c_acctbal")),
+        avg_bal=r4(F.avg("c_acctbal")),
+    ).df
+
+
+@q("q_seq_gen", """
+SELECT range AS n, range * range AS sq, range % 2 = 0 AS is_even
+FROM range(1000)
+""")
+def q_seq_gen(spark, sf_dir):
+    """Andl seq(n) generator + extension (Builtin.cs Sequence)."""
+    return (
+        Relation.seq(spark, 1000, "n")
+        .extend(sq=F.col("n") * F.col("n"), is_even=F.col("n") % 2 == 0)
+        .df
+    )
+
+
+@q("q_lift_scalar", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS total_revenue FROM lineitem
+""")
+def q_lift_scalar(spark, sf_dir):
+    """Andl singleton lift — keyless fold to a 1×1 relation."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return Relation(li).fold_all(
+        total_revenue=r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    ).df
+
+
+@q("q_schema_meta", """
+SELECT * FROM (VALUES
+  ('l_orderkey','number'),('l_partkey','number'),('l_suppkey','number'),
+  ('l_linenumber','number'),('l_quantity','number'),('l_extendedprice','number'),
+  ('l_discount','number'),('l_tax','number'),('l_returnflag','text'),
+  ('l_linestatus','text'),('l_shipdate','time')) AS t(name, type)
+""")
+def q_schema_meta(spark, sf_dir):
+    """Andl schema(r) as a relation with Andl type names (Builtin.cs)."""
+    return Relation(_t(spark, sf_dir)["lineitem"]).schema_rel().df
+
+
+@q("q_scalar_funcs", """
+SELECT c_custkey,
+       SUBSTR(c_name, 1, 1)                  AS initial,
+       UPPER(c_name)                          AS up,
+       CAST(LENGTH(c_name) AS BIGINT)         AS name_len,
+       RIGHT(c_name, 3)                       AS tail3,
+       CASE WHEN POSITION('#' IN c_name) > 0
+            THEN SPLIT_PART(c_name, '#', 1) ELSE '' END AS pre,
+       CASE WHEN POSITION('#' IN c_name) > 0
+            THEN SUBSTR(c_name, POSITION('#' IN c_name) + 1) ELSE '' END AS post
+FROM customer
+""")
+def q_scalar_funcs(spark, sf_dir):
+    """Andl string builtins: left/right/length/before/after/toupper."""
+    cust = _t(spark, sf_dir)["customer"]
+    return Relation(cust).select(
+        ["c_custkey"],
+        distinct=False,
+        initial=S.left("c_name", 1),
+        up=S.toupper("c_name"),
+        name_len=S.length("c_name").cast("long"),
+        tail3=S.right("c_name", 3),
+        pre=S.before("c_name", "#"),
+        post=S.after("c_name", "#"),
+    ).df
+
+
+@q("q_date_funcs", """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT)  AS oy,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS om,
+       CAST(DAY(o_orderdate) AS BIGINT)   AS od,
+       CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k
+FROM orders
+""")
+def q_date_funcs(spark, sf_dir):
+    """Andl date builtins: year/month/day/daysdiff (Builtin.cs)."""
+    orders = _t(spark, sf_dir)["orders"]
+    return Relation(orders).select(
+        ["o_orderkey"],
+        distinct=False,
+        oy=S.year("o_orderdate").cast("long"),
+        om=S.month("o_orderdate").cast("long"),
+        od=S.day("o_orderdate").cast("long"),
+        days_to_y2k=S.daysdiff(F.lit("2000-01-01"), "o_orderdate").cast("long"),
+    ).df
+
+
+# =====================================================================
+# §2.2 dyadic operators
+# =====================================================================
+
+def _cust_orders(t):
+    """customer and orders with the natural-join key aligned by name."""
+    return t["customer"], t["orders"].withColumnRenamed("o_custkey", "c_custkey")
+
+
+@q("q_join_natural", """
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment, o_orderpriority
+""")
+def q_join_natural(spark, sf_dir):
+    """Andl natural `join` (SuiteRelDyadic.andl:14) + aggregation."""
+    cust, orders = _cust_orders(_t(spark, sf_dir))
+    return Relation(J.natural_join(cust, orders)).aggregate(
+        ["c_mktsegment", "o_orderpriority"],
+        n=F.count(F.lit(1)),
+        total=r2(F.sum("o_totalprice")),
+    ).df
+
+
+@q("q_compose", """
+SELECT DISTINCT c_mktsegment, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+""")
+def q_compose(spark, sf_dir):
+    """Andl `compose` — join dropping the common attributes."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    )
+    return J.compose(cust, orders)
+
+
+@q("q_semijoin", """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49.5)
+""")
+def q_semijoin(spark, sf_dir):
+    """Andl `joinlc` semijoin → Spark leftsemi (right never materialized)."""
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"].filter(F.col("l_quantity") > 49.5)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return J.semijoin(t["supplier"], big)
+
+
+@q("q_antijoin", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_antijoin(spark, sf_dir):
+    """Andl `ajoin` → Spark leftanti."""
+    cust, orders = _cust_orders(_t(spark, sf_dir))
+    return J.antijoin(cust, orders.select("c_custkey")).select("c_custkey", "c_name")
+
+
+@q("q_join_proj", """
+SELECT DISTINCT o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+""")
+def q_join_proj(spark, sf_dir):
+    """Andl `joinr` — join projected onto right-only attributes (set)."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority")
+    return J.natural_join(cust, orders, keep="right")
+
+
+@q("q_cross", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def q_cross(spark, sf_dir):
+    """Natural join with no common attributes = cross join
+    (SuiteRelDyadic.andl:66)."""
+    t = _t(spark, sf_dir)
+    return J.natural_join(t["region"].select("r_name"), t["nation"].select("n_name"))
+
+
+_URGENT_BUILDING = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def _setop_inputs(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a, b
+
+
+@q("q_union", _URGENT_BUILDING + "SELECT c_custkey FROM a UNION SELECT c_custkey FROM b")
+def q_union(spark, sf_dir):
+    a, b = _setop_inputs(spark, sf_dir)
+    return SO.union(a, b)
+
+
+@q("q_minus", _URGENT_BUILDING + "SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b")
+def q_minus(spark, sf_dir):
+    a, b = _setop_inputs(spark, sf_dir)
+    return SO.minus(a, b)
+
+
+@q("q_intersect", _URGENT_BUILDING + "SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b")
+def q_intersect(spark, sf_dir):
+    a, b = _setop_inputs(spark, sf_dir)
+    return SO.intersect(a, b)
+
+
+@q("q_symdiff", _URGENT_BUILDING + """
+SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b
+UNION
+SELECT c_custkey FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a)
+""")
+def q_symdiff(spark, sf_dir):
+    a, b = _setop_inputs(spark, sf_dir)
+    return SO.symdiff(a, b)
+
+
+@q("q_rdivide", """
+SELECT l_suppkey
+FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) d
+JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#20' AND p_size < 4) v
+  ON d.l_partkey = v.p_partkey
+GROUP BY l_suppkey
+HAVING COUNT(*) = (SELECT COUNT(*) FROM part WHERE p_brand = 'Brand#20' AND p_size < 4)
+""")
+def q_rdivide(spark, sf_dir):
+    """Relational divide: suppliers supplying ALL Brand#20 size<4 parts
+    (sample3.andl rdivide; count-matching plan, divisor broadcast)."""
+    t = _t(spark, sf_dir)
+    dividend = t["lineitem"].select(
+        "l_suppkey", F.col("l_partkey").alias("p_partkey")
+    )
+    divisor = (
+        t["part"].filter((F.col("p_brand") == "Brand#20") & (F.col("p_size") < 4))
+        .select("p_partkey")
+    )
+    return Div.rdivide(dividend, divisor)
+
+
+@q("q_image_agg", """
+SELECT s_suppkey, s_name,
+       COUNT(l_orderkey)                      AS n_items,
+       ROUND(COALESCE(SUM(l_quantity), 0) + 1e-6, 2) AS total_qty
+FROM supplier LEFT JOIN lineitem ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+""")
+def q_image_agg(spark, sf_dir):
+    """Image-relation aggregation, zero-preserving (sample3.andl:38-46)."""
+    t = _t(spark, sf_dir)
+    sup = t["supplier"].select("s_suppkey", "s_name")
+    li = t["lineitem"].select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey", "l_quantity"
+    )
+    return Div.image_agg(
+        sup,
+        li,
+        {
+            "n_items": F.count("l_orderkey"),
+            "total_qty": r2(F.coalesce(F.sum("l_quantity"), F.lit(0.0))),
+        },
+    )
+
+
+# =====================================================================
+# §2.1 window / ordered (sample5.andl)
+# =====================================================================
+
+@q("q_window_running", """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT)      AS ord,
+       ROUND(SUM(o_totalprice) OVER w + 1e-6, 2)       AS running_total,
+       ROUND(COALESCE(LAG(o_totalprice) OVER w, 0) + 1e-6, 2)  AS prev_price,
+       ROUND(COALESCE(LEAD(o_totalprice) OVER w, 0) + 1e-6, 2) AS next_price,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w + 1e-6, 2)       AS nth1
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_window_running(spark, sf_dir):
+    """Andl .order(%group) running folds + ord/lag/lead/nth
+    (sample5.andl:27-44) → one window spec, single shuffle on group."""
+    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("ord"),
+        r2(F.sum("o_totalprice").over(wf)).alias("running_total"),
+        r2(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0))).alias("prev_price"),
+        r2(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0))).alias("next_price"),
+        r2(F.first("o_totalprice").over(wf)).alias("nth1"),
+    )
+
+
+@q("q_window_grouped", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 3
+""")
+def q_window_grouped(spark, sf_dir):
+    """Top-3 orders per customer — grouped ordering, deterministic ties."""
+    orders = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =====================================================================
+# §2.1 while — fixed point (recursive.andl)
+# =====================================================================
+
+_EDGES = """(SELECT c_custkey AS src, c_custkey * 2 AS dst
+             FROM customer
+             WHERE c_custkey * 2 <= (SELECT MAX(c_custkey) FROM customer))"""
+
+
+@q("q_while_closure", f"""
+WITH RECURSIVE reach(node) AS (
+  SELECT c_custkey AS node FROM customer WHERE c_custkey IN (3, 5)
+  UNION
+  SELECT e.dst AS node FROM reach r JOIN {_EDGES} e ON e.src = r.node
+)
+SELECT node FROM reach
+""")
+def q_while_closure(spark, sf_dir):
+    """Andl .while() transitive closure (recursive.andl:36-38) —
+    semi-naive fixpoint over a doubling-chain edge set."""
+    cust = _t(spark, sf_dir)["customer"]
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    edges = (
+        cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
+        .filter(F.col("dst") <= max_key)
+    )
+    seed = cust.filter(F.col("c_custkey").isin(3, 5)).select(F.col("c_custkey").alias("node"))
+    step = lambda fr: fr.join(edges, fr["node"] == edges["src"]).select(F.col("dst").alias("node"))
+    return W.fixpoint(seed, step)
+
+
+@q("q_while_paths", f"""
+WITH RECURSIVE reach(node, level) AS (
+  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS level FROM customer WHERE c_custkey = 1
+  UNION
+  SELECT e.dst AS node, r.level + 1 AS level FROM reach r JOIN {_EDGES} e ON e.src = r.node
+)
+SELECT node, level FROM reach
+""")
+def q_while_paths(spark, sf_dir):
+    """Andl .while() with level tracking (org-chart flattening,
+    recursive.andl:23-27)."""
+    cust = _t(spark, sf_dir)["customer"]
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    edges = (
+        cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
+        .filter(F.col("dst") <= max_key)
+    )
+    seed = (
+        cust.filter(F.col("c_custkey") == 1)
+        .select(F.col("c_custkey").alias("node"), F.lit(0).cast("long").alias("level"))
+    )
+
+    def step(fr: DataFrame) -> DataFrame:
+        return fr.join(edges, fr["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("level") + 1).alias("level")
+        )
+
+    return W.fixpoint_with_level(seed, step)
+
+
+# =====================================================================
+# §2.3 nest / unnest
+# =====================================================================
+
+@q("q_nest_unnest", """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+FROM orders
+GROUP BY o_custkey
+""")
+def q_nest_unnest(spark, sf_dir):
+    """RVA round-trip: nest orders per customer → unnest → aggregate;
+    must equal the direct aggregation (sample3.andl:20-35)."""
+    orders = _t(spark, sf_dir)["orders"].select("o_custkey", "o_orderkey", "o_totalprice")
+    nested = N.nest(orders, ["o_custkey"], rva="orders_rva")
+    flat = N.unnest(nested, "orders_rva")
+    return flat.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("total"),
+    )
