@@ -1,0 +1,67 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from andl_spark.session import get_spark  # noqa: E402
+from andl_spark import workload  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_agg_fold",
+    "q_join_natural",
+    "q_window_grouped",
+    "q_window_running",
+    "q_rdivide",
+    "q_image_agg",
+    "q_while_closure",
+    "q_nest_unnest",
+]
+# pipeline headliners appended once implemented (they self-register)
+HEADLINE += [name for name in workload.QUERIES if name.startswith(("q_dedup", "q_ann", "q_lang", "q_token"))]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("andl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM + parquet footer caches, one full scan.
+    workload.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workload.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution; results stay distributed
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline query wall-clock at sf",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Unit tests for update relvars, while fixpoint, nest/unnest, fold map,
+and the Relation fluent API — mirroring reference suites
+(SuiteUpdateCat*, SuiteRelWhile, SuiteRelNest, SuiteRelFold)."""
+
+from pyspark.sql import functions as F
+
+from andl_spark import Relation
+from andl_spark.functions.fold import fold
+from andl_spark.operators.nest import nest, unnest
+from andl_spark.operators.update import Relvar
+from andl_spark.operators.whileop import fixpoint
+
+
+def test_update_insert_delete_update(spdb):
+    """sample3.andl §Updates: insert S9, delete S3, update S4."""
+    spark = spdb["S"].sparkSession
+    rv = Relvar(spdb["S"], "S")
+    assert rv.df.count() == 5
+
+    new = spark.createDataFrame(
+        [("S9", "Moriarty", 99.0, "Timbuktu")],
+        "`S#` string, SNAME string, STATUS double, CITY string",
+    )
+    rv.insert(new)
+    assert rv.df.count() == 6
+    rv.insert(new)  # set semantics: duplicate insert is a no-op
+    assert rv.df.count() == 6
+
+    rv.delete(F.col("S#") == "S3")
+    assert rv.df.count() == 5
+    assert rv.df.filter(F.col("S#") == "S3").count() == 0
+
+    rv.update(F.col("S#") == "S4", {"STATUS": F.lit(-10.0)})
+    assert rv.df.filter(F.col("S#") == "S4").first()["STATUS"] == -10.0
+    assert rv.df.count() == 5
+
+
+def test_update_transact_rollback(spdb):
+    rv = Relvar(spdb["S"], "S")
+    try:
+        rv.transact(
+            lambda r: r.delete(F.lit(True)),
+            lambda r: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+    except RuntimeError:
+        pass
+    assert rv.df.count() == 5  # rolled back
+
+
+def test_while_generates_integers(spark):
+    """recursive.andl:11 — {{z:=0}}.while({{z:=z+1}}.where(z<10))."""
+    seed = spark.createDataFrame([(0,)], "z long")
+    out = fixpoint(
+        seed,
+        lambda fr: fr.select((F.col("z") + 1).alias("z")).filter(F.col("z") < 10),
+    )
+    assert sorted(r[0] for r in out.collect()) == list(range(10))
+
+
+def test_while_squares(spark):
+    """recursive.andl:14 — {{x:=1}}.while({{x:=x*2}}.where(x<=1000))."""
+    seed = spark.createDataFrame([(1,)], "x long")
+    out = fixpoint(
+        seed,
+        lambda fr: fr.select((F.col("x") * 2).alias("x")).filter(F.col("x") <= 1000),
+    )
+    assert sorted(r[0] for r in out.collect()) == [2**i for i in range(10)]
+
+
+def test_nest_unnest_roundtrip(spdb):
+    SP = spdb["SP"]
+    nested = nest(SP, ["S#"], rva="items")
+    assert nested.count() == 4  # S1..S4 supply parts
+    flat = unnest(nested, "items")
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, SP.collect()))
+
+
+def test_fold_ops(spdb):
+    SP = spdb["SP"]
+    row = SP.agg(
+        fold("+", "QTY").alias("s"),
+        fold("max", "QTY").alias("mx"),
+        fold("min", "QTY").alias("mn"),
+        fold("count", "QTY").alias("n"),
+    ).first()
+    assert (row["s"], row["mx"], row["mn"], row["n"]) == (3100.0, 400.0, 100.0, 12)
+
+
+def test_relation_fluent(spdb):
+    """sample2.andl basics through the fluent API."""
+    S = Relation(spdb["S"])
+    assert S.count() == 5 and S.degree() == 4
+    paris = S.where(F.col("CITY") == "Paris")
+    assert paris.count() == 2
+    assert S.where(F.col("SNAME").rlike("a.*k")).count() == 2  # Blake, Clark
+    assert S.project("CITY").count() == 3  # set semantics
+    ext = S.extend(Initial=F.substring("SNAME", 1, 1))
+    assert ext.degree() == 5
+    # aggregated projection per CITY (sample2.andl:97)
+    agg = S.aggregate(["CITY"], total=fold("+", "STATUS"))
+    rows = {r["CITY"]: r["total"] for r in agg.df.collect()}
+    assert rows == {"London": 40.0, "Paris": 40.0, "Athens": 30.0}
+
+
+def test_relation_seq_schema_lift(spark, spdb):
+    assert Relation.seq(spark, 5).count() == 5
+    sch = Relation(spdb["S"]).schema_rel().df.collect()
+    assert ("STATUS", "number") in [tuple(r) for r in sch]
+    total = Relation(spdb["SP"]).fold_all(t=fold("+", "QTY")).scalar()
+    assert total == 3100.0
