@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine — the dedup toolbox of a training-data
+pipeline, each designed for the 100 TB shape of the problem.
+
+Scale design:
+  * exact: one hash-groupBy — the cheapest possible shuffle key
+    (16-byte digest), map-side combine.
+  * minhash_lsh / simhash: signatures via Arrow-batched Pandas UDFs
+    (vectorized numpy, ~100× row-at-a-time Python); candidate
+    generation via LSH band buckets so the pair join is bounded by
+    bucket sizes, never O(n²).
+  * ngram_jaccard: exact pairwise similarity — only sane within
+    candidate buckets or small collections; a frequency cap drops
+    stop-shingles that would explode the join.
+  * embedding_dup: cosine over fixed-length vectors with JVM
+    higher-order functions (zip_with/aggregate), no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .text import fingerprint
+
+# ---------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+    """Tag every row with its duplicate-group canonical id (min id per
+    content digest) and an is_dup flag. One groupBy on the digest.
+    """
+    digest = fingerprint(text_col) if normalized else F.md5(F.col(text_col))
+    tagged = df.select(F.col(id_col), digest.alias("digest"))
+    canon = tagged.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        tagged.join(canon, "digest")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-word shingles → stable 64-bit hashes (numpy)."""
+    words = text.lower().split()
+    if len(words) < k:
+        shingles = {" ".join(words)} if words else {""}
+    else:
+        shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+    # Python's hash() is salted per-process; use a stable FNV-1a instead.
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(14695981039346656037)
+        for ch in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>[num_perm]) via a vectorized Pandas UDF."""
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _shingle_hashes(t or "", shingle_k).astype(np.int64)[:, None]
+            # (a*h + b) mod p for all perms at once: (n_shingles, num_perm)
+            vals = (hs.astype(object) * a + b) % _MERSENNE
+            out.append(np.min(vals.astype(np.int64), axis=0).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) that share
+    at least one band bucket. The groupBy key is (band, band_hash) —
+    shuffle-partitionable; bucket sizes bound the pair fan-out."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.hash(F.slice("signature", i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+        )
+        for i in range(num_bands)
+    ])
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, id_col: str = "id") -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal
+    signature positions (zip_with, JVM-side)."""
+    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    matched = pairs.join(sa, "id_a").join(sb, "id_b")
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    num = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+    return matched.select(
+        "id_a", "id_b", (num / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs: signatures → LSH buckets → estimated
+    Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands)
+    pairs = pairs.withColumnsRenamed({})  # no-op, keeps lint quiet
+    scored = minhash_jaccard(sigs, pairs, id_col)
+    return scored.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (vectorized Pandas UDF)."""
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for w in (t or "").lower().split():
+                h = np.uint64(14695981039346656037)
+                for ch in w.encode("utf-8"):
+                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+                bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+                acc += np.where(bits.astype(np.int64) == 1, 1, -1)
+            out[i] = np.packbits((acc > 0).astype(np.uint8)).view(np.int64)[0]
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming.
+
+    LSH on 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
+    chunk equal), so the join is on chunk buckets, never all-pairs."""
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for i in range(4)
+    ])
+    e = signatures.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk", "c.val"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs sharing ≥1 shingle.
+
+    JVM-side shingling: split → transform over index range → explode.
+    ``max_shingle_freq`` drops shingles appearing in more than that
+    many docs (stop-shingles) — the lever that keeps the self-join
+    bounded at corpus scale."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    ex = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. bucket_bits>0 enables
+    random-hyperplane LSH prefiltering (see simsearch.hyperplane_bucket)
+    — the 100 TB path; 0 compares all pairs (correctness baseline)."""
+    from .simsearch import cosine_expr, hyperplane_bucket
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if bucket_bits > 0:
+        dim = len(v.first()["vec"])
+        v = v.withColumn("bucket", hyperplane_bucket("vec", dim, bucket_bits))
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(b, "bucket").filter(F.col("a.id") < F.col("b.id"))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    cos = cosine_expr(F.col("a.vec"), F.col("b.vec"))
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side (pyspark.sql.functions) — no
+Python UDFs — so these run inside whole-stage codegen over a 100 TB
+document scan. Each op returns a lazy DataFrame; compose freely.
+
+Ops: token_count, quality_score, lang_id, fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the heuristic scorer.
+#: Real deployments swap in fastText-style n-gram profiles; the Spark
+#: plumbing (scored struct-array argmax) is identical.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "del"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+_WORD_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"  # BPE-ish token pattern
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (JVM split, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation marks."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_WORD_RE))
+
+
+def word_count(col: Column, word: str) -> Column:
+    """Whole-word occurrence count via regexp (case-insensitive)."""
+    return F.regexp_count(F.lower(col), F.lit(rf"\b{word}\b"))
+
+
+def lang_id(text: Column | str, langs: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts, 'und' when
+    no stopword fires. Deterministic tie-break by language code order.
+
+    Scale: one pass of regexp counts per language — a fixed, small
+    expression tree; no shuffle, no UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    langs = langs or LANG_STOPWORDS
+    scored = [
+        F.struct(
+            sum(word_count(c, w) for w in words).alias("score"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(langs.items())
+    ]
+    # array_max on struct(score desc, code asc): max score, then we
+    # invert code ordering by taking max of struct — ties broken by the
+    # lexicographically LARGEST code; flip to smallest via sort+reverse.
+    best = F.sort_array(F.array(*scored), asc=False)[0]
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Document quality in [0,1] from cheap surface statistics:
+    alpha ratio, mean word length band, punctuation density,
+    stopword presence. Mirrors Gopher/C4-style filters; weights are
+    illustrative, plumbing is the point.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / n
+    punct_ratio = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / n
+    words = F.greatest(F.size(F.split(F.trim(c), r"\s+")), F.lit(1)).cast("double")
+    mean_word_len = n / words
+    stop_hits = sum(word_count(c, w) for w in LANG_STOPWORDS["en"]).cast("double")
+    stop_ratio = F.least(stop_hits / words * 10.0, F.lit(1.0))
+    len_band = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0).otherwise(0.5)
+    return (
+        alpha_ratio * 0.4 + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + len_band * 0.2 + stop_ratio * 0.2
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text
+    (lowercase, alphanumeric+space only, collapsed whitespace) — the
+    canonical key for exact dedup across formatting variants."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.md5(norm)

@@ -61,9 +61,10 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -
     Parquet scans get predicate pushdown + column pruning from Catalyst
     automatically because every andl_spark operator is declarative.
     """
-    # Testdata parquet carries TIMESTAMP(NANOS); Spark needs this legacy
-    # conf to accept it (reads as timestamp_ntz). Runtime-settable, so it
-    # also covers driver-owned sessions that didn't use get_spark().
+    # Some testdata columns carry TIMESTAMP(NANOS), which Spark only
+    # reads with this legacy conf — as raw nanosecond longs. Runtime-
+    # settable, so it also covers driver-owned sessions that didn't use
+    # get_spark(). We restore proper timestamps below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -71,7 +72,27 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
+        df = _restore_nanos_timestamps(df, path)
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
     return out
+
+
+def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Columns stored as timestamp[ns] surface as nanosecond longs under
+    nanosAsLong; rebuild TIMESTAMP_NTZ via pure ntz arithmetic
+    (timestampadd from a literal ntz epoch) — deliberately independent
+    of the session timezone so driver-owned sessions in any tz agree
+    with the DuckDB oracle's naive timestamps."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.expr(f"timestampadd(MICROSECOND, {c} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
+    return df

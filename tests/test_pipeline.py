@@ -1,0 +1,89 @@
+"""Pipeline operator behavior: dedup recall on planted near-dups,
+ANN self-consistency, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark.pipeline import dedup as D
+from andl_spark.pipeline import multimodal as M
+from andl_spark.pipeline import simsearch as SS
+from andl_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    """Ground truth: exact 3-gram Jaccard ≥ 0.8 (planted near-dups)."""
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+def test_minhash_finds_planted_dups(docs, true_pairs):
+    assert true_pairs, "testdata should contain planted near-dups"
+    got = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall} on planted dups"
+
+
+def test_simhash_finds_planted_dups(docs, true_pairs):
+    sigs = D.simhash_signatures(docs, "doc_id", "text")
+    got = D.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.8, f"simhash recall {recall} on planted dups"
+
+
+def test_exact_dedup_idempotent_on_self_union(docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = D.exact_dedup(doubled, "doc_id", "text")
+    dups = out.filter(F.col("is_dup")).count()
+    assert dups == docs.count()  # every clone marked dup of the original
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, k=5)
+    # Random 64-dim vectors have no cluster structure — the worst case
+    # for hyperplane LSH; 4 bits + 2-bit multiprobe (11/16 buckets)
+    # still must beat the ~k/N floor by a wide margin.
+    approx = SS.topk_lsh(emb, queries, k=5, bits=4, multiprobe=2)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH@4bits+2-probe recall {recall}"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = M.synthesize_media(spark, 32)
+    feats = M.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in M.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    media = M.synthesize_media(spark, 4)
+    with pytest.raises(Exception, match="NotImplemented|codec"):
+        M.extract_features(media, use_stub=False).collect()
+
+
+def test_frame_sample(spark):
+    media = M.synthesize_media(spark, 30)
+    frames = M.frame_sample(media, every_nth=5)
+    got = frames.filter(F.col("media_id") == 29).select("frame_idx").collect()
+    assert [r[0] for r in got] == [0, 5, 10, 15, 20, 25]

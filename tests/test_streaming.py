@@ -1,0 +1,60 @@
+"""Streaming parity: the same declarative plans over readStream must
+produce the batch answer once the finite file source is drained."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark.session import load_tables
+from andl_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    stateful_running_count,
+    windowed_agg,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["events"]
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_batch):
+    batch = windowed_agg(events_batch)
+    stream = windowed_agg(read_events_stream(spark, SF_SMOKE))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "win_agg")
+    got = spark.table("win_agg")
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _as_sorted_rows(got, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch):
+    batch = sessionize(events_batch)
+    stream = sessionize(read_events_stream(spark, SF_SMOKE))
+    run_stream_to_memory(stream, "sessions")
+    got = spark.table("sessions")
+    cols = ["user_id", "t_start", "t_end", "n_events"]
+    assert _as_sorted_rows(got, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stateful_running_count(spark, events_batch):
+    stream = stateful_running_count(read_events_stream(spark, SF_SMOKE, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory").queryName("running_counts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["n_events"] for r in spark.table("running_counts").collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # final state per user must equal the batch count
+    assert got == want
