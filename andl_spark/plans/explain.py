@@ -1,0 +1,68 @@
+"""Physical-plan assertions — the enforcement arm of the scale design
+(SURVEY.md §4).
+
+Instead of hoping Catalyst did the right thing, tests assert it:
+filters/projections reached the parquet scan, small dims broadcast,
+hot paths stayed inside WholeStageCodegen, no row-at-a-time Python
+UDF snuck into a scan. A plan regression then fails CI, not a 100 TB
+production run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The text of df.explain('formatted') without printing it."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """The parquet scan must carry a pushed filter mentioning fragment."""
+    plan = formatted_plan(df)
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(fragment in s for s in scans), (
+        f"no pushed filter containing {fragment!r}; scans: {scans}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, table_cols: set[str], allowed: set[str]) -> None:
+    """Column pruning: the scan's ReadSchema must not exceed `allowed`."""
+    plan = formatted_plan(df)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+        if cols & table_cols:
+            extra = (cols & table_cols) - allowed
+            assert not extra, f"scan reads unnecessary columns: {extra}"
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= min_count, f"expected ≥{min_count} broadcast joins:\n{plan[:2000]}"
+
+
+def assert_no_python_row_udf(df: DataFrame) -> None:
+    """Arrow-batched (ArrowEvalPython) is the sanctioned Python path;
+    row-at-a-time BatchEvalPython in a plan is a scale bug."""
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
+
+
+def assert_whole_stage_codegen(df: DataFrame) -> None:
+    """Formatted mode tags codegen'd operators with "[codegen id : N]" —
+    but only once AQE has finalized the plan, so force execution."""
+    df.count()
+    plan = formatted_plan(df)
+    assert "codegen id" in plan, "no WholeStageCodegen spans in plan"
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Exchange nodes in the physical plan (AQE may remove some at
+    runtime; this is the static upper bound)."""
+    return formatted_plan(df).count("Exchange")

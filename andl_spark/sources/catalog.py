@@ -1,0 +1,76 @@
+"""Persistent catalog — Andl's Catalog.cs re-expressed as a parquet-
+backed relvar store.
+
+Reference: Andl compiles programs against a catalog holding persisted
+relvars, types and operators (Catalog.cs, Persist.cs); `runsamples.bat`
+creates one, later scripts reuse it. Here a Catalog is a directory of
+parquet tables + a tiny JSON manifest; relvars round-trip as DataFrames
+and mutations go through operators/update.Relvar. Parquet keeps the
+catalog columnar and partitionable — a catalog table IS a production
+table at any scale, not an export.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.update import Relvar
+
+_MANIFEST = "_catalog.json"
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._manifest_path = os.path.join(path, _MANIFEST)
+        self._names: dict[str, dict] = {}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self._names = json.load(f)
+
+    def _flush(self) -> None:
+        with open(self._manifest_path, "w") as f:
+            json.dump(self._names, f, indent=1, sort_keys=True)
+
+    def names(self) -> list[str]:
+        return sorted(self._names)
+
+    def put(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Persist/replace a relvar (atomic per parquet overwrite)."""
+        target = os.path.join(self.path, name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        self._names[name] = {"partition_by": partition_by or []}
+        self._flush()
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self._names:
+            raise KeyError(f"no relvar {name!r} in catalog {self.path}")
+        return self.spark.read.parquet(os.path.join(self.path, name))
+
+    def relvar(self, name: str) -> Relvar:
+        """Load as a mutable Relvar; save() writes it back."""
+        return Relvar(self.get(name), name)
+
+    def save(self, rv: Relvar) -> None:
+        self.put(rv.name, rv.df, self._names.get(rv.name, {}).get("partition_by") or None)
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        if name in self._names:
+            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            del self._names[name]
+            self._flush()
+
+    def register_views(self) -> None:
+        """Expose every catalog relvar to spark.sql()."""
+        for name in self._names:
+            self.get(name).createOrReplaceTempView(name)

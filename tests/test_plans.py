@@ -1,0 +1,85 @@
+"""Scale-design enforcement: physical plans must show pushdown, pruning,
+broadcasts, codegen, and Arrow-only Python (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark import workload
+from andl_spark.plans import explain as X
+from andl_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+LINEITEM_COLS = {
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+}
+
+
+def test_q1_pushdown_pruning_codegen(spark):
+    df = workload.QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    X.assert_pushed_filter(df, "l_shipdate")
+    X.assert_read_schema_only(
+        df, LINEITEM_COLS,
+        {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"},
+    )
+    X.assert_whole_stage_codegen(df)
+    X.assert_no_python_row_udf(df)
+    # scan + one partial/final agg exchange — no more
+    assert X.count_shuffles(df) <= 2
+
+
+def test_q5_broadcasts_dims(spark):
+    df = workload.QUERIES["q5_local_supplier"](spark, SF_SMOKE)
+    X.assert_broadcast_join(df, min_count=3)  # supplier, nation, region
+
+
+def test_semijoin_never_materializes_right(spark):
+    t = load_tables(spark, SF_SMOKE, register_views=False)
+    from andl_spark.operators.joins import semijoin
+
+    big = t["lineitem"].select(F.col("l_suppkey").alias("s_suppkey"))
+    df = semijoin(t["supplier"], big)
+    plan = X.formatted_plan(df)
+    assert "LeftSemi" in plan
+    X.assert_read_schema_only(df, LINEITEM_COLS, {"l_suppkey"})
+
+
+def test_antijoin_plan(spark):
+    df = workload.QUERIES["q_antijoin"](spark, SF_SMOKE)
+    assert "LeftAnti" in X.formatted_plan(df)
+
+
+def test_pipeline_udfs_are_arrow_batched(spark):
+    from andl_spark.pipeline.dedup import minhash_signatures
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    df = minhash_signatures(docs, "doc_id", "text")
+    X.assert_no_python_row_udf(df)
+    assert "ArrowEvalPython" in X.formatted_plan(df)
+
+
+def test_ann_bruteforce_is_jvm_only(spark):
+    df = workload.QUERIES["q_ann_bruteforce"](spark, SF_SMOKE)
+    X.assert_no_python_row_udf(df)
+    plan = X.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan  # pure higher-order functions
+
+
+def test_filter_pushdown_through_relation_api(spark):
+    t = load_tables(spark, SF_SMOKE, register_views=False)
+    from andl_spark import Relation
+
+    df = (
+        Relation(t["part"])
+        .where(F.col("p_size") < 10)
+        .project("p_partkey", "p_name", distinct=False)
+        .df
+    )
+    X.assert_pushed_filter(df, "p_size")
+    X.assert_read_schema_only(
+        df, {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+        {"p_partkey", "p_name", "p_size"},
+    )
