@@ -56,8 +56,9 @@ def assert_no_python_row_udf(df: DataFrame) -> None:
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     """Formatted mode tags codegen'd operators with "[codegen id : N]" —
-    but only once AQE has finalized the plan, so force execution."""
-    df.count()
+    but only once AQE has finalized THIS plan, so execute it (collect —
+    count() would build and run a different query execution)."""
+    df.collect()
     plan = formatted_plan(df)
     assert "codegen id" in plan, "no WholeStageCodegen spans in plan"
 
