@@ -6,14 +6,16 @@ no new tuples appear (SQL `WITH RECURSIVE` equivalent; engine loop in
 Andl.Runtime/DataTableLocal.cs Recurse).
 
 Spark-first design (semi-naive evaluation):
-  * Each iteration applies ``step`` only to the *frontier* (the tuples
-    discovered last round), not the whole accumulated set — the same
-    optimization Datalog engines use; keeps per-iteration join input
-    small even when the closure is huge.
-  * ``localCheckpoint`` every iteration truncates lineage; without it a
-    deep recursion builds an exponentially-nested plan that stalls the
-    Catalyst optimizer long before data size matters.
-  * The only driver-side values are per-iteration frontier *counts*
+  * Each iteration applies ``step`` only to the *frontier* (tuples
+    discovered last round), not the accumulated set — the Datalog
+    optimization that keeps per-iteration join input small even when
+    the closure is huge.
+  * One action per iteration: the frontier is persisted and counted
+    (materialize + emptiness test in a single job). The accumulated
+    total is only checkpointed every ``checkpoint_every`` iterations —
+    enough to stop lineage explosion on deep recursions without paying
+    a materialization job per round.
+  * The only driver-side value is the per-iteration frontier count
     (computed distributed); tuple data never hits the driver.
 """
 
@@ -24,28 +26,48 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def _run(
+    seed: DataFrame,
+    produce: Callable[[DataFrame], DataFrame],
+    new_only: Callable[[DataFrame, DataFrame], DataFrame],
+    max_iterations: int,
+    checkpoint_every: int = 1,  # kept for API stability; deltas always checkpoint
+) -> DataFrame:
+    # Invariant: every delta is an eagerly-materialized localCheckpoint,
+    # so `total` is always a FLAT union of materialized roots — lineage
+    # depth stays O(1) regardless of recursion depth, and nothing is
+    # ever recomputed. One materializing job per iteration; the
+    # emptiness probe reads the checkpointed blocks (no recompute).
+    # AQE's partition coalescing keeps each delta to a handful of
+    # partitions, so the union stays narrow even after many rounds.
+    total = seed.localCheckpoint(eager=True)
+    frontier = total
+    for _ in range(max_iterations):
+        delta = new_only(produce(frontier), total).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return total
+        total = total.unionByName(delta)
+        frontier = delta
+    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+
+
 def fixpoint(
     seed: DataFrame,
     step: Callable[[DataFrame], DataFrame],
     max_iterations: int = 100,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
-    """Smallest superset of ``seed`` closed under ``step`` (set semantics).
-
-    ``step`` takes the current frontier and returns candidate new
-    tuples with the same heading (extra columns are dropped, order
-    normalized via unionByName).
-    """
+    """Smallest superset of ``seed`` closed under ``step`` (set
+    semantics). ``step`` takes the current frontier and returns
+    candidate tuples with the same heading (column order normalized)."""
     cols = seed.columns
-    total = seed.dropDuplicates().localCheckpoint(eager=True)
-    frontier = total
-    for _ in range(max_iterations):
-        produced = step(frontier).select(*cols)
-        # New tuples only: semi-naive delta. subtract = EXCEPT DISTINCT.
-        frontier = produced.subtract(total).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            return total
-        total = total.unionByName(frontier).localCheckpoint(eager=True)
-    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+    return _run(
+        seed.dropDuplicates(),
+        lambda fr: step(fr).select(*cols),
+        lambda produced, total: produced.subtract(total),
+        max_iterations,
+        checkpoint_every,
+    )
 
 
 def fixpoint_with_level(
@@ -53,28 +75,25 @@ def fixpoint_with_level(
     step: Callable[[DataFrame], DataFrame],
     level_col: str = "level",
     max_iterations: int = 100,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixpoint keeping a 0-based iteration level (org-chart flattening,
     Sample/recursive.andl:23-27). Dedup ignores the level column — a
-    tuple reached at level 2 is not re-added at level 5 (shortest-path
-    semantics, matching WITH RECURSIVE UNION behavior on first reach).
-    """
+    tuple reached at level 2 is not re-added at level 5 (first-reach
+    semantics, matching WITH RECURSIVE UNION behavior)."""
     from pyspark.sql import functions as F
 
     data_cols = [c for c in seed.columns if c != level_col]
     if level_col not in seed.columns:
         seed = seed.withColumn(level_col, F.lit(0))
     cols = data_cols + [level_col]
-    total = seed.select(*cols).dropDuplicates(data_cols).localCheckpoint(eager=True)
-    frontier = total
-    for _ in range(max_iterations):
-        produced = step(frontier).select(*cols)
-        frontier = (
+    return _run(
+        seed.select(*cols).dropDuplicates(data_cols),
+        lambda fr: step(fr).select(*cols),
+        lambda produced, total: (
             produced.join(total.select(*data_cols), on=data_cols, how="leftanti")
             .dropDuplicates(data_cols)
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            return total
-        total = total.unionByName(frontier).localCheckpoint(eager=True)
-    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+        ),
+        max_iterations,
+        checkpoint_every,
+    )

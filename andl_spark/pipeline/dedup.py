@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
+from ..util import ensure_parallelism
 from .text import fingerprint
 
 # ---------------------------------------------------------------------
@@ -34,16 +35,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = Tr
     """Tag every row with its duplicate-group canonical id (min id per
     content digest) and an is_dup flag. One groupBy on the digest.
     """
+    from pyspark.sql import Window
+
     digest = fingerprint(text_col) if normalized else F.md5(F.col(text_col))
     tagged = df.select(F.col(id_col), digest.alias("digest"))
-    canon = tagged.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
-    return (
-        tagged.join(canon, "digest")
-        .select(
-            id_col,
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
-        )
+    # min-over-window: one shuffle on digest (vs groupBy + re-join = two)
+    canonical = F.min(id_col).over(Window.partitionBy("digest"))
+    return tagged.select(
+        id_col,
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_dup"),
     )
 
 
@@ -55,27 +56,31 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """a, b < 2^32 so a*h32 + b fits in uint64 with no overflow — keeps
+    the (a·h+b) mod p sweep in vectorized native uint64 (an object-dtype
+    fallback is ~100× slower)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
+def _stable_hash32(s: str) -> int:
+    """Stable 32-bit content hash (zlib.crc32 — C speed, process-salt
+    free, unlike Python's hash())."""
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8"))
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-word shingles → stable 64-bit hashes (numpy)."""
+    """Distinct k-word shingles → stable 32-bit hashes."""
     words = text.lower().split()
     if len(words) < k:
         shingles = {" ".join(words)} if words else {""}
     else:
         shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-    # Python's hash() is salted per-process; use a stable FNV-1a instead.
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(14695981039346656037)
-        for ch in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-        out[i] = h
-    return out
+    return np.fromiter((_stable_hash32(s) for s in shingles), dtype=np.uint64, count=len(shingles))
 
 
 def minhash_signatures(
@@ -93,13 +98,15 @@ def minhash_signatures(
     def sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            hs = _shingle_hashes(t or "", shingle_k).astype(np.int64)[:, None]
-            # (a*h + b) mod p for all perms at once: (n_shingles, num_perm)
-            vals = (hs.astype(object) * a + b) % _MERSENNE
-            out.append(np.min(vals.astype(np.int64), axis=0).tolist())
+            hs = _shingle_hashes(t or "", shingle_k)[:, None]  # (n_sh, 1) uint64
+            # (a*h + b) mod p for all perms at once — native uint64,
+            # no overflow since a,b,h < 2^32
+            vals = (hs * a + b) % _MERSENNE
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -155,9 +162,10 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """End-to-end near-dup pairs: signatures → LSH buckets → estimated
     Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    # Persist signatures: they feed candidate generation AND both sides
+    # of the scoring join — without this the Pandas UDF runs 3×.
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands)
-    pairs = pairs.withColumnsRenamed({})  # no-op, keeps lint quiet
     scored = minhash_jaccard(sigs, pairs, id_col)
     return scored.filter(F.col("est_jaccard") >= threshold)
 
@@ -171,19 +179,31 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @pandas_udf("long")
     def sim(texts: pd.Series) -> pd.Series:
+        import zlib
+
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for w in (t or "").lower().split():
-                h = np.uint64(14695981039346656037)
-                for ch in w.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-                bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-                acc += np.where(bits.astype(np.int64) == 1, 1, -1)
-            out[i] = np.packbits((acc > 0).astype(np.uint8)).view(np.int64)[0]
+            words = (t or "").lower().split()
+            if not words:
+                out[i] = 0
+                continue
+            # two independent 32-bit hashes per word → 64 sign bits,
+            # all bit-extraction vectorized in numpy
+            h = np.fromiter(
+                (
+                    (zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode(), 0xBEEF)
+                    for w in words
+                ),
+                dtype=np.uint64, count=len(words),
+            )
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc = np.where(bits == 1, 1, -1).sum(axis=0)
+            sign_bits = (acc > 0).astype(np.uint64)
+            out[i] = (sign_bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
@@ -232,17 +252,34 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles appearing in more than that
     many docs (stop-shingles) — the lever that keeps the self-join
     bounded at corpus scale."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # Materialize the split once per row; referencing the split expr
+    # inside the transform lambda would re-split per shingle.
+    with_words = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("words"),
+    )
+    words = F.col("words")
     n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # O(1) element indexing (F.get) — a slice() per position would make
+    # shingling O(len²) per document (measured 15× slower at sf0.1).
+    # concat_ws skips the nulls get() yields past the end, which
+    # reproduces the short-document fallback of a truncated slice.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
         )
     )
-    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
-    ex = base.select("id", F.explode("sh").alias("shingle"))
+    base = with_words.select("id", shingles.alias("sh"))
+    # Carry each document's shingle count through the explode: the pair
+    # join then has both sizes in-row, avoiding two extra shuffle joins
+    # against the (candidate-pair-sized, potentially huge) common table.
+    # Eager checkpoint: the exploded table feeds BOTH sides of the pair
+    # join; a lazy persist lets the two scan stages race and shingle
+    # everything twice before the cache lands.
+    ex = base.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
@@ -251,18 +288,17 @@ def ngram_jaccard_pairs(
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sz_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("sz_a"),
+            F.first("b.n_sh").alias("sz_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return common.select(
+        "id_a",
+        "id_b",
+        (F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------

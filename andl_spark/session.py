@@ -55,28 +55,47 @@ def get_spark(app_name: str = "andl_spark", shuffle_partitions: int | None = Non
     )
 
 
-def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
-    """Load every parquet table under ``sf_dir``; lazily scanned.
+class LazyTables(dict):
+    """Mapping table name → DataFrame that defers the (footer-reading)
+    spark.read until a table is actually used — a query touching two of
+    the ten tables pays for two, not ten."""
 
-    Parquet scans get predicate pushdown + column pruning from Catalyst
-    automatically because every andl_spark operator is declarative.
-    """
+    def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._register = register_views
+
+    def __missing__(self, name: str) -> DataFrame:
+        path = os.path.join(self._sf_dir, f"{name}.parquet")
+        if name not in TABLES or not os.path.exists(path):
+            raise KeyError(name)
+        df = _restore_nanos_timestamps(self._spark.read.parquet(path), path)
+        if self._register:
+            df.createOrReplaceTempView(name)
+        self[name] = df
+        return df
+
+    def load_all(self) -> "LazyTables":
+        for name in TABLES:
+            if os.path.exists(os.path.join(self._sf_dir, f"{name}.parquet")):
+                self[name]
+        return self
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> LazyTables:
+    """Lazily-loading table map; each scan gets predicate pushdown +
+    column pruning from Catalyst since every operator is declarative.
+    Call ``.load_all()`` to force-register every table as a view."""
     # Some testdata columns carry TIMESTAMP(NANOS), which Spark only
     # reads with this legacy conf — as raw nanosecond longs. Runtime-
     # settable, so it also covers driver-owned sessions that didn't use
-    # get_spark(). We restore proper timestamps below.
+    # get_spark(). _restore_nanos_timestamps rebuilds real timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        df = _restore_nanos_timestamps(df, path)
-        out[name] = df
-        if register_views:
-            df.createOrReplaceTempView(name)
-    return out
+    tables = LazyTables(spark, sf_dir, register_views)
+    if register_views:
+        tables.load_all()
+    return tables
 
 
 def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:

@@ -582,6 +582,7 @@ def q_while_closure(spark, sf_dir):
     edges = (
         cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
         .filter(F.col("dst") <= max_key)
+        .persist()  # reused every iteration of the fixpoint
     )
     seed = cust.filter(F.col("c_custkey").isin(3, 5)).select(F.col("c_custkey").alias("node"))
     step = lambda fr: fr.join(edges, fr["node"] == edges["src"]).select(F.col("dst").alias("node"))
@@ -604,6 +605,7 @@ def q_while_paths(spark, sf_dir):
     edges = (
         cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
         .filter(F.col("dst") <= max_key)
+        .persist()  # reused every iteration of the fixpoint
     )
     seed = (
         cust.filter(F.col("c_custkey") == 1)

@@ -30,8 +30,11 @@ HEADLINE = [
     "q_while_closure",
     "q_nest_unnest",
 ]
-# pipeline headliners appended once implemented (they self-register)
-HEADLINE += [name for name in workload.QUERIES if name.startswith(("q_dedup", "q_ann", "q_lang", "q_token"))]
+# pipeline + events headliners (self-registered in workload)
+HEADLINE += [
+    name for name in workload.QUERIES
+    if name.startswith(("q_dedup", "q_ann", "q_lang", "q_token", "q_ngram", "q_events"))
+]
 
 
 def main() -> None:
