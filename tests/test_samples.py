@@ -1,0 +1,96 @@
+"""Reference sample programs (Sample/*.andl) re-expressed Spark-first —
+the parity evidence that andl_spark covers Andl's generative/recursive
+idioms, not just relational queries."""
+
+from pyspark.sql import functions as F
+
+from andl_spark import Relation
+from andl_spark.operators.joins import compose
+from andl_spark.operators.whileop import fixpoint, fixpoint_with_level
+
+
+def test_100_doors(spark):
+    """Sample/100doors.andl: doors 1..100, door N toggled once per
+    divisor; open doors are the perfect squares. seq + cross join +
+    xor-fold (bool aggregation)."""
+    doors = Relation.seq(spark, 100, "N").extend(N=F.col("N") + 1).df
+    passes = doors.select(F.col("N").alias("P"))
+    toggled = (
+        doors.crossJoin(passes)
+        .filter(F.col("N") % F.col("P") == 0)
+        .groupBy("N")
+        # fold(xor, ...) — odd number of divisors => open
+        .agg((F.count(F.lit(1)) % 2 == 1).alias("open"))
+    )
+    open_doors = sorted(r["N"] for r in toggled.filter("open").collect())
+    assert open_doors == [i * i for i in range(1, 11)]
+
+
+def test_fibonacci_while(spark):
+    """Sample/fibonacci.andl second implementation: fixpoint carrying
+    (N, fib, fibx)."""
+    seed = spark.createDataFrame([(1, 1.0, 0.0)], "N long, fib double, fibx double")
+    out = fixpoint(
+        seed,
+        lambda fr: fr.select(
+            (F.col("N") + 1).alias("N"),
+            (F.col("fib") + F.col("fibx")).alias("fib"),
+            F.col("fib").alias("fibx"),
+        ).filter(F.col("N") <= 20),
+    )
+    fibs = {r["N"]: r["fib"] for r in out.collect()}
+    assert fibs[10] == 55.0 and fibs[20] == 6765.0
+
+
+def test_99_bottles(spark):
+    """Sample/99bottles.andl: seq + string building, descending order."""
+    lines = (
+        Relation.seq(spark, 99, "n")
+        .extend(n=99 - F.col("n"))  # 99..1
+        .extend(
+            line=F.concat(
+                F.col("n").cast("string"), F.lit(" bottles of beer on the wall, "),
+                F.col("n").cast("string"), F.lit(" bottles of beer."),
+            )
+        )
+        .order_display("-n")
+        .df.collect()
+    )
+    assert lines[0]["line"].startswith("99 bottles")
+    assert lines[-1]["line"].startswith("1 bottles")
+
+
+def test_orgchart_levels(spark):
+    """Sample/recursive.andl:20-27 — flatten the org chart to levels
+    via `{{boss := name, level := level+1}} compose orgchart`."""
+    org = spark.createDataFrame(
+        [("Bob", "Alice"), ("Cindy", "Alice"), ("Dave", "Bob"),
+         ("Emma", "Bob"), ("Fred", "Cindy"), ("Gail", "Cindy")],
+        "name string, boss string",
+    )
+    seed = spark.createDataFrame([("Alice", 0)], "name string, level int")
+
+    def step(fr):
+        renamed = fr.select(F.col("name").alias("boss"), (F.col("level") + 1).alias("level"))
+        return compose(renamed, org)  # common col: boss → yields (level, name)
+
+    out = fixpoint_with_level(seed, step)
+    levels = {r["name"]: r["level"] for r in out.collect()}
+    assert levels == {"Alice": 0, "Bob": 1, "Cindy": 1, "Dave": 2,
+                      "Emma": 2, "Fred": 2, "Gail": 2}
+
+
+def test_transitive_closure_mm(spark):
+    """recursive.andl:34-38 — part explosion closure (MM.csv shape)."""
+    mm = spark.createDataFrame(
+        [("P1", "P2"), ("P1", "P3"), ("P2", "P4"), ("P3", "P4"), ("P4", "P5")],
+        "major string, minor string",
+    )
+    seed = mm
+    step = lambda fr: fr.select(F.col("major"), F.col("minor").alias("z")).join(
+        mm.select(F.col("major").alias("z"), "minor"), "z"
+    ).select("major", "minor")
+    closure = fixpoint(seed, step)
+    pairs = {(r["major"], r["minor"]) for r in closure.collect()}
+    assert ("P1", "P5") in pairs and ("P2", "P5") in pairs
+    assert len(pairs) == 9
