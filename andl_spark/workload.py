@@ -876,3 +876,50 @@ def q_events_session(spark, sf_dir):
         F.max("ts").alias("t_end"),
         r2(F.sum("value")).alias("total_value"),
     )
+
+
+@q("q6_forecast_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pure scan-side query — every predicate reaches the
+    parquet reader (PushedFilters), zero joins, one partial+final agg."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q("q_agg_having", """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+""")
+def q_agg_having(spark, sf_dir):
+    """Andl aggregate + restriction on the aggregate (.select{...}
+    .where(...)) — HAVING; the filter runs post-agg, pre-result."""
+    orders = _t(spark, sf_dir)["orders"]
+    return (
+        Relation(orders)
+        .aggregate(
+            ["o_custkey"],
+            n_orders=F.count(F.lit(1)),
+            total=r2(F.sum("o_totalprice")),
+        )
+        .where(F.col("n_orders") >= 15)
+        .df
+    )

@@ -1,0 +1,56 @@
+"""Skew salting correctness + bucketed co-located joins (no shuffle)."""
+
+from pyspark.sql import functions as F
+
+from andl_spark.operators.skew import key_histogram, salted_join
+from andl_spark.plans.explain import formatted_plan
+from andl_spark.sources.catalog import Catalog
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 90% of left rows share one hot key
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+    salted = salted_join(left, right, ["k"], salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_key_histogram_flags_hot_key(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id")).alias("k")
+    )
+    top = key_histogram(df, "k", top=1).first()
+    assert top["k"] == 1 and top["count"] == 800
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    orders = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    items = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 13).alias("b")
+    )
+    cat.put_bucketed("b_orders", orders, ["k"], n_buckets=8)
+    cat.put_bucketed("b_items", items, ["k"], n_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cat.get_bucketed("b_orders").join(cat.get_bucketed("b_items"), "k")
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        # co-located buckets: join requires no Exchange on either side
+        assert "Exchange" not in plan, plan[:1500]
+        assert j.count() == 5000
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
