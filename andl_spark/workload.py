@@ -923,3 +923,37 @@ def q_agg_having(spark, sf_dir):
         .where(F.col("n_orders") >= 15)
         .df
     )
+
+
+@q("q_window_ordg", """
+WITH numbered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ord
+  FROM orders WHERE o_custkey < 20
+)
+SELECT o_custkey, o_orderkey, ord,
+       CAST(MIN(ord) OVER (PARTITION BY o_custkey) AS BIGINT) AS ordg,
+       ROUND(COALESCE(NTH_VALUE(o_totalprice, 3) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) + 1e-6, 2) AS nth3
+FROM numbered
+""")
+def q_window_ordg(spark, sf_dir):
+    """Andl ord()/ordg()/nth(n) (sample5.andl:29-44). ord() is a TOTAL
+    order over the input — inherently single-partition, so it's
+    restricted to a filtered slice here; scalable pipelines use the
+    per-group ord of q_window_running instead (ordg = the group's first
+    ord, nth = nth value within the group so far)."""
+    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 20)
+    w_global = Window.orderBy("o_orderdate", "o_orderkey")
+    w_grp = Window.partitionBy("o_custkey")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.withColumn("ord", F.row_number().over(w_global).cast("long"))
+        .select(
+            "o_custkey", "o_orderkey", "ord",
+            F.min("ord").over(w_grp).cast("long").alias("ordg"),
+            r2(F.coalesce(F.nth_value("o_totalprice", 3).over(wf), F.lit(0.0))).alias("nth3"),
+        )
+    )
