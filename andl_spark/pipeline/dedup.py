@@ -94,14 +94,30 @@ def minhash_signatures(
     """(id, signature: array<long>[num_perm]) via a vectorized Pandas UDF."""
     a, b = _perm_params(num_perm, seed)
 
+    mersenne = _MERSENNE
+    k = shingle_k
+
+    # NB: the UDF body is fully self-contained (no references to module
+    # functions) so cloudpickle ships it by value — executors of a
+    # driver-owned session have no andl_spark on their sys.path.
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
+        import zlib
+
         out = []
         for t in texts:
-            hs = _shingle_hashes(t or "", shingle_k)[:, None]  # (n_sh, 1) uint64
+            words = (t or "").lower().split()
+            if len(words) < k:
+                shingles = {" ".join(words)} if words else {""}
+            else:
+                shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+            hs = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.uint64, count=len(shingles),
+            )[:, None]
             # (a*h + b) mod p for all perms at once — native uint64,
             # no overflow since a,b,h < 2^32
-            vals = (hs * a + b) % _MERSENNE
+            vals = (hs * a + b) % mersenne
             out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 

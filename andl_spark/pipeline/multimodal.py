@@ -71,12 +71,22 @@ def extract_features(media: DataFrame, dim: int = 8, use_stub: bool = True) -> D
     ``use_stub=False`` routes to the real (NotImplemented) codec so the
     call-site contract is explicit."""
 
+    def _stub(payload: bytes) -> list[float]:
+        if not payload:
+            return [0.0] * dim
+        return [float(sum(payload[i::dim]) % 997) for i in range(dim)]
+
+    def _real(payload: bytes):
+        raise NotImplementedError("image codec not available in this environment")
+
+    # Self-contained closure: executors of driver-owned sessions can't
+    # import andl_spark, so no module-level references allowed here.
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             feats = [
-                _fake_features(p, dim) if use_stub else decode_image(p, None)
+                _stub(p) if use_stub else _real(p)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({

@@ -109,7 +109,7 @@ WITH rev AS (
     AND l_shipdate  > TIMESTAMP '1998-03-15'
   GROUP BY o_orderkey, o_orderdate, o_orderpriority
 )
-SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue
 FROM rev
 QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
 """)
@@ -131,10 +131,14 @@ def q3_shipping_priority(spark, sf_dir):
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # Timestamps cross the harness as formatted strings: Spark emits
+    # ns-precision arrow timestamps, DuckDB us — identical instants that
+    # stringify differently and break naive value-hashing.
     return (
         rev.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 10)
         .drop("__rn")
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
 
 
@@ -824,7 +828,7 @@ def q_ann_lsh(spark, sf_dir):
 # =====================================================================
 
 @q("q_events_window", """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS total_value
 FROM events GROUP BY 1, 2
 """)
@@ -833,7 +837,8 @@ def q_events_window(spark, sf_dir):
     with a watermark (streaming/events.py)."""
     ev = _t(spark, sf_dir)["events"]
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
     ).agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
 
 
@@ -851,7 +856,9 @@ WITH marked AS (
   FROM marked
 )
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_end,
        ROUND(SUM(value) + 1e-6, 2) AS total_value
 FROM sess GROUP BY 1, 2
 """)
@@ -872,8 +879,8 @@ def q_events_session(spark, sf_dir):
     sess = marked.withColumn("session_seq", F.sum("is_new").over(wf).cast("long"))
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("t_start"),
-        F.max("ts").alias("t_end"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_end"),
         r2(F.sum("value")).alias("total_value"),
     )
 
