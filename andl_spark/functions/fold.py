@@ -46,3 +46,39 @@ def running_fold(op: str, col: Column | str, window) -> Column:
 
     frame = window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return fold(op, col).over(frame)
+
+
+#: non-commutative fold ops need ordered (sequential) evaluation
+_ORDERED_OPS = {
+    "-": lambda acc, v: acc - v,
+    "/": lambda acc, v: acc / v,
+    "&": lambda acc, v: F.concat(acc, v),
+    "+": lambda acc, v: acc + v,
+    "*": lambda acc, v: acc * v,
+}
+
+
+def ordered_fold(op: str, col: Column | str, order_by: Column | str, init=None) -> Column:
+    """Sequential fold in a defined order — Andl's non-commutative folds
+    (Test/SuiteRelFold.andl:34-36: `fold(/,...)`, `fold(-,...)`,
+    ordered `fold(&, ...)` under `.order()`).
+
+    Aggregate context: collect (order_key, value) pairs, sort the array,
+    then left-fold with a JVM higher-order `aggregate` — exact
+    sequential semantics, computed distributed with a single collect_list
+    per group. Fine for group-sized sequences (folds over an entire
+    100 TB table in one group are inherently sequential in ANY engine).
+
+    ``init``: seed value; default Andl semantics seed with the op's
+    identity-ish start (0 for -, 1 for /, '' for &).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    o = F.col(order_by) if isinstance(order_by, str) else order_by
+    step = _ORDERED_OPS.get(op)
+    if step is None:
+        raise ValueError(f"unknown ordered fold op {op!r}")
+    if init is None:
+        init = {"-": F.lit(0.0), "/": F.lit(1.0), "&": F.lit(""), "+": F.lit(0.0), "*": F.lit(1.0)}[op]
+    pairs = F.array_sort(F.collect_list(F.struct(o.alias("k"), c.alias("v"))))
+    values = F.transform(pairs, lambda s: s["v"])
+    return F.aggregate(values, init, step)

@@ -201,5 +201,14 @@ class Relation:
     def fold(self, op: str, col: str | Column) -> Column:
         return _fold(op, col)
 
+    def equals(self, other: "Relation") -> bool:
+        """Relation (set) equality — Andl `S = @s` (SuiteRelNest.andl).
+        Two antijoin-emptiness probes; no data to the driver."""
+        if sorted(self.df.columns) != sorted(other.df.columns):
+            return False
+        cols = self.df.columns
+        a, b = self.df.select(*cols), other.df.select(*cols)
+        return a.subtract(b).isEmpty() and b.subtract(a).isEmpty()
+
     def __repr__(self) -> str:
         return f"Relation({', '.join(self.df.columns)})"

@@ -108,3 +108,45 @@ def test_relation_seq_schema_lift(spark, spdb):
     assert ("STATUS", "number") in [tuple(r) for r in sch]
     total = Relation(spdb["SP"]).fold_all(t=fold("+", "QTY")).scalar()
     assert total == 3100.0
+
+
+def test_fold_bool_ops(spdb):
+    """SuiteRelFold.andl:14-17 — fold(and)/fold(or) over predicates."""
+    S = spdb["S"]
+    row = S.agg(
+        fold("and", F.col("STATUS") == 10).alias("all10"),
+        fold("and", F.col("STATUS") >= 10).alias("all_ge10"),
+        fold("or", F.col("STATUS") == 10).alias("any10"),
+        fold("or", F.col("STATUS") < 10).alias("any_lt10"),
+        fold("*", "STATUS").alias("prod"),
+    ).first()
+    assert (row["all10"], row["all_ge10"], row["any10"], row["any_lt10"]) == (
+        False, True, True, False,
+    )
+    assert row["prod"] == 20 * 10 * 30 * 20 * 30
+
+
+def test_ordered_fold_noncommutative(spdb):
+    """SuiteRelFold.andl:34-36 — fold(/), fold(-), ordered fold(&)."""
+    from andl_spark.functions.fold import ordered_fold
+
+    S = spdb["S"]
+    row = S.agg(
+        ordered_fold("/", "STATUS", "S#").alias("div"),
+        ordered_fold("-", "STATUS", "S#").alias("sub"),
+        ordered_fold(
+            "&", F.col("STATUS").cast("int").cast("string"), "S#"
+        ).alias("cat"),
+    ).first()
+    assert abs(row["div"] - 1 / 20 / 10 / 30 / 20 / 30) < 1e-12
+    assert row["sub"] == 0 - 20 - 10 - 30 - 20 - 30
+    assert row["cat"] == "2010302030"
+
+
+def test_relation_equality(spdb, spark):
+    """SuiteRelNest.andl — relation value equality is set equality."""
+    S = Relation(spdb["S"])
+    reordered = Relation(spdb["S"].orderBy(F.desc("S#")).select("CITY", "S#", "SNAME", "STATUS"))
+    assert S.equals(reordered)
+    assert not S.equals(Relation(spdb["S"].limit(4)))
+    assert not S.equals(Relation(spdb["P"]))
