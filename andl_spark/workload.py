@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import fold as FL
 from .functions import scalar as S
 from .operators import divide as Div
 from .operators import joins as J
@@ -963,4 +964,73 @@ def q_window_ordg(spark, sf_dir):
             F.min("ord").over(w_grp).cast("long").alias("ordg"),
             r2(F.coalesce(F.nth_value("o_totalprice", 3).over(wf), F.lit(0.0))).alias("nth3"),
         )
+    )
+
+
+@q("q_mandelbrot", """
+WITH RECURSIVE
+grid AS (
+  SELECT CAST(-2.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) * xi.i AS cx,
+         CAST(-1.0 AS DOUBLE) + CAST(0.1  AS DOUBLE) * yi.i AS cy
+  FROM range(64) xi(i), range(21) yi(i)
+),
+m(iter, cx, cy, x, y) AS (
+  SELECT CAST(0 AS BIGINT), cx, cy, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM grid
+  UNION ALL
+  SELECT iter + 1, cx, cy,
+         x * x - y * y + cx,
+         CAST(2.0 AS DOUBLE) * x * y + cy
+  FROM m
+  WHERE x * x + y * y < CAST(4.0 AS DOUBLE) AND iter < 28
+),
+m2 AS (SELECT cx, cy, MAX(iter) AS iter FROM m GROUP BY cx, cy)
+SELECT cy,
+       STRING_AGG(substr(' .+*#', CAST(1 + iter // 6 AS INTEGER), 1), '' ORDER BY cx) AS t
+FROM m2 GROUP BY cy
+""")
+def q_mandelbrot(spark, sf_dir):
+    """Sample/mandelbrot.andl — the Mandelbrot set as a `.while()`
+    fixpoint (the reference's own comment gives the SQL recursive-CTE
+    equivalent, which is the oracle here, axes generated by formula so
+    both engines produce bit-identical doubles).
+
+    Exercises: deep (28-round) fixpoint recursion, double arithmetic in
+    the step expression, max-fold regrouping, and the ordered
+    non-commutative `fold(&, ...)` string concat that renders each scan
+    line (mandelbrot.andl:11 `fold(&, right(left(' .+*#', ...)))`).
+
+    Scale shape: each iteration is a narrow filter+project over the
+    frontier only (escaped points drop out), so work shrinks
+    monotonically; the only shuffle is the final two-level groupBy.
+    """
+    xaxis = spark.range(64).select(
+        (F.lit(-2.0) + F.lit(0.05) * F.col("id")).alias("cx")
+    )
+    yaxis = spark.range(21).select(
+        (F.lit(-1.0) + F.lit(0.1) * F.col("id")).alias("cy")
+    )
+    seed = xaxis.crossJoin(yaxis).select(
+        F.lit(0).cast("long").alias("iter"),
+        "cx", "cy",
+        F.lit(0.0).alias("x"), F.lit(0.0).alias("y"),
+    )
+
+    def step(fr: DataFrame) -> DataFrame:
+        x, y = F.col("x"), F.col("y")
+        return fr.filter((x * x + y * y < F.lit(4.0)) & (F.col("iter") < 28)).select(
+            (F.col("iter") + 1).alias("iter"),
+            "cx", "cy",
+            (x * x - y * y + F.col("cx")).alias("x"),
+            (F.lit(2.0) * x * y + F.col("cy")).alias("y"),
+        )
+
+    m = W.fixpoint(seed, step, max_iterations=40)
+    m2 = m.groupBy("cx", "cy").agg(F.max("iter").alias("iter"))
+    ch = F.substring(
+        F.lit(" .+*#"), (F.lit(1) + F.floor(F.col("iter") / 6)).cast("int"), 1
+    )
+    return (
+        m2.select("cy", "cx", ch.alias("ch"))
+        .groupBy("cy")
+        .agg(FL.ordered_fold("&", "ch", "cx").alias("t"))
     )

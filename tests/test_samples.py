@@ -94,3 +94,20 @@ def test_transitive_closure_mm(spark):
     pairs = {(r["major"], r["minor"]) for r in closure.collect()}
     assert ("P1", "P5") in pairs and ("P2", "P5") in pairs
     assert len(pairs) == 9
+
+
+def test_mandelbrot(spark):
+    """Sample/mandelbrot.andl: the full program as q_mandelbrot — a
+    28-deep .while() fixpoint over a 64x21 complex grid, max-fold, and
+    ordered fold(&) rendering each scan line."""
+    from andl_spark.workload import QUERIES
+
+    art = {r["cy"]: r["t"] for r in QUERIES["q_mandelbrot"](spark, None).collect()}
+    assert len(art) == 21
+    lines = [art[k] for k in sorted(art)]
+    assert all(len(t) == 64 for t in lines)
+    # the set is symmetric about the x-axis: cy=-1.0+0.1k pairs up
+    assert lines[0] == lines[-1] and lines[5] == lines[-6]
+    # interior of the cardioid never escapes -> '#'; far left escapes fast
+    mid = art[min(art, key=abs)]
+    assert "#" in mid and mid.startswith(" ")
