@@ -85,6 +85,87 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int 
     return bucket
 
 
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids via Spark MLlib (JVM,
+    distributed Lloyd iterations). Training reads a bounded sample —
+    at 100 TB you train on ~1e5 vectors, not the corpus — and the
+    result is tiny (nlist × dim doubles on the driver)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(train_cap)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def nearest_lists(vec_col: Column | str, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid ids by squared-L2,
+    as a pure JVM expression: the centroid table is baked into the plan
+    as literals, so assignment is a shuffle-free, UDF-free map — the
+    property that makes IVF assignment embarrassingly parallel over a
+    100 TB corpus."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(v, F.element_at(cents, i),
+                           lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+                F.lit(0.0), lambda acc, d: acc + d,
+            ).alias("d"),
+            (i - 1).alias("list_id"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into ``nlist`` k-means cells, each
+    query scans only its ``nprobe`` nearest cells. Recall/cost dial is
+    nprobe/nlist; the candidate join is equi on list_id (bucket-
+    partitionable at scale, queries broadcast). Pass pre-trained
+    ``centroids`` to skip training (e.g. reuse across query batches)."""
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, nlist)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        F.element_at(nearest_lists(vec_col, centroids, 1), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(nearest_lists(vec_col, centroids, nprobe)).alias("list_id"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -816,6 +816,15 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
 
 
+@q("q_ann_ivf")  # rows-only: approximate by construction
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, nprobe cells scanned per
+    query) — the trained counterpart of q_ann_lsh."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SS.topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+
+
 @q("q_ann_lsh")  # rows-only: approximate by construction
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (multiprobe=1) — the scale path."""

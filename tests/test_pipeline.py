@@ -65,6 +65,29 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"LSH@4bits+2-probe recall {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, k=5)
+    # Random vectors are the worst case for a coarse quantizer too:
+    # with nlist=8 cells, probing 4 covers half the corpus, and the
+    # trained cells must still beat the 50% random floor.
+    approx = SS.topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF@nlist8-probe4 recall {recall}"
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    cents = SS.train_centroids(emb, nlist=8, train_cap=500)
+    assigned = emb.select(
+        F.element_at(SS.nearest_lists("embedding", cents, 1), 1).alias("list_id")
+    )
+    counts = {r["list_id"]: r["n"] for r in assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()  # total partition, no loss
+    assert len(counts) == 8  # every cell non-empty on trained data
+
+
 def test_multimodal_feature_plumbing(spark):
     media = M.synthesize_media(spark, 32)
     feats = M.extract_features(media)
