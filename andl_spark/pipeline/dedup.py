@@ -182,9 +182,13 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """End-to-end near-dup pairs: signatures → LSH buckets → estimated
     Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
-    # Persist signatures: they feed candidate generation AND both sides
-    # of the scoring join — without this the Pandas UDF runs 3×.
+    # Persist + materialize signatures: they feed candidate generation
+    # AND both sides of the scoring join. Eager count() matters — the
+    # self-join's two scan stages run concurrently, and with a lazy
+    # persist they race and each runs the Pandas UDF over the full
+    # corpus before the cache lands.
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).persist()
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands)
     scored = minhash_jaccard(sigs, pairs, id_col)
     return scored.filter(F.col("est_jaccard") >= threshold)
@@ -236,6 +240,12 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3)
                  F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
         for i in range(4)
     ])
+    # Materialize the (typically UDF-computed) signatures before the
+    # self-join: its two scan stages run concurrently and would each
+    # recompute the signature pipeline (chunk explode from cache is
+    # cheap — cache pre-explode, 1 row instead of 4 per doc).
+    signatures = signatures.persist()
+    signatures.count()
     e = signatures.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", "c.chunk", "c.val"
     )
@@ -290,19 +300,23 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
         )
     )
-    base = with_words.select("id", shingles.alias("sh"))
+    # Persist the COMPACT (id, shingle-array) table and materialize it
+    # before deriving anything: it feeds both sides of the pair join
+    # (lazy persist would let the two scan stages race and shingle
+    # everything twice), and it is the barrier that stops Catalyst
+    # collapsing the projection — size(sh) + explode(sh) over the raw
+    # expression drops the shingling out of codegen into interpreted
+    # re-evaluation (measured 12x: 10.9s vs 0.9s at sf0.1). Caching
+    # pre-explode also stores each shingle once, not once per exploded
+    # row.
+    base = with_words.select("id", shingles.alias("sh")).persist()
+    base.count()
     # Carry each document's shingle count through the explode: the pair
     # join then has both sizes in-row, avoiding two extra shuffle joins
     # against the (candidate-pair-sized, potentially huge) common table.
-    # Persist + materialize: the exploded table feeds BOTH sides of the
-    # pair join, and Spark schedules the two scan stages concurrently —
-    # with a lazy persist they race and each computes the full shingle
-    # pipeline before the cache lands. The count() action pins the cache
-    # first (cheaper than a localCheckpoint, which copies partitions).
     ex = base.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    ).persist()
-    ex.count()
+    )
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
