@@ -70,6 +70,32 @@ def fixpoint(
     )
 
 
+def fixpoint_naive(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Fixpoint where ``step`` receives the ACCUMULATED relation, not
+    the frontier — required for non-linear recursion (the step's logic
+    re-examines all facts each pass, e.g. constraint propagation in
+    Sample/sudoku.andl, where a new known digit prunes possibilities
+    everywhere). Semi-naive doesn't apply: a step over just the delta
+    would miss inferences that combine old and new facts.
+
+    Cost model: each pass recomputes over the full set, so passes
+    should shrink the *search space* monotonically even though the
+    relation grows; the accumulated total is checkpointed every pass
+    because it is re-joined wholly."""
+    cols = seed.columns
+    total = seed.dropDuplicates().localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        delta = step(total).select(*cols).subtract(total).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return total
+        total = total.unionByName(delta).localCheckpoint(eager=True)
+    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+
+
 def fixpoint_with_level(
     seed: DataFrame,
     step: Callable[[DataFrame], DataFrame],

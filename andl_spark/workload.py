@@ -1043,3 +1043,63 @@ def q_mandelbrot(spark, sf_dir):
         .groupBy("cy")
         .agg(FL.ordered_fold("&", "ch", "cx").alias("t"))
     )
+
+
+def sudoku_solve(spark: SparkSession, puzzle: str) -> DataFrame:
+    """Sample/sudoku.andl — logic-only sudoku solver as relational
+    fixpoint. 81-cell `units` grid × 9 digits = 729 possibilities;
+    each pass prunes possibilities conflicting with knowns (four
+    natural antijoins), then infers new knowns by the two rules of the
+    reference (sudoku.andl:44-63): a cell with one remaining digit, and
+    a digit with one remaining place in a row/col/box (fold(+,1)
+    count-1 groups semijoined back). Non-linear recursion — each pass
+    needs ALL knowns — so it runs on fixpoint_naive, not the semi-naive
+    loop. Returns (index, ndigit), 81 rows when solved."""
+    units = spark.range(81).select(
+        F.col("id").cast("int").alias("index"),
+        (F.col("id") / 9).cast("int").alias("row"),
+        (F.col("id") % 9).cast("int").alias("col"),
+        ((F.col("id") / 3).cast("int") % 3 + (F.col("id") / 27).cast("int") * 3).alias("box"),
+    ).persist()
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("ndigit"))
+    possu = J.natural_join(units, digits).persist()  # no common cols -> cross
+    # board parse stays relational: character at `index` via substring
+    # over the lifted scalar (sudoku.andl:33-35's right(left(...)))
+    ch = F.expr(f"substring('{puzzle}', index + 1, 1)")
+    board = units.select(
+        "index",
+        F.when(ch == ".", F.lit(0)).otherwise(ch.cast("int")).alias("ndigit"),
+    )
+    knowns = board.filter(F.col("ndigit") != 0)
+
+    def step(kn: DataFrame) -> DataFrame:
+        knu = J.natural_join(kn, units)
+        allowed = J.antijoin(possu, kn.select("index"))
+        allowed = J.antijoin(allowed, knu.select("row", "ndigit"))
+        allowed = J.antijoin(allowed, knu.select("col", "ndigit"))
+        allowed = J.antijoin(allowed, knu.select("box", "ndigit"))
+        # feeds four count-1 rules (8 plan references) — materialize once
+        allowed = allowed.localCheckpoint(eager=True)
+
+        def only_one(*keys: str) -> DataFrame:
+            singles = (
+                allowed.groupBy(*keys).agg(F.count(F.lit(1)).alias("tot"))
+                .filter(F.col("tot") == 1).select(*keys)
+            )
+            return J.semijoin(allowed, singles).select("index", "ndigit")
+
+        out = only_one("index")
+        for unit in ("row", "col", "box"):
+            out = out.unionByName(only_one("ndigit", unit))
+        return out
+
+    return W.fixpoint_naive(knowns, step, max_iterations=81)
+
+
+@q("q_sudoku")  # rows-only: non-linear constraint-propagation fixpoint, no SQL oracle
+def q_sudoku(spark, sf_dir):
+    """The reference's sudoku puzzle (sudoku.andl:31) solved by logic
+    alone; 81 rows = fully solved."""
+    puzzle = ("53..7....6..195....98....6.8...6...34..8.3..17...2...6"
+              ".6....28....419..5....8..79")
+    return sudoku_solve(spark, puzzle)

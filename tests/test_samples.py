@@ -111,3 +111,27 @@ def test_mandelbrot(spark):
     # interior of the cardioid never escapes -> '#'; far left escapes fast
     mid = art[min(art, key=abs)]
     assert "#" in mid and mid.startswith(" ")
+
+
+def test_sudoku_solver(spark):
+    """Sample/sudoku.andl: the logic-only solver fully solves the
+    reference's puzzle; every row/col/box holds digits 1..9 and all
+    clues are preserved."""
+    from andl_spark.workload import QUERIES
+
+    puzzle = ("53..7....6..195....98....6.8...6...34..8.3..17...2...6"
+              ".6....28....419..5....8..79")
+    sol = {r["index"]: r["ndigit"] for r in QUERIES["q_sudoku"](spark, None).collect()}
+    assert len(sol) == 81
+    grid = [sol[i] for i in range(81)]
+    for i, c in enumerate(puzzle):
+        if c != ".":
+            assert grid[i] == int(c)
+    full = set(range(1, 10))
+    for r in range(9):
+        assert {grid[r * 9 + c] for c in range(9)} == full
+    for c in range(9):
+        assert {grid[r * 9 + c] for r in range(9)} == full
+    for b in range(9):
+        cells = {grid[(b // 3 * 3 + r) * 9 + (b % 3 * 3 + c)] for r in range(3) for c in range(3)}
+        assert cells == full
