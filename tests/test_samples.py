@@ -135,3 +135,27 @@ def test_sudoku_solver(spark):
     for b in range(9):
         cells = {grid[(b // 3 * 3 + r) * 9 + (b % 3 * 3 + c)] for r in range(3) for c in range(3)}
         assert cells == full
+
+
+def test_family_tree_tranclo(spark):
+    """Sample/family_tree.andl: tranclo(xy) — transitive closure
+    formulated exactly as the reference's recursive function: each pass
+    composes the whole relation with itself (x->z . z->y => x->y) and
+    unions, until the relation stops growing. Non-linear (whole-set)
+    recursion on fixpoint_naive + compose."""
+    import pyspark.sql.functions as F
+    from andl_spark.operators.whileop import fixpoint_naive
+
+    # tiny 3-generation tree: child -> father edges
+    edges = [(1, 3), (2, 3), (3, 5), (4, 5), (5, 7), (6, 7)]
+    xy = spark.createDataFrame(edges, "x int, y int")
+
+    def step(cur):
+        l = cur.select("x", F.col("y").alias("z"))
+        r = cur.select(F.col("x").alias("z"), "y")
+        return compose(l, r).unionByName(cur)
+
+    closure = {(r["x"], r["y"]) for r in fixpoint_naive(xy, step).collect()}
+    # expected: ancestors along father links
+    exp = set(edges) | {(1, 5), (2, 5), (3, 7), (4, 7), (1, 7), (2, 7)}
+    assert closure == exp
