@@ -91,7 +91,7 @@ def train_centroids(
     nlist: int = 16,
     seed: int = 42,
     train_cap: int = 100_000,
-    max_iter: int = 10,
+    max_iter: int = 5,  # coarse quantization doesn't need tight convergence
 ) -> list[list[float]]:
     """IVF coarse quantizer: k-means centroids via Spark MLlib (JVM,
     distributed Lloyd iterations). Training reads a bounded sample —

@@ -210,5 +210,30 @@ class Relation:
         a, b = self.df.select(*cols), other.df.select(*cols)
         return a.subtract(b).isEmpty() and b.subtract(a).isEmpty()
 
+    def take(self, n: int) -> "Relation":
+        """Andl `.take(n)` — first n rows (Builtin.cs Take). Order-
+        dependent: deterministic only downstream of order_display /
+        a sorted plan, same as the reference's ordered context."""
+        return Relation(self.df.limit(n))
+
+    def skip(self, n: int) -> "Relation":
+        """Andl `.skip(n)` — rows after the first n (Builtin.cs Skip)."""
+        return Relation(self.df.offset(n))
+
+    def sub(self, other: "Relation") -> bool:
+        """Andl `sub` — self ⊆ other (sample2.andl:131). One
+        antijoin-emptiness probe, computed distributed."""
+        a, b = _setops._aligned(self.df, other.df)
+        return a.subtract(b).isEmpty()
+
+    def sup(self, other: "Relation") -> bool:
+        """Andl `sup` — self ⊇ other (sample2.andl:132)."""
+        return other.sub(self)
+
+    def sep(self, other: "Relation") -> bool:
+        """Andl `sep` — disjoint: no common tuples (sample2.andl:133)."""
+        a, b = _setops._aligned(self.df, other.df)
+        return a.intersect(b).isEmpty()
+
     def __repr__(self) -> str:
         return f"Relation({', '.join(self.df.columns)})"

@@ -1045,6 +1045,18 @@ def q_mandelbrot(spark, sf_dir):
     )
 
 
+@q("q_skip_take", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10
+""")
+def q_skip_take(spark, sf_dir):
+    """Andl .skip(n)/.take(n) over an ordered relation (Builtin.cs
+    Take/Skip) — Spark offset+limit on a total sort of a unique key."""
+    orders = _t(spark, sf_dir)["orders"]
+    rel = Relation(orders.select("o_orderkey", "o_custkey", "o_totalprice"))
+    return rel.order_display("o_orderkey").skip(10).take(5).df
+
+
 def sudoku_solve(spark: SparkSession, puzzle: str) -> DataFrame:
     """Sample/sudoku.andl — logic-only sudoku solver as relational
     fixpoint. 81-cell `units` grid × 9 digits = 729 possibilities;

@@ -150,3 +150,26 @@ def test_relation_equality(spdb, spark):
     assert S.equals(reordered)
     assert not S.equals(Relation(spdb["S"].limit(4)))
     assert not S.equals(Relation(spdb["P"]))
+
+
+def test_sub_sup_sep(spdb):
+    """sample2.andl:131-133 — subset / superset / separate predicates."""
+    S = Relation(spdb["S"])
+    S3 = Relation(spdb["S"].filter(F.col("CITY") == "Paris"))
+    SX = Relation(spdb["S"].filter(F.col("CITY") == "London"))
+    assert S3.sub(S) and S.sup(S3)
+    assert not S.sub(S3)
+    assert S3.sep(SX)          # Paris and London suppliers are disjoint
+    assert not S3.sep(S)
+    assert S.sub(S) and S.sup(S) and not S.sep(S)
+
+
+def test_skip_take(spdb):
+    """Builtin.cs Take/Skip — first-n / after-first-n in order."""
+    S = Relation(spdb["S"]).order_display("S#")
+    taken = [r["S#"] for r in S.take(2).df.collect()]
+    skipped = [r["S#"] for r in S.skip(3).df.collect()]
+    allk = sorted(r["S#"] for r in spdb["S"].collect())
+    assert sorted(taken) == allk[:2]
+    assert sorted(skipped) == allk[3:]
+    assert S.skip(2).take(2).count() == 2
