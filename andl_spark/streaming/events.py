@@ -70,6 +70,22 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the ingest-side counterpart of
+    pipeline/dedup.exact_dedup. State is bounded by the watermark
+    horizon (`dropDuplicatesWithinWatermark`): exact global dedup over
+    an unbounded stream would need unbounded state, so the scalable
+    contract is "no duplicate survives within the lateness window" —
+    cross-horizon dups are handled by the batch compaction pass.
+    Batch input degrades to plain dropDuplicates (same result on
+    bounded data)."""
+    keys = keys or ["event_id"]
+    src, _ = _watermarked(events, watermark)
+    if not src.isStreaming:
+        return src.dropDuplicates(keys)
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
     """Drive a streaming query to completion against the finite file
     source (test harness helper): complete mode into a memory sink."""

@@ -85,3 +85,18 @@ def test_filter_pushdown_through_relation_api(spark):
         df, {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
         {"p_partkey", "p_name", "p_size"},
     )
+
+
+def test_ivf_assignment_shuffle_free(spark):
+    """IVF corpus assignment must be a pure map: centroids live in the
+    plan as literals, so there is no shuffle and no Python UDF — the
+    property that lets assignment scale linearly over a 100 TB corpus."""
+    from andl_spark.pipeline import simsearch as SS
+
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    cents = [[float(i == j) for j in range(64)] for i in range(8)]  # fixed, no training
+    assigned = emb.select(
+        "vec_id", F.element_at(SS.nearest_lists("embedding", cents, 1), 1).alias("list_id")
+    )
+    assert X.count_shuffles(assigned) == 0
+    X.assert_no_python_row_udf(assigned)

@@ -58,3 +58,24 @@ def test_stateful_running_count(spark, events_batch):
     }
     # final state per user must equal the batch count
     assert got == want
+
+
+def test_dedup_stream_within_watermark(spark, events_batch):
+    """Streaming dedup: the same source unioned with itself (every row
+    duplicated) must come out exactly once — and equal the batch
+    distinct-on-key result."""
+    from andl_spark.streaming.events import dedup_stream
+
+    src = read_events_stream(spark, SF_SMOKE)
+    doubled = src.union(read_events_stream(spark, SF_SMOKE))
+    stream = dedup_stream(doubled, keys=["event_id"])
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_ev")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_ev")
+    assert got.count() == events_batch.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
+    # batch fallback gives the same relation
+    assert dedup_stream(events_batch, keys=["event_id"]).count() == got.count()
