@@ -159,3 +159,28 @@ def test_family_tree_tranclo(spark):
     # expected: ancestors along father links
     exp = set(edges) | {(1, 5), (2, 5), (3, 7), (4, 7), (1, 7), (2, 7)}
     assert closure == exp
+
+
+def test_user_defined_types_join(spark, spdb):
+    """sample4.andl userdemo: user-defined scalar types (type sid(text))
+    wrapping join attributes. Spark-first: a UDT is a single-field
+    struct column — struct equality gives the same natural-join
+    behavior, and the wrapped value stays JVM-typed."""
+    def udt(col):
+        return F.struct(F.col(col).alias("text"))
+
+    S, P, SP = spdb["S"], spdb["P"], spdb["SP"]
+    supp = S.select(udt("S#").alias("Sid"), F.col("SNAME").alias("Sname"))
+    part = P.select(udt("P#").alias("Pid"), F.col("PNAME").alias("Pname"))
+    supppart = SP.select(udt("S#").alias("Sid"), udt("P#").alias("Pid"), F.col("QTY").alias("Qty"))
+    joined = compose(compose(supp, supppart), part)
+    assert joined.count() == SP.count()
+    # wrapped key round-trips: unwrap matches the raw join result
+    raw = (
+        SP.join(S, "S#").join(P, "P#")
+        .select("SNAME", "PNAME", "QTY")
+    )
+    unwrapped = joined.select(
+        F.col("Sname").alias("SNAME"), F.col("Pname").alias("PNAME"), F.col("Qty").alias("QTY")
+    )
+    assert unwrapped.exceptAll(raw).count() == 0 and raw.exceptAll(unwrapped).count() == 0
