@@ -1045,6 +1045,28 @@ def q_mandelbrot(spark, sf_dir):
     )
 
 
+from .pipeline import split as SP  # noqa: E402
+
+@q("q_train_split")  # oracle assembled from split_oracle_sql below
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (pipeline/split.py): md5
+    bucket of the key → stable, shuffle-free, engine-portable
+    assignment. Returns per-split doc counts."""
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        SP.assign_split(docs.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE["q_train_split"] = (
+    "SELECT split, COUNT(*) AS n_docs FROM ("
+    + SP.split_oracle_sql("doc_id", "documents")
+    + ") GROUP BY split"
+)
+
+
 @q("q_skip_take", """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10

@@ -110,3 +110,33 @@ def test_frame_sample(spark):
     frames = M.frame_sample(media, every_nth=5)
     got = frames.filter(F.col("media_id") == 29).select("frame_idx").collect()
     assert [r[0] for r in got] == [0, 5, 10, 15, 20, 25]
+
+
+def test_assign_split_deterministic_and_complete(docs):
+    from andl_spark.pipeline import split as SP
+
+    a = SP.assign_split(docs.select("doc_id"), "doc_id")
+    b = SP.assign_split(docs.select("doc_id"), "doc_id")
+    # pure function of the key: identical across evaluations
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    # ~95/2.5/2.5 split within tolerance on 500 docs
+    assert counts["train"] > 0.9 * docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_split_stable_under_fraction_tweak(docs):
+    """Cumulative bucket ranges: growing val only moves rows from the
+    adjacent range, never reshuffling train rows into test."""
+    from andl_spark.pipeline import split as SP
+
+    base = SP.assign_split(docs.select("doc_id"), "doc_id",
+                           {"train": 0.9, "val": 0.05, "test": 0.05})
+    wider = SP.assign_split(docs.select("doc_id"), "doc_id",
+                            {"train": 0.9, "val": 0.08, "test": 0.02})
+    moved = (
+        base.alias("a").join(wider.alias("b"), "doc_id")
+        .filter((F.col("a.split") == "train") & (F.col("b.split") != "train"))
+    )
+    assert moved.count() == 0
