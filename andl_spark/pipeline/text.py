@@ -94,3 +94,31 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
     return F.md5(norm)
+
+
+def lexical_diversity(text: Column | str) -> Column:
+    """distinct-word / total-word ratio — the cheap repetition-quality
+    signal (low values = boilerplate/spam). Pure JVM array expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.size(F.array_distinct(words)) / F.size(words)
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus profile: doc count, token-count distribution
+    (mean + exact p50/p90/p99), mean lexical diversity. Exact
+    percentiles here because profiles drive filtering thresholds; at
+    extreme scale swap `percentile` for `percentile_approx`, which
+    trades a bounded error for a single-pass sketch."""
+    n = token_count(text_col)
+    pct = F.expr(
+        f"percentile(size(split(trim({text_col}), '\\\\s+')), array(0.5, 0.9, 0.99))"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n) + F.lit(1e-9), 4).alias("avg_tokens"),
+        F.element_at(pct, 1).alias("p50_tokens"),
+        F.element_at(pct, 2).alias("p90_tokens"),
+        F.element_at(pct, 3).alias("p99_tokens"),
+        F.round(F.avg(lexical_diversity(text_col)) + F.lit(1e-9), 4).alias("avg_lexdiv"),
+    )

@@ -1047,6 +1047,29 @@ def q_mandelbrot(spark, sf_dir):
 
 from .pipeline import split as SP  # noqa: E402
 
+
+@q("q_corpus_stats", r"""
+WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n,
+         len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+           * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS lexdiv
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       ROUND(AVG(n) + 1e-9, 4) AS avg_tokens,
+       quantile_cont(n, 0.5)  AS p50_tokens,
+       quantile_cont(n, 0.9)  AS p90_tokens,
+       quantile_cont(n, 0.99) AS p99_tokens,
+       ROUND(AVG(lexdiv) + 1e-9, 4) AS avg_lexdiv
+FROM t
+""")
+def q_corpus_stats(spark, sf_dir):
+    """Corpus profile (pipeline/text.corpus_stats): token-count
+    distribution + lexical diversity in one aggregation pass."""
+    docs = _t(spark, sf_dir)["documents"]
+    return T.corpus_stats(docs, "text")
+
+
 @q("q_train_split")  # oracle assembled from split_oracle_sql below
 def q_train_split(spark, sf_dir):
     """Deterministic train/val/test split (pipeline/split.py): md5

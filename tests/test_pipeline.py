@@ -140,3 +140,12 @@ def test_split_stable_under_fraction_tweak(docs):
         .filter((F.col("a.split") == "train") & (F.col("b.split") != "train"))
     )
     assert moved.count() == 0
+
+
+def test_corpus_stats_shape(docs):
+    from andl_spark.pipeline import text as T
+
+    row = T.corpus_stats(docs, "text").first()
+    assert row["n_docs"] == docs.count()
+    assert row["p50_tokens"] <= row["p90_tokens"] <= row["p99_tokens"]
+    assert 0 < row["avg_lexdiv"] <= 1.0
