@@ -34,10 +34,15 @@ def rdivide(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
         raise ValueError("dividend must have attributes beyond the divisor heading")
     div = divisor.select(*y).dropDuplicates()
     total = div.count()  # scalar; divisor is small by contract
-    matched = dividend.select(*x, *y).dropDuplicates().join(F.broadcast(div), on=y, how="inner")
+    # Broadcast-filter FIRST (kills non-divisor rows at the scan), then
+    # one shuffle on x does dedup + count together: countDistinct gets
+    # map-side partial aggregation, vs. a full dropDuplicates shuffle
+    # of the dividend followed by a second count shuffle. Null y can't
+    # reach the agg (equality join), so countDistinct is exact.
+    matched = dividend.select(*x, *y).join(F.broadcast(div), on=y, how="inner")
     return (
         matched.groupBy(*x)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.countDistinct(*y).alias("__n"))
         .filter(F.col("__n") == F.lit(total))
         .select(*x)
     )
