@@ -86,6 +86,15 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: st
     return src.dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (broadcast) dimension snapshot — no streaming state at all,
+    which is what makes dimension enrichment free at any stream rate.
+    Works identically on batch input (same plan, the Structured
+    Streaming contract)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
     """Drive a streaming query to completion against the finite file
     source (test harness helper): complete mode into a memory sink."""

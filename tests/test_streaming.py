@@ -79,3 +79,26 @@ def test_dedup_stream_within_watermark(spark, events_batch):
     assert got.select("event_id").distinct().count() == got.count()
     # batch fallback gives the same relation
     assert dedup_stream(events_batch, keys=["event_id"]).count() == got.count()
+
+
+def test_stream_static_enrichment(spark, events_batch):
+    """Stream-static join: events enriched with the customer dimension
+    must match the same join run in batch (no state, broadcast dim)."""
+    from andl_spark.session import load_tables
+    from andl_spark.streaming.events import enrich_with_dim
+
+    dim = (
+        load_tables(spark, SF_SMOKE, register_views=False)["customer"]
+        .select(F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    )
+    stream = enrich_with_dim(read_events_stream(spark, SF_SMOKE), dim, on="user_id")
+    q = (
+        stream.writeStream.format("memory").queryName("enriched")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+    want = enrich_with_dim(events_batch, dim, on="user_id")
+    cols = ["event_id", "user_id", "c_name", "c_mktsegment"]
+    assert got.count() == events_batch.count()  # left join preserves rows
+    assert _as_sorted_rows(got.select(*cols), cols) == _as_sorted_rows(want.select(*cols), cols)
