@@ -210,6 +210,12 @@ class Relation:
         a, b = self.df.select(*cols), other.df.select(*cols)
         return a.subtract(b).isEmpty() and b.subtract(a).isEmpty()
 
+    def while_naive(self, step: Callable[[DataFrame], DataFrame], max_iterations: int = 100) -> "Relation":
+        """Andl `.while()` for non-linear recursion: ``step`` receives
+        the ACCUMULATED relation (constraint propagation, whole-set
+        compose closures) — see whileop.fixpoint_naive."""
+        return Relation(_whileop.fixpoint_naive(self.df, step, max_iterations))
+
     def take(self, n: int) -> "Relation":
         """Andl `.take(n)` — first n rows (Builtin.cs Take). Order-
         dependent: deterministic only downstream of order_display /

@@ -1045,6 +1045,27 @@ def q_mandelbrot(spark, sf_dir):
     )
 
 
+@q("q_window_rank", """
+SELECT o_custkey, o_orderkey,
+       CAST(RANK()       OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       CAST(NTILE(4)     OVER w AS BIGINT) AS quartile
+FROM orders WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def q_window_rank(spark, sf_dir):
+    """Andl rank() (Builtin.cs Rank) + the SQL rank family over a
+    grouped order — one window shuffle, all JVM-side."""
+    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 from .pipeline import split as SP  # noqa: E402
 
 
