@@ -122,3 +122,26 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.element_at(pct, 3).alias("p99_tokens"),
         F.round(F.avg(lexical_diversity(text_col)) + F.lit(1e-9), 4).alias("avg_lexdiv"),
     )
+
+
+def source_mixture(df: DataFrame, source_col: str = "source", lang_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """Per-(source, lang) mixture report: doc counts, corpus share,
+    exact-dup rate (distinct content digests vs rows), mean length —
+    the table a training-mixture composer reads before weighting
+    sources. One shuffle on (source, lang) with map-side partial
+    aggregation; the corpus total rides a size-1 broadcast window."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_unique"),
+        F.round(F.avg(F.length(text_col)) + F.lit(1e-9), 4).alias("avg_chars"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per.select(
+        source_col, lang_col, "n_docs", "n_unique",
+        F.round(F.col("n_docs") / total + F.lit(1e-9), 6).alias("share"),
+        F.round(1 - F.col("n_unique") / F.col("n_docs") + F.lit(1e-9), 6).alias("dup_rate"),
+        "avg_chars",
+    )

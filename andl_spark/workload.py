@@ -1045,6 +1045,26 @@ def q_mandelbrot(spark, sf_dir):
     )
 
 
+@q("q_source_mixture", """
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         ROUND(AVG(LENGTH(text)) + 1e-9, 4) AS avg_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_unique,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER () + 1e-9, 6) AS share,
+       ROUND(1 - n_unique * 1.0 / n_docs + 1e-9, 6) AS dup_rate,
+       avg_chars
+FROM per
+""")
+def q_source_mixture(spark, sf_dir):
+    """Training-data mixture report (pipeline/text.source_mixture):
+    per-source/lang counts, corpus share, exact-dup rate."""
+    docs = _t(spark, sf_dir)["documents"]
+    return T.source_mixture(docs)
+
+
 @q("q_window_rank", """
 SELECT o_custkey, o_orderkey,
        CAST(RANK()       OVER w AS BIGINT) AS rnk,

@@ -149,3 +149,12 @@ def test_corpus_stats_shape(docs):
     assert row["n_docs"] == docs.count()
     assert row["p50_tokens"] <= row["p90_tokens"] <= row["p99_tokens"]
     assert 0 < row["avg_lexdiv"] <= 1.0
+
+
+def test_source_mixture_shares_sum_to_one(docs):
+    from andl_spark.pipeline import text as T
+
+    rows = T.source_mixture(docs).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(0 <= r["dup_rate"] <= 1 for r in rows)
