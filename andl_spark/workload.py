@@ -726,20 +726,53 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
-@q("q_text_quality", r"""
-SELECT doc_id,
-  ROUND(
+_QUALITY_R4_SQL = r"""ROUND(
     (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)) * 0.4
     + (1.0 - LEAST((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.2
     + (CASE WHEN GREATEST(length(text), 1) / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
     + LEAST((len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bto\b'))) / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) * 10.0, 1.0) * 0.2
-  + 1e-9, 4) AS quality
+  + 1e-9, 4)"""
+
+
+@q("q_text_quality", f"""
+SELECT doc_id, {_QUALITY_R4_SQL} AS quality
 FROM documents
 """)
 def q_text_quality(spark, sf_dir):
     """Surface-statistics quality score (pipeline/text.py)."""
     docs = _t(spark, sf_dir)["documents"]
     return docs.select("doc_id", r4(T.quality_score("text")).alias("quality"))
+
+
+@q("q_clean_corpus", f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND {_QUALITY_R4_SQL} >= 0.5
+), canon AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canonical
+  FROM kept
+)
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM canon WHERE doc_id = canonical
+""")
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning — the realistic composition of the
+    pipeline ops: language filter → quality threshold → exact dedup
+    (min-id canonical per normalized-content fingerprint) → token
+    count. The threshold applies to the ROUNDED score so the cut is
+    engine-stable at the boundary. Scale shape: scan-side filters,
+    then exactly one shuffle (the fingerprint window)."""
+    from pyspark.sql import Window as Wd
+
+    docs = _t(spark, sf_dir)["documents"]
+    kept = docs.filter(F.col("lang") == "en").filter(r4(T.quality_score("text")) >= 0.5)
+    w = Wd.partitionBy(T.fingerprint("text"))
+    return (
+        kept.withColumn("canonical", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", T.token_count("text").alias("n_tokens"))
+    )
 
 
 @q("q_ngram_jaccard", r"""
