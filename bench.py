@@ -29,6 +29,10 @@ HEADLINE = [
     "q_image_agg",
     "q_while_closure",
     "q_nest_unnest",
+    "q_clean_corpus",
+    "q_train_split",
+    "q_corpus_stats",
+    "q_source_mixture",
 ]
 # pipeline + events headliners (self-registered in workload)
 HEADLINE += [
