@@ -41,19 +41,52 @@ class Catalog:
         return sorted(self._names)
 
     def put(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Persist/replace a relvar (atomic per parquet overwrite)."""
-        target = os.path.join(self.path, name)
+        """Persist a relvar as a NEW immutable version (v1, v2, ...).
+        Writers never touch prior versions, so readers of any pinned
+        version are never disturbed (snapshot isolation by
+        construction), a training run can pin the exact catalog state
+        it read, and rollback is a manifest pointer flip — no data
+        movement at any scale."""
+        entry = self._names.get(name, {})
+        version = max(entry.get("versions", [0])) + 1
+        target = os.path.join(self.path, name, f"v{version}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
-        self._names[name] = {"partition_by": partition_by or []}
+        entry.update({
+            "partition_by": partition_by or [],
+            "versions": entry.get("versions", []) + [version],
+            "current": version,
+        })
+        self._names[name] = entry
         self._flush()
 
-    def get(self, name: str) -> DataFrame:
+    def get(self, name: str, version: int | None = None) -> DataFrame:
+        """Current version by default; pass ``version`` to time-travel."""
         if name not in self._names:
             raise KeyError(f"no relvar {name!r} in catalog {self.path}")
-        return self.spark.read.parquet(os.path.join(self.path, name))
+        entry = self._names[name]
+        if "versions" not in entry:  # legacy flat layout
+            return self.spark.read.parquet(os.path.join(self.path, name))
+        v = version if version is not None else entry["current"]
+        if v not in entry["versions"]:
+            raise KeyError(f"relvar {name!r} has no version {v} (has {entry['versions']})")
+        return self.spark.read.parquet(os.path.join(self.path, name, f"v{v}"))
+
+    def history(self, name: str) -> list[int]:
+        return list(self._names.get(name, {}).get("versions", []))
+
+    def current_version(self, name: str) -> int:
+        return self._names[name]["current"]
+
+    def rollback(self, name: str, version: int) -> None:
+        """Point the relvar back at an earlier version (files untouched)."""
+        entry = self._names[name]
+        if version not in entry.get("versions", []):
+            raise KeyError(f"relvar {name!r} has no version {version}")
+        entry["current"] = version
+        self._flush()
 
     def relvar(self, name: str) -> Relvar:
         """Load as a mutable Relvar; save() writes it back."""

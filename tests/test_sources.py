@@ -57,3 +57,23 @@ def test_write_parquet_partitioned(spark, spdb, tmp_path):
     assert os.path.isdir(out)
     back = spark.read.parquet(out)
     assert back.count() == 12
+
+
+def test_catalog_versioning_and_rollback(spark, spdb, tmp_path):
+    """Every put is an immutable snapshot: readers can pin a version,
+    rollback is a pointer flip, and updates through Relvar.save create
+    new versions instead of clobbering history."""
+    from andl_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.put("S", spdb["S"])
+    cat.put("S", spdb["S"].filter(F.col("CITY") == "Paris"))
+    assert cat.history("S") == [1, 2]
+    assert cat.current_version("S") == 2
+    assert cat.get("S").count() == 2            # Paris suppliers
+    assert cat.get("S", version=1).count() == 5  # full original pinned
+    cat.rollback("S", 1)
+    assert cat.get("S").count() == 5
+    # reopened catalog sees the same state (manifest round-trip)
+    cat2 = Catalog(spark, str(tmp_path / "cat"))
+    assert cat2.current_version("S") == 1 and cat2.history("S") == [1, 2]
