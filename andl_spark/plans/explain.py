@@ -67,3 +67,27 @@ def count_shuffles(df: DataFrame) -> int:
     """Exchange nodes in the physical plan (AQE may remove some at
     runtime; this is the static upper bound)."""
     return formatted_plan(df).count("Exchange")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Scale-posture summary of a plan — the numbers a reviewer checks
+    before pointing a query at 100 TB. Static analysis (pre-AQE), so
+    shuffle counts are upper bounds."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    # "simple" mode prints the physical tree exactly once (formatted
+    # mode repeats every operator in its detail section, double-counting)
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    fplan = formatted_plan(df)  # pushed-filter details only exist here
+    return {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "pushed_filters": sum(
+            1 for m in re.findall(r"PushedFilters: \[([^\]]*)\]", fplan) if m.strip()
+        ),
+        "scans": plan.count("Scan parquet"),
+        "arrow_python": plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas"),
+        "row_python_udf": plan.count("BatchEvalPython"),
+        "single_partition_ops": plan.count("Exchange SinglePartition"),
+    }

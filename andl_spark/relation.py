@@ -241,5 +241,12 @@ class Relation:
         a, b = _setops._aligned(self.df, other.df)
         return a.intersect(b).isEmpty()
 
+    def plan_report(self) -> dict:
+        """Scale-posture report of this relation's physical plan
+        (shuffles, broadcasts, pushdown, Python usage) — see
+        plans/explain.plan_report."""
+        from .plans.explain import plan_report as _pr
+        return _pr(self.df)
+
     def __repr__(self) -> str:
         return f"Relation({', '.join(self.df.columns)})"

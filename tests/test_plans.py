@@ -100,3 +100,22 @@ def test_ivf_assignment_shuffle_free(spark):
     )
     assert X.count_shuffles(assigned) == 0
     X.assert_no_python_row_udf(assigned)
+
+
+def test_plan_report_api(spark):
+    """Relation.plan_report surfaces the scale posture: a filtered
+    aggregate over a broadcast join shows its shuffle, broadcast, and
+    pushdown counts and no row-wise Python."""
+    from andl_spark.relation import Relation
+
+    t = load_tables(spark, SF_SMOKE, register_views=False)
+    r = (
+        Relation(t["lineitem"].filter(F.col("l_quantity") > 10))
+        .join(Relation(t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_name")), broadcast=True)
+        .aggregate(["s_name"], n=F.count(F.lit(1)))
+    )
+    rep = r.plan_report()
+    assert rep["shuffles"] >= 1          # the aggregation
+    assert rep["broadcast_joins"] >= 1   # the dim join
+    assert rep["pushed_filters"] >= 1    # l_quantity reached the scan
+    assert rep["row_python_udf"] == 0
