@@ -62,3 +62,49 @@ def test_recursive_scalar_function(spark):
         .fold_all(f=fold("*", "n")).scalar()
     )
     assert prod == 720
+
+
+def test_dbix_cd_sample_app(spark):
+    """Sample/DbixCdSample.andl end-to-end: build the artist/cd/track
+    database with ord()-generated ids, store the query functions as
+    named operators, and answer the sample queries through the served
+    API."""
+    from pyspark.sql import Window
+    from andl_spark.api import AndlSession
+
+    s = AndlSession(spark)
+    ordw = Window.orderBy("name")
+
+    artist = spark.createDataFrame(
+        [("Michael Jackson",), ("Eminem",)], "name string"
+    ).withColumn("artistid", F.row_number().over(Window.orderBy(F.lit(1))))
+    cd_data = spark.createDataFrame(
+        [("Thriller", "Michael Jackson"), ("Bad", "Michael Jackson"),
+         ("The Marshall Mathers LP", "Eminem")], "title string, name string"
+    ).withColumn("cdid", F.row_number().over(Window.orderBy(F.lit(1))))
+    track_data = spark.createDataFrame(
+        [("Beat It", "Thriller"), ("Billie Jean", "Thriller"),
+         ("Dirty Diana", "Bad"), ("Smooth Criminal", "Bad"),
+         ("Leave Me Alone", "Bad"), ("Stan", "The Marshall Mathers LP"),
+         ("The Way I Am", "The Marshall Mathers LP")], "title string, cd string"
+    ).withColumn("trackid", F.row_number().over(Window.orderBy(F.lit(1))))
+
+    s.register("artist", artist)
+    s.register("cd", cd_data.join(artist, "name").select("title", "cdid", "artistid"))
+    s.register("track", track_data.join(
+        s.table("cd").df.withColumnRenamed("title", "cd"), "cd"
+    ).select("trackid", "title", "cdid"))
+
+    s.define("get_tracks_by_cd", lambda t: (
+        s.table("cd").df.filter(F.col("title") == t).select("cdid")
+        .join(s.table("track").df, "cdid")
+    ))
+    s.define("get_cds_by_artist", lambda a: (
+        s.table("artist").df.filter(F.col("name") == a).select("artistid")
+        .join(s.table("cd").df, "artistid")
+    ))
+
+    bad_tracks = {r["title"] for r in s.call("get_tracks_by_cd", "Bad").df.collect()}
+    assert bad_tracks == {"Dirty Diana", "Smooth Criminal", "Leave Me Alone"}
+    mj_cds = {r["title"] for r in s.call("get_cds_by_artist", "Michael Jackson").df.collect()}
+    assert mj_cds == {"Thriller", "Bad"}
