@@ -41,14 +41,22 @@ def _watermarked(events: DataFrame, watermark: str) -> tuple[DataFrame, bool]:
     return src.withWatermark("ts", watermark), is_ntz
 
 
-def windowed_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window count/sum per event_type. On a stream the
-    watermark bounds state: windows older than it are finalized and
-    evicted — mandatory for unbounded 100 TB/day streams."""
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding/hopping) window count/sum
+    per event_type. On a stream the watermark bounds state: windows
+    older than it are finalized and evicted — mandatory for unbounded
+    100 TB/day streams. A sliding window assigns each row to
+    window/slide overlapping windows (state grows by that factor)."""
     src, was_ntz = _watermarked(events, watermark)
     start = F.col("w.start").cast("timestamp_ntz") if was_ntz else F.col("w.start")
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(start.alias("window_start"), "event_type", "n", "total_value")
     )

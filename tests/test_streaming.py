@@ -102,3 +102,16 @@ def test_stream_static_enrichment(spark, events_batch):
     cols = ["event_id", "user_id", "c_name", "c_mktsegment"]
     assert got.count() == events_batch.count()  # left join preserves rows
     assert _as_sorted_rows(got.select(*cols), cols) == _as_sorted_rows(want.select(*cols), cols)
+
+
+def test_sliding_window_stream_matches_batch(spark, events_batch):
+    """1-hour window hopping every 30 min: stream result equals batch,
+    and every event lands in exactly 2 overlapping windows."""
+    cols = ["window_start", "event_type", "n", "total_value"]
+    stream = windowed_agg(read_events_stream(spark, SF_SMOKE), slide="30 minutes")
+    run_stream_to_memory(stream, "slide_agg")
+    got = spark.table("slide_agg")
+    want = windowed_agg(events_batch, slide="30 minutes")
+    assert _as_sorted_rows(got, cols) == _as_sorted_rows(want, cols)
+    n_events = events_batch.count()
+    assert got.agg(F.sum("n")).first()[0] == 2 * n_events
