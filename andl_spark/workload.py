@@ -885,6 +885,35 @@ def q_events_window(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
 
 
+@q("q_events_sliding", """
+WITH halfhour AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS hh,
+         event_type, value
+  FROM events
+), exploded AS (
+  SELECT hh AS wstart, event_type, value FROM halfhour
+  UNION ALL
+  SELECT hh - INTERVAL 30 MINUTE, event_type, value FROM halfhour
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS total_value
+FROM exploded GROUP BY 1, 2
+""")
+def q_events_sliding(spark, sf_dir):
+    """Sliding 1-hour / 30-minute-hop aggregation
+    (streaming/events.windowed_agg slide=): each event lands in its
+    two covering windows; the oracle expresses that as a shifted
+    two-way union."""
+    from .streaming.events import windowed_agg
+
+    ev = _t(spark, sf_dir)["events"]
+    out = windowed_agg(ev, window="1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", r2(F.col("total_value")).alias("total_value"),
+    )
+
+
 @q("q_events_session", """
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
