@@ -372,3 +372,35 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_fp_col: str = "fp",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the historical corpus:
+    keep rows whose normalized-content fingerprint is absent from the
+    index AND unique within the batch (min-id winner). The index is a
+    fingerprint-only table — at 100 TB the corpus column never moves,
+    only its digests — and the antijoin shuffles the (small) new batch
+    against the bucketed/partitioned index."""
+    from pyspark.sql import Window
+
+    fp = fingerprint(text_col)
+    tagged = new_docs.withColumn("__fp", fp)
+    fresh = tagged.join(
+        index.select(F.col(index_fp_col).alias("__fp")), on="__fp", how="leftanti"
+    )
+    w = Window.partitionBy("__fp")
+    return (
+        fresh.withColumn("__min", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min"))
+        .drop("__fp", "__min")
+    )

@@ -885,6 +885,28 @@ def q_events_window(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
 
 
+@q("q_topk_orders", """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+""")
+def q_topk_orders(spark, sf_dir):
+    """Top-3 orders per customer — the window top-k pattern (one
+    shuffle on the group key; rank computed within partitions, ties
+    broken by key for determinism)."""
+    orders = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        ).filter(F.col("rk") <= 3)
+    )
+
+
 @q("q_events_sliding", """
 WITH halfhour AS (
   SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS hh,

@@ -158,3 +158,20 @@ def test_source_mixture_shares_sum_to_one(docs):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert all(0 <= r["dup_rate"] <= 1 for r in rows)
+
+
+def test_dedup_against_index(docs, spark):
+    """Batch-vs-corpus dedup: rows already fingerprint-indexed are
+    dropped; within-batch clones collapse to the min-id winner."""
+    from andl_spark.pipeline.dedup import dedup_against_index
+    from andl_spark.pipeline.text import fingerprint
+
+    index = docs.filter(F.col("doc_id") < 100).select(fingerprint("text").alias("fp"))
+    batch = docs.unionByName(
+        docs.filter(F.col("doc_id") >= 450).withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    out = dedup_against_index(batch, index)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(i < 100 for i in ids)          # indexed content dropped
+    assert not any(i >= 10_000 for i in ids)      # batch clones lost to min-id
+    assert all(i >= 100 for i in ids) and len(ids) > 0
