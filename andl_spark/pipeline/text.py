@@ -124,6 +124,62 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigrams(text: Column | str) -> Column:
+    """Word-bigram array of the lowercased text — the unit for
+    Gopher-style repetition metrics and per-corpus n-gram profiles.
+    Pure JVM array expression (split + transform over an index
+    sequence), so it stays inside whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    # zip adjacent tokens; slice lengths clamp to 0 for 1-token docs,
+    # so no index expression can go out of bounds (ANSI-safe).
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signal: the fraction of
+    word bigrams that are duplicates (1 - distinct/total). High values
+    mean boilerplate / spam / looping generations; training pipelines
+    drop docs above a threshold (Rae et al. 2021 use 0.2 for the
+    2-gram duplicate fraction).
+
+    Adds `dup_bigram_frac` (NULL for docs with <2 tokens, which have
+    no bigrams). Scan-side only — no shuffle; the filter composes with
+    downstream dedup in the same stage.
+    """
+    bg = bigrams(text_col)
+    frac = F.when(
+        F.size(bg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg),
+    )
+    return df.withColumn("dup_bigram_frac", frac)
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", group_col: str = "lang",
+               k: int = 3) -> DataFrame:
+    """Top-k most frequent word bigrams per group (corpus n-gram
+    profile). explode → count per (group, bigram) with map-side
+    partial agg → per-group top-k via one window. Ties broken
+    lexicographically so the result is deterministic."""
+    from pyspark.sql import Window
+
+    counted = (
+        df.select(group_col, F.explode(bigrams(text_col)).alias("ngram"))
+        .groupBy(group_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), "ngram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def source_mixture(df: DataFrame, source_col: str = "source", lang_col: str = "lang",
                    text_col: str = "text") -> DataFrame:
     """Per-(source, lang) mixture report: doc counts, corpus share,

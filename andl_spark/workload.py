@@ -1285,3 +1285,222 @@ def q_sudoku(spark, sf_dir):
     puzzle = ("53..7....6..195....98....6.8...6...34..8.3..17...2...6"
               ".6....28....419..5....8..79")
     return sudoku_solve(spark, puzzle)
+
+
+# =====================================================================
+# Flagship TPC-H-style, continued (Q10 / Q14 / Q18 shapes)
+# =====================================================================
+
+@q("q10_returned_items", """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         ROUND(c_acctbal + 1e-6, 2) AS c_acctbal,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-04-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT * FROM rev
+QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by lost revenue on returned items.
+
+    Scale shape: orderdate + returnflag predicates reach the parquet
+    scans; orders⋈lineitem shuffles on orderkey (AQE coalesces), the
+    25-row nation dim is broadcast explicitly, and the final top-20
+    is a partial top-k per partition before the single-row window.
+    """
+    t = _t(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    cust = t["customer"].withColumnRenamed("c_nationkey", "n_nationkey")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    joined = (
+        J.natural_join(orders, li)
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    joined = J.natural_join(joined, cust)
+    joined = J.natural_join(joined, nation, broadcast_right=True)
+    rev = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            r2(F.col("c_acctbal")).alias("c_acctbal"), "revenue",
+        )
+    )
+
+
+@q("q14_promo_revenue", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share — conditional aggregation over a
+    fact⋈dim join. The one-month shipdate predicate is pushed to the
+    lineitem scan; part is joined on its key (AQE broadcasts it at
+    bench SF; at 100 TB it shuffle-joins on partkey, which both sides
+    can be bucketed by)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return J.natural_join(li, part).agg(
+        r4(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc)
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@q("q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey, ROUND(SUM(l_quantity) + 1e-6, 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice + 1e-6, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders   USING (o_orderkey)
+JOIN customer ON c_custkey = o_custkey
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: large-volume orders. The heavy groupBy(orderkey)
+    aggregation runs FIRST and the >300 HAVING collapses it to a tiny
+    key set, so the subsequent orders/customer joins see only
+    qualifying orders (Spark broadcasts the shrunken side under AQE)."""
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(r2(F.sum("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    cust = t["customer"].select("c_custkey", "c_name")
+    out = J.natural_join(J.natural_join(big, orders), cust)
+    return out.select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        r2(F.col("o_totalprice")).alias("o_totalprice"), "total_qty",
+    )
+
+
+@q("q_colocated_pairs", """
+SELECT a.s_suppkey AS sa, b.s_suppkey AS sb, n_name
+FROM supplier a
+JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+JOIN nation ON a.s_nationkey = n_nationkey
+""")
+def q_colocated_pairs(spark, sf_dir):
+    """SPPsample1.andl Q6: all pairs of co-located suppliers — the
+    classic rename + natural-self-join + theta restriction
+    ((S .select{CITY, SA:=S#} join S .select{CITY, SB:=S#})
+     .where(SA<SB)). The join key (nationkey) has only 25 values —
+    exactly the skewed-self-join shape AQE's skew splitting handles;
+    the nation name lookup is a broadcast."""
+    t = _t(spark, sf_dir)
+    a = t["supplier"].select("s_nationkey", F.col("s_suppkey").alias("sa"))
+    b = t["supplier"].select("s_nationkey", F.col("s_suppkey").alias("sb"))
+    nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    pairs = J.natural_join(a, b).filter(F.col("sa") < F.col("sb"))
+    return J.natural_join(pairs, nation, broadcast_right=True).select("sa", "sb", "n_name")
+
+
+# =====================================================================
+# §2.8 continued: repetition filtering + n-gram profiles
+# =====================================================================
+
+@q("q_repetition_filter", r"""
+WITH bg AS (
+  SELECT lang,
+         list_transform(range(2, len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1),
+                        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i-1] || ' ' ||
+                             regexp_split_to_array(lower(trim(text)), '\s+')[i]) AS grams
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END AS dup_frac
+  FROM bg
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(dup_frac) + 1e-9, 4) AS avg_dup_frac
+FROM scored GROUP BY lang
+""")
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (pipeline/text.repetition_stats):
+    per-doc duplicate-bigram fraction, keep docs ≤ 0.2. Reported per
+    language: total, kept, mean duplicate fraction. The signal is a
+    pure scan-side array expression — no shuffle until the tiny
+    per-lang rollup."""
+    docs = _t(spark, sf_dir)["documents"]
+    scored = T.repetition_stats(docs, "text")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("dup_bigram_frac") <= 0.2, 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        r4(F.avg("dup_bigram_frac")).alias("avg_dup_frac"),
+    )
+
+
+@q("q_top_ngrams", r"""
+WITH bg AS (
+  SELECT lang,
+         unnest(list_transform(range(2, len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1),
+                               i -> regexp_split_to_array(lower(trim(text)), '\s+')[i-1] || ' ' ||
+                                    regexp_split_to_array(lower(trim(text)), '\s+')[i])) AS ngram
+  FROM documents
+),
+counted AS (SELECT lang, ngram, COUNT(*) AS n FROM bg GROUP BY lang, ngram)
+SELECT lang, ngram, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, ngram, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rank
+  FROM counted
+) WHERE rank <= 3
+""")
+def q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram profile (pipeline/text.top_ngrams): the 3 most
+    frequent word bigrams per language. explode → count (map-side
+    partial) → per-group top-k window; deterministic tiebreak."""
+    docs = _t(spark, sf_dir)["documents"]
+    return T.top_ngrams(docs, "text", "lang", k=3)

@@ -21,6 +21,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q_repetition_filter",
+    "q_top_ngrams",
     "q_agg_fold",
     "q_join_natural",
     "q_window_grouped",

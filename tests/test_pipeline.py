@@ -175,3 +175,29 @@ def test_dedup_against_index(docs, spark):
     assert not any(i < 100 for i in ids)          # indexed content dropped
     assert not any(i >= 10_000 for i in ids)      # batch clones lost to min-id
     assert all(i >= 100 for i in ids) and len(ids) > 0
+
+
+def test_bigrams_and_repetition(spark):
+    from andl_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "all words here differ"), (3, "x")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in T.repetition_stats(df).collect()}
+    # "a b a b a" → bigrams [a b, b a, a b, b a]: 2 distinct of 4 → 0.5
+    assert abs(rows[1]["dup_bigram_frac"] - 0.5) < 1e-9
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["dup_bigram_frac"] is None  # single token: no bigrams
+
+
+def test_top_ngrams(spark):
+    from andl_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [("en", "big data big data"), ("en", "big data"), ("fr", "le chat")],
+        "lang string, text string",
+    )
+    rows = [tuple(r) for r in T.top_ngrams(df, "text", "lang", k=1).collect()]
+    assert ("en", "big data", 3, 1) in rows
+    assert ("fr", "le chat", 1, 1) in rows
