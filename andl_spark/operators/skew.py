@@ -36,7 +36,16 @@ def salted_join(
     rand() is seeded per-partition by Spark — deterministic plans
     aren't needed here because the salt never affects results, only
     placement.
+
+    Only left-preserving joins are allowed: the explode replicates
+    every ``other`` row ``salt`` times, so an unmatched right-side row
+    of a right/full join would surface once per salt value.
     """
+    if how not in ("inner", "left", "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, not {how!r} "
+            "(right/full would emit unmatched other-side rows salt times)"
+        )
     salted_l = skewed.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     salted_r = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -106,7 +106,12 @@ def fixpoint_with_level(
     """Fixpoint keeping a 0-based iteration level (org-chart flattening,
     Sample/recursive.andl:23-27). Dedup ignores the level column — a
     tuple reached at level 2 is not re-added at level 5 (first-reach
-    semantics, matching WITH RECURSIVE UNION behavior)."""
+    semantics). NB: this is intentionally STRONGER than SQL's
+    WITH RECURSIVE ... UNION, which dedups whole rows including the
+    level, so SQL emits a node once per distinct level it is reached
+    at while this emits it once at its first level. The two agree only
+    when every node has a unique reach level (shortest-path trees,
+    acyclic org charts)."""
     from pyspark.sql import functions as F
 
     data_cols = [c for c in seed.columns if c != level_col]

@@ -48,6 +48,12 @@ class Catalog:
         it read, and rollback is a manifest pointer flip — no data
         movement at any scale."""
         entry = self._names.get(name, {})
+        if entry.get("layout") == "bucketed":
+            raise ValueError(
+                f"relvar {name!r} is bucketed; use put_bucketed() or drop() it first "
+                "(mixing versioned and bucketed layouts under one name would leave "
+                "the metastore table pointing at stale files)"
+            )
         version = max(entry.get("versions", [0])) + 1
         target = os.path.join(self.path, name, f"v{version}")
         writer = df.write.mode("overwrite")
@@ -55,6 +61,7 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         entry.update({
+            "layout": "versioned",
             "partition_by": partition_by or [],
             "versions": entry.get("versions", []) + [version],
             "current": version,
@@ -67,6 +74,10 @@ class Catalog:
         if name not in self._names:
             raise KeyError(f"no relvar {name!r} in catalog {self.path}")
         entry = self._names[name]
+        if entry.get("layout") == "bucketed":
+            if version is not None:
+                raise ValueError(f"bucketed relvar {name!r} is not versioned")
+            return self.get_bucketed(name)
         if "versions" not in entry:  # legacy flat layout
             return self.spark.read.parquet(os.path.join(self.path, name))
         v = version if version is not None else entry["current"]
@@ -114,7 +125,9 @@ class Catalog:
             .sortBy(*bucket_by)
             .saveAsTable(name)
         )
-        self._names[name] = {"bucket_by": bucket_by, "n_buckets": n_buckets}
+        self._names[name] = {
+            "layout": "bucketed", "bucket_by": bucket_by, "n_buckets": n_buckets,
+        }
         self._flush()
 
     def get_bucketed(self, name: str) -> DataFrame:
@@ -126,6 +139,10 @@ class Catalog:
         import shutil
 
         if name in self._names:
+            if self._names[name].get("layout") == "bucketed":
+                # the metastore entry owns the path registration; leaving it
+                # would shadow a future relvar of the same name
+                self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
             shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
             del self._names[name]
             self._flush()

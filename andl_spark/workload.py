@@ -940,7 +940,7 @@ def q_events_sliding(spark, sf_dir):
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
@@ -962,13 +962,16 @@ def q_events_session(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # ntz-pure epoch seconds — no session-timezone dependence
+    # ntz-pure epoch MICROseconds — no session-timezone dependence, and
+    # the 30-min gap compares at full timestamp precision on both
+    # engines (an integer-second diff would sessionize a fractionally-
+    # longer-than-1800s gap differently from the oracle's epoch_us)
     ev = ev.withColumn(
-        "__sec", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        "__us", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     )
-    prev = F.lag("__sec").over(w)
+    prev = F.lag("__us").over(w)
     marked = ev.withColumn(
-        "is_new", F.when(prev.isNull() | (F.col("__sec") - prev > 1800), 1).otherwise(0)
+        "is_new", F.when(prev.isNull() | (F.col("__us") - prev > 1800000000), 1).otherwise(0)
     )
     sess = marked.withColumn("session_seq", F.sum("is_new").over(wf).cast("long"))
     return sess.groupBy("user_id", "session_seq").agg(
