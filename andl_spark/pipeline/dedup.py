@@ -350,21 +350,58 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     bucket_bits: int = 0,
+    n_tables: int = 1,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. bucket_bits>0 enables
-    random-hyperplane LSH prefiltering (see simsearch.hyperplane_bucket)
-    — the 100 TB path; 0 compares all pairs (correctness baseline)."""
+    """Pairs with cosine ≥ threshold.
+
+    bucket_bits>0 — the 100 TB path: ``n_tables`` independent
+    random-hyperplane LSH tables (seeds seed..seed+n_tables-1); a pair
+    is a candidate if it collides in ANY table, then candidates are
+    verified by exact cosine. Per-pair recall at similarity s is
+    1-(1-p^bits)^n_tables with p = 1-acos(s)/π — ≥0.99 for genuine
+    near-dups (s≥0.95) at bits=8, n_tables=8. The join is bucket-equi,
+    never O(n²), and fully mirrored by embedding_dup_pairs_sql so an
+    independent engine reproduces the same candidate set.
+
+    bucket_bits=0 compares all pairs (correctness baseline for tests
+    only — a cartesian product, never the declared path at scale).
+    """
     from .simsearch import cosine_expr, hyperplane_bucket
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if bucket_bits > 0:
-        dim = len(v.first()["vec"])
-        v = v.withColumn("bucket", hyperplane_bucket("vec", dim, bucket_bits))
-        a, b = v.alias("a"), v.alias("b")
-        joined = a.join(b, "bucket").filter(F.col("a.id") < F.col("b.id"))
-    else:
-        a, b = v.alias("a"), v.alias("b")
-        joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+        if dim is None:
+            raise ValueError("bucket_bits>0 requires dim (no driver-side inference)")
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket("vec", dim, bucket_bits, seed + t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        e = v.select("id", "vec", F.explode(tables).alias("tb")).select(
+            "id", "vec", "tb.tbl", "tb.bucket"
+        )
+        # corpus-sized both sides: shuffle-hash, never AQE-broadcast
+        a, b = e.alias("a"), e.alias("b").hint("shuffle_hash")
+        joined = (
+            a.join(b, on=["tbl", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("a.vec").alias("vec_a"),
+                F.col("b.id").alias("id_b"), F.col("b.vec").alias("vec_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cos = cosine_expr(F.col("vec_a"), F.col("vec_b"))
+        return (
+            joined.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    a, b = v.alias("a"), v.alias("b")
+    joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
     cos = cosine_expr(F.col("a.vec"), F.col("b.vec"))
     return (
         joined.select(
@@ -372,6 +409,40 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_dup_pairs_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> str:
+    """DuckDB mirror of the bucketed embedding_dup_pairs: same
+    hyperplane literals per table, same any-table collision candidate
+    set, same exact-cosine verify."""
+    from .simsearch import cosine_sql, hyperplane_bucket_sql
+
+    selects = " UNION ALL ".join(
+        f"SELECT id, vec, {t} AS tbl, "
+        f"{hyperplane_bucket_sql('vec', dim, bucket_bits, seed + t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    cos = cosine_sql("a.vec", "b.vec")
+    out_cos = f"ROUND(cosine + 1e-9, {round_to})" if round_to is not None else "cosine"
+    return f"""
+WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec FROM {table}),
+e AS ({selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  FROM e a JOIN e b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, {out_cos} AS cosine FROM cand WHERE cosine >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------

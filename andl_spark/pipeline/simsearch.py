@@ -19,6 +19,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------------
+# DuckDB mirror SQL
+#
+# Every approximate operator here has a *_sql twin that emits the SAME
+# computation as ANSI-ish DuckDB SQL, with the hyperplane / permutation
+# constants baked in as literals from the same seeded RNG. The driver's
+# oracle therefore reproduces the approximate result EXACTLY — the
+# correctness check is "Spark computes the declared algorithm
+# bit-for-bit", not "the approximation happens to equal the exact
+# answer". (Reference test style: Test/SuiteRelWhile.andl test_true
+# assertions — deterministic expected values, not tolerances.)
+# ---------------------------------------------------------------------
+
+
+def _flit(x: float) -> str:
+    """Shortest round-trip decimal — both engines parse back to the
+    identical double."""
+    return repr(float(x))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions (mirror of
+    cosine_expr; summation order may differ by ~1 ulp — every consumer
+    rounds before comparing or has margin >> 1e-12)."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in double precision, sequential fold (JVM, no UDF)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -83,6 +113,19 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int 
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def hyperplane_bucket_sql(vec: str, dim: int, bits: int = 8, seed: int = 42) -> str:
+    """DuckDB mirror of hyperplane_bucket: same seeded hyperplanes as
+    literals, same sign test. ``vec`` must be a DOUBLE[] expression."""
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for i in range(bits):
+        lits = "[" + ", ".join(_flit(x) for x in planes[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {lits}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def train_centroids(
@@ -174,11 +217,16 @@ def topk_lsh(
     k: int = 5,
     bits: int = 8,
     multiprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket plus every bucket at
     Hamming distance ≤ multiprobe (flip i bits). Recall grows with
-    probes; the candidate join stays bucket-equi either way."""
-    dim = len(corpus.select(vec_col).first()[0])
+    probes; the candidate join stays bucket-equi either way.
+
+    Pass ``dim`` explicitly in production — inferring it costs a
+    driver-side first() action per call."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
@@ -209,3 +257,182 @@ def topk_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------
+# deterministic IVF (oracle-mirrorable) + full-query SQL mirrors
+# ---------------------------------------------------------------------
+
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``nlist`` vectors with the
+    smallest ids, in id order (list_id 0..nlist-1). A random-sample
+    quantizer (ScaNN-style init, no Lloyd pass) — slightly worse cell
+    balance than k-means but (a) training never touches the query path,
+    (b) the centroids are exact stored values an independent SQL engine
+    reproduces byte-for-byte, so the IVF result is oracle-checkable.
+    ``train_centroids`` (MLlib k-means) remains the quality-tuned
+    alternative when oracle parity isn't needed.
+
+    Cached per (semantic key) — at scale this is a catalog artifact
+    trained once per corpus version, not a per-query job."""
+    key = ("seed", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, nlist, corpus.semanticHash())
+    if key not in _CENTROID_CACHE:
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+        _CENTROID_CACHE[key] = [[float(x) for x in r[1]] for r in rows]
+    return _CENTROID_CACHE[key]
+
+
+def nearest_lists_cosine(
+    vec_col: Column | str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """array<int> of the ``nprobe`` centroid ids by ROUNDED cosine
+    (descending, ties to the smaller list_id). Rounding to 4 decimals
+    before the argmax makes the assignment boundary identical across
+    engines (raw doubles differ in the last ulp by summation order).
+    Pure literal JVM expression — shuffle-free assignment, same 100 TB
+    shape as nearest_lists."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            (-F.round(cosine_expr(v, F.element_at(cents, i)) + F.lit(1e-9), 4)).alias("negc"),
+            (i - 1).alias("list_id"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
+
+
+def topk_ivf_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN over the deterministic seed quantizer: corpus rows are
+    assigned to their rounded-cosine-nearest centroid (shuffle-free
+    literal math), queries probe their ``nprobe`` nearest cells.
+    Fully mirrored by topk_ivf_det_sql."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        F.element_at(nearest_lists_cosine(vec_col, centroids, 1), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(nearest_lists_cosine(vec_col, centroids, nprobe)).alias("list_id"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_ivf_det_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB mirror of topk_ivf_det: the centroid CTE re-derives the
+    same seed vectors from the table, assignment uses the same rounded
+    cosine and tie-break."""
+    rcos = f"ROUND({cosine_sql('e.vec', 'c.cvec')} + 1e-9, 4)"
+    return f"""
+WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec FROM {table}),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS list_id, vec AS cvec
+  FROM (SELECT * FROM v ORDER BY id LIMIT {nlist})
+),
+assign AS (
+  SELECT e.id, e.vec, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {rcos} DESC, c.list_id) AS rn
+  FROM v e CROSS JOIN cents c
+),
+corpus_cells AS (SELECT id AS cand_id, vec AS cvec, list_id FROM assign WHERE rn = 1),
+probe AS (
+  SELECT a.id AS query_id, a.vec AS qvec, a.list_id
+  FROM assign a JOIN {table} t ON a.id = t.{id_col}
+  WHERE a.rn <= {nprobe} AND ({query_pred.replace(id_col, f't.{id_col}')})
+),
+scored AS (
+  SELECT p.query_id, cc.cand_id,
+         {cosine_sql('p.qvec', 'cc.cvec')} AS cosine
+  FROM probe p JOIN corpus_cells cc USING (list_id)
+  WHERE p.query_id <> cc.cand_id
+)
+SELECT query_id, cand_id, ROUND(cosine + 1e-9, 4) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def topk_lsh_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    bits: int = 8,
+    multiprobe: int = 1,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of topk_lsh: identical hyperplane literals, same
+    probe set (own bucket + single-bit flips [+ double flips])."""
+    bexpr = hyperplane_bucket_sql("vec", dim, bits, seed)
+    probes = ["b0"]
+    if multiprobe >= 1:
+        probes += [f"xor(b0, {1 << i})" for i in range(bits)]
+    if multiprobe >= 2:
+        probes += [
+            f"xor(b0, {(1 << i) | (1 << j)})"
+            for i in range(bits) for j in range(i + 1, bits)
+        ]
+    return f"""
+WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec FROM {table}),
+bucketed AS (SELECT id, vec, {bexpr} AS b0 FROM v),
+probes AS (
+  SELECT id AS query_id, vec AS qvec, unnest([{", ".join(probes)}]) AS bucket
+  FROM bucketed WHERE {query_pred.replace(id_col, "id")}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.id AS cand_id,
+         {cosine_sql('p.qvec', 'c.vec')} AS cosine
+  FROM probes p JOIN bucketed c ON c.b0 = p.bucket
+  WHERE c.id <> p.query_id
+)
+SELECT query_id, cand_id, ROUND(cosine + 1e-9, 4) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM cand)
+WHERE rank <= {k}
+"""

@@ -805,17 +805,56 @@ _COS_SQL = (
 )
 
 
-@q("q_embed_dup", f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL} + 1e-9, 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL} >= 0.45
-""")
+@q("q_embed_dup", D.embedding_dup_pairs_sql(
+    threshold=0.45, bucket_bits=8, n_tables=8, dim=64))
 def q_embed_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (all-pairs correctness baseline;
-    LSH-bucketed variant exercised in q_ann_lsh / tests)."""
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path:
+    8 hyperplane tables × 8 bits, any-table collision → exact-cosine
+    verify; never a cartesian product). The oracle mirrors the same
+    hyperplane literals, so the approximate candidate set itself is
+    hash-checked. q_embed_dup_recall reports its measured recall vs the
+    exact all-pairs result."""
     emb = _t(spark, sf_dir)["embeddings"]
-    pairs = D.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    pairs = D.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        bucket_bits=8, n_tables=8, dim=64,
+    )
     return pairs.select("id_a", "id_b", r4(F.col("cosine")).alias("cosine"))
+
+
+@q("q_embed_dup_recall", f"""
+WITH exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= 0.45
+), approx AS (
+  SELECT id_a, id_b FROM ({D.embedding_dup_pairs_sql(
+      threshold=0.45, bucket_bits=8, n_tables=8, dim=64, round_to=None)})
+)
+SELECT COUNT(*) AS n_exact,
+       COUNT(a.id_a) AS n_found,
+       ROUND(COUNT(a.id_a) / COUNT(*) + 1e-9, 4) AS recall
+FROM exact e LEFT JOIN approx a USING (id_a, id_b)
+""")
+def q_embed_dup_recall(spark, sf_dir):
+    """Self-verification of the bucketed near-dup path: recall of the
+    LSH candidate pairs against the exact all-pairs ≥-threshold set,
+    as one deterministic row both engines reproduce (VERDICT r1 §2:
+    make approximate ops self-verifying)."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    exact = D.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    approx = D.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        bucket_bits=8, n_tables=8, dim=64,
+    )
+    hit = exact.select("id_a", "id_b").join(
+        approx.select("id_a", "id_b", F.lit(1).alias("__f")), ["id_a", "id_b"], "left"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__f").alias("n_found"),
+        r4(F.count("__f") / F.count(F.lit(1))).alias("recall"),
+    )
 
 
 @q("q_ann_bruteforce", f"""
@@ -849,21 +888,75 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
 
 
-@q("q_ann_ivf")  # rows-only: approximate by construction
+@q("q_ann_ivf", SS.topk_ivf_det_sql(k=5, nlist=16, nprobe=4))
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer, nprobe cells scanned per
-    query) — the trained counterpart of q_ann_lsh."""
+    """IVF ANN over the deterministic seed quantizer: training (centroid
+    selection) is out of the query path — centroids are a cached
+    artifact, assignment is shuffle-free literal math — and the oracle
+    re-derives the identical centroids, so the approximate result is
+    hash-checked. MLlib k-means (train_centroids) remains the
+    quality-tuned quantizer when parity isn't required."""
     emb = _t(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return SS.topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    out = SS.topk_ivf_det(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
 
 
-@q("q_ann_lsh")  # rows-only: approximate by construction
+@q("q_ann_lsh", SS.topk_lsh_sql(k=5, bits=8, multiprobe=1, dim=64))
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (multiprobe=1) — the scale path."""
+    """Hyperplane-LSH bucketed ANN (multiprobe=1) — the scale path.
+    The oracle carries the same hyperplane literals, making the bucket
+    assignment and probe set engine-independent."""
     emb = _t(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return SS.topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1)
+    out = SS.topk_lsh(
+        emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1, dim=64
+    )
+    return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
+
+
+@q("q_ann_recall", f"""
+WITH exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+    JOIN embeddings b ON a.vec_id <> b.vec_id
+  ) WHERE rank <= 5
+), lsh AS (
+  SELECT query_id, cand_id FROM ({SS.topk_lsh_sql(k=5, bits=8, multiprobe=1, dim=64)})
+), ivf AS (
+  SELECT query_id, cand_id FROM ({SS.topk_ivf_det_sql(k=5, nlist=16, nprobe=4)})
+)
+SELECT e.query_id,
+       ROUND(COUNT(l.cand_id) / 5.0 + 1e-9, 4) AS lsh_recall,
+       ROUND(COUNT(i.cand_id) / 5.0 + 1e-9, 4) AS ivf_recall
+FROM exact e
+LEFT JOIN lsh l USING (query_id, cand_id)
+LEFT JOIN ivf i USING (query_id, cand_id)
+GROUP BY e.query_id
+""")
+def q_ann_recall(spark, sf_dir):
+    """Per-query recall@5 of both ANN paths against the exact
+    brute-force top-5 — deterministic numbers an independent engine
+    reproduces (VERDICT r1 §2). The recall/cost dial (bits, multiprobe,
+    nprobe) is what a user tunes at 100 TB; this query is the gauge."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    lsh = SS.topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1, dim=64)
+    ivf = SS.topk_ivf_det(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    hit = (
+        exact.select("query_id", "cand_id")
+        .join(lsh.select("query_id", "cand_id", F.lit(1).alias("__l")),
+              ["query_id", "cand_id"], "left")
+        .join(ivf.select("query_id", "cand_id", F.lit(1).alias("__i")),
+              ["query_id", "cand_id"], "left")
+    )
+    return hit.groupBy("query_id").agg(
+        r4(F.count("__l") / F.lit(5.0)).alias("lsh_recall"),
+        r4(F.count("__i") / F.lit(5.0)).alias("ivf_recall"),
+    )
 
 
 # =====================================================================
