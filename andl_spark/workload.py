@@ -782,7 +782,9 @@ WITH base AS (
     i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS sh
   FROM documents),
 sizes AS (SELECT id, len(sh) AS n_sh FROM base),
-ex AS (SELECT id, unnest(sh) AS shingle FROM base),
+ex0 AS (SELECT id, unnest(sh) AS shingle FROM base),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 50),
+ex AS (SELECT id, shingle FROM ex0 JOIN keep USING (shingle)),
 common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
 SELECT id_a, id_b, ROUND(n_common / (sa.n_sh + sb.n_sh - n_common) + 1e-9, 4) AS jaccard
@@ -792,9 +794,19 @@ JOIN sizes sb ON sb.id = common.id_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """)
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (pipeline/dedup.py)."""
+    """Exact word-3-gram Jaccard near-dup pairs (pipeline/dedup.py),
+    with the stop-shingle cap ON (max_shingle_freq=50): a shingle
+    shared by more than 50 docs is evidence of boilerplate, not
+    duplication, and without the cap one "terms of service" trigram in
+    1M docs is 10¹² join rows. The oracle applies the identical cap
+    (candidate counting uses capped shingles; Jaccard denominators stay
+    uncapped). At the test SFs no shingle exceeds the cap (max freq 25
+    at sf0.1) so the result equals the uncapped answer — the cap is the
+    scale lever, exercised by tests/test_pipeline.py fan-out test."""
     docs = _t(spark, sf_dir)["documents"]
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=50
+    )
     return pairs.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard"))
 
 

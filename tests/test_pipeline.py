@@ -201,3 +201,41 @@ def test_top_ngrams(spark):
     rows = [tuple(r) for r in T.top_ngrams(df, "text", "lang", k=1).collect()]
     assert ("en", "big data", 3, 1) in rows
     assert ("fr", "le chat", 1, 1) in rows
+
+
+def test_ngram_stop_shingle_cap_bounds_fanout(spark):
+    """A boilerplate shingle present in every document must not drive
+    the candidate self-join quadratic: with max_shingle_freq on, the
+    only candidates left are pairs sharing a sub-cap shingle."""
+    # 40 docs sharing one boilerplate sentence (= stop shingles in all
+    # 40), plus two genuine near-dups sharing distinctive content
+    rows = [(i, f"terms of service apply here unique{i} filler{i} tail{i}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon different")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0)
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=10
+    )
+    # uncapped: every one of the C(40,2)=780 boilerplate pairs is a candidate
+    assert uncapped.count() >= 780
+    # capped: boilerplate shingles (freq 40 > 10) are dropped -> only the
+    # genuine near-dup pair survives candidate generation
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs == {(100, 101)}
+
+
+def test_embed_dup_bucketed_vs_exact_recall(emb):
+    """The declared bucketed path's recall vs all-pairs, on real data:
+    candidates it does emit must score identically to the exact path
+    (verify step), and recall is the documented dial, not silence."""
+    exact = D.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    approx = D.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, bucket_bits=8, n_tables=8, dim=64
+    )
+    e = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    a = {(r["id_a"], r["id_b"]): r["cosine"] for r in approx.collect()}
+    assert set(a) <= set(e)  # no false positives after the verify step
+    for k, v in a.items():
+        assert abs(v - e[k]) < 1e-12
