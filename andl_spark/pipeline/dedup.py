@@ -5,24 +5,28 @@ pipeline, each designed for the 100 TB shape of the problem.
 Scale design:
   * exact: one hash-groupBy — the cheapest possible shuffle key
     (16-byte digest), map-side combine.
-  * minhash_lsh / simhash: signatures via Arrow-batched Pandas UDFs
-    (vectorized numpy, ~100× row-at-a-time Python); candidate
-    generation via LSH band buckets so the pair join is bounded by
-    bucket sizes, never O(n²).
+  * minhash_lsh / simhash: signatures are pure JVM expression pipelines
+    (explode → md5 → flat aggregate, whole-stage codegen, zero Python);
+    candidate generation via LSH band/chunk buckets so the pair join is
+    bounded by bucket sizes, never O(n²).
   * ngram_jaccard: exact pairwise similarity — only sane within
     candidate buckets or small collections; a frequency cap drops
     stop-shingles that would explode the join.
   * embedding_dup: cosine over fixed-length vectors with JVM
-    higher-order functions (zip_with/aggregate), no Python.
+    higher-order functions (zip_with/aggregate), no Python; norms
+    computed once per row, never per pair.
+
+Every approximate operator has a *_sql DuckDB mirror built from the
+same seeded constants and the same md5 primitive, so the driver's
+oracle hash-checks the approximate result itself (see the mirror-SQL
+note in pipeline/simsearch.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
 from ..util import ensure_parallelism
 from .text import fingerprint
@@ -50,37 +54,60 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = Tr
 
 # ---------------------------------------------------------------------
 # MinHash + LSH
+#
+# Signatures are pure JVM expressions (shingle → md5-low-32 → min over
+# (a·h+b) mod p permutations): the whole signature pass stays in
+# whole-stage codegen — no Python at all on the 100 TB scan. The same
+# constants (seeded a/b arrays) and the same md5 primitive are emitted
+# as DuckDB SQL by minhash_pairs_sql, so the driver's oracle reproduces
+# the approximate candidate set EXACTLY, not just rows-only.
 # ---------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 32-bit prime modulus: a*h + b < 2^63 stays in signed-int64 range on
+# BOTH engines (Spark bigint, DuckDB BIGINT), and because a*h is ~2^30
+# times the modulus the reduction wraps thoroughly — (a·h+b) mod p is a
+# proper 2-universal permutation of the hash space. (A large modulus
+# like 2^61-1 with overflow-safe small `a` would wrap at most twice,
+# leaving the "permutation" nearly monotonic in h: every permutation
+# then picks the same argmin shingle and unrelated documents collide
+# at est≈1.0 — measured mean bias +0.63 before this fix.)
+_MINHASH_P = 4294967291
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """a, b < 2^32 so a*h32 + b fits in uint64 with no overflow — keeps
-    the (a·h+b) mod p sweep in vectorized native uint64 (an object-dtype
-    fallback is ~100× slower)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)
     return a, b
 
 
-def _stable_hash32(s: str) -> int:
-    """Stable 32-bit content hash (zlib.crc32 — C speed, process-salt
-    free, unlike Python's hash())."""
-    import zlib
+def shingle_expr(words: F.Column, n: int) -> F.Column:
+    """Distinct word-n-gram shingles from a materialized words array.
+    O(1) element indexing (F.get); concat_ws skips past-the-end nulls,
+    reproducing the short-document fallback of a truncated slice."""
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+        )
+    )
 
-    return zlib.crc32(s.encode("utf-8"))
+
+_SHINGLE_SQL = (
+    r"list_distinct(list_transform("
+    r"range(GREATEST(len(regexp_split_to_array(trim(lower({col})), '\s+')) - {m}, 1)), "
+    r"i -> array_to_string(regexp_split_to_array(trim(lower({col})), '\s+')[i+1:i+{k}], ' ')))"
+)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-word shingles → stable 32-bit hashes."""
-    words = text.lower().split()
-    if len(words) < k:
-        shingles = {" ".join(words)} if words else {""}
-    else:
-        shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-    return np.fromiter((_stable_hash32(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+def _h32_expr(s: F.Column) -> F.Column:
+    """Portable 32-bit string hash: low 4 bytes of md5, identical to
+    DuckDB's ('0x'||substr(md5(s),25,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 25, 8), 16, 10).cast("long")
+
+
+_H32_SQL = "('0x'||substr(md5({s}),25,8))::BIGINT"
 
 
 def minhash_signatures(
@@ -91,38 +118,32 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature: array<long>[num_perm]) via a vectorized Pandas UDF."""
+    """(id, signature: array<long>[num_perm]) as a pure JVM pipeline —
+    no UDF, no Python on the scan.
+
+    Shape: explode shingles → md5-low32 → ONE hash-aggregate with
+    ``num_perm`` min() expressions (map-side partial min, single
+    shuffle on id). Flat aggregate expressions stay inside whole-stage
+    codegen, unlike a num_perm-deep nest of array transforms, which
+    falls back to interpreted evaluation (measured 2-3× slower at
+    sf0.1); and partial aggregation means only (id, 64 longs) ever
+    shuffles, no matter how wide the documents are — the 100 TB shape."""
     a, b = _perm_params(num_perm, seed)
-
-    mersenne = _MERSENNE
-    k = shingle_k
-
-    # NB: the UDF body is fully self-contained (no references to module
-    # functions) so cloudpickle ships it by value — executors of a
-    # driver-owned session have no andl_spark on their sys.path.
-    @pandas_udf("array<long>")
-    def sig(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        out = []
-        for t in texts:
-            words = (t or "").lower().split()
-            if len(words) < k:
-                shingles = {" ".join(words)} if words else {""}
-            else:
-                shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-            hs = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in shingles),
-                dtype=np.uint64, count=len(shingles),
-            )[:, None]
-            # (a*h + b) mod p for all perms at once — native uint64,
-            # no overflow since a,b,h < 2^32
-            vals = (hs * a + b) % mersenne
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
-
     src = ensure_parallelism(df.select(id_col, text_col))
-    return src.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    h = src.select(
+        F.col(id_col),
+        F.explode(shingle_expr(words, shingle_k)).alias("s"),
+    ).select(F.col(id_col), _h32_expr(F.col("s")).alias("h"))
+    mins = [
+        F.min((F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i]))) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        h.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -132,12 +153,19 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) that share
-    at least one band bucket. The groupBy key is (band, band_hash) —
-    shuffle-partitionable; bucket sizes bound the pair fan-out."""
+    at least one band bucket. The join key is (band, band value string)
+    — shuffle-partitionable, engine-portable (no Murmur3), and bucket
+    sizes bound the pair fan-out."""
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.hash(F.slice("signature", i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("bucket"),
         )
         for i in range(num_bands)
     ])
@@ -194,63 +222,174 @@ def minhash_lsh_dedup(
     return scored.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> str:
+    """DuckDB mirror of minhash_lsh_dedup: same shingling, same md5-low32
+    hash, same (a·h+b) mod p permutations (literals from the same seeded
+    RNG), same string band keys — the approximate pair set and estimated
+    Jaccard reproduce exactly."""
+    a, b = _perm_params(num_perm, seed)
+    A = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    B = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    r = num_perm // num_bands
+    sh = _SHINGLE_SQL.format(col=text_col, m=shingle_k - 1, k=shingle_k)
+    h32 = _H32_SQL.format(s="s")
+    est = (
+        "list_sum(list_transform(list_zip(sa.sig, sb.sig), "
+        f"z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) / {float(num_perm)}"
+    )
+    out_est = f"ROUND(est_jaccard + 1e-9, {round_to})" if round_to is not None else "est_jaccard"
+    return f"""
+WITH hashed AS (
+  SELECT {id_col} AS id, list_transform({sh}, s -> {h32}) AS hs FROM {table}
+),
+sigs AS (
+  SELECT id, list_transform(range(1, {num_perm + 1}),
+           i -> list_min(list_transform(hs, h -> ({A}[i] * h + {B}[i]) % {_MINHASH_P}))) AS sig
+  FROM hashed
+),
+bands AS (
+  SELECT id, i AS band,
+         array_to_string(sig[i*{r}+1 : (i+1)*{r}], '_') AS bucket
+  FROM sigs, range({num_bands}) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b, {est} AS est_jaccard
+  FROM cand JOIN sigs sa ON sa.id = cand.id_a JOIN sigs sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, {out_est} AS est_jaccard FROM scored WHERE est_jaccard >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (vectorized Pandas UDF)."""
+    """64-bit SimHash per document as two 32-bit halves (sh_lo bits
+    0-31, sh_hi bits 32-63), computed entirely as JVM expressions: each
+    word's md5 supplies the 64 hash bits (hi/lo 4-byte halves), the ±1
+    bit votes are summed with a single array-accumulator aggregate, and
+    the sign bits are packed. No Python anywhere; md5 is the portable
+    primitive an independent SQL engine reproduces (simhash_pairs_sql).
 
-    @pandas_udf("long")
-    def sim(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
-                out[i] = 0
-                continue
-            # two independent 32-bit hashes per word → 64 sign bits,
-            # all bit-extraction vectorized in numpy
-            h = np.fromiter(
-                (
-                    (zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode(), 0xBEEF)
-                    for w in words
-                ),
-                dtype=np.uint64, count=len(words),
-            )
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc = np.where(bits == 1, 1, -1).sum(axis=0)
-            sign_bits = (acc > 0).astype(np.uint64)
-            out[i] = (sign_bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
-        return pd.Series(out)
-
+    Two halves (not one int64) keep every value inside non-negative
+    32-bit range on both engines — no sign-bit / unsigned-cast hazards.
+    Repeated words vote with their multiplicity, matching classic
+    SimHash term weighting."""
     src = ensure_parallelism(df.select(id_col, text_col))
-    return src.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # explode → ONE hash-aggregate with 64 bit-vote sums + a count:
+    # flat aggregates stay in codegen and combine map-side, so only
+    # (id, 65 longs) reaches the shuffle regardless of document width
+    h = src.select(F.col(id_col), F.explode(words).alias("w")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = [
+        F.sum(
+            F.shiftrightunsigned(F.col("lo") if i < 32 else F.col("hi"), i % 32)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
+
+    def pack(rng) -> F.Column:
+        # sign bit i set  <=>  (#ones)*2 - n > 0
+        terms = [
+            F.when(F.col(f"b{i}") * 2 - F.col("n") > 0, F.lit(1 << (i % 32))).otherwise(F.lit(0))
+            for i in rng
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
+
+    return agg.select(
+        F.col(id_col),
+        pack(range(0, 32)).alias("sh_lo"),
+        pack(range(32, 64)).alias("sh_hi"),
+    )
+
+
+def _simhash_chunks(max_hamming: int) -> list[tuple[str, int, int]]:
+    """(half, offset, width) for max_hamming+1 chunks over the 64 sign
+    bits: by pigeonhole, any pair at Hamming distance ≤ max_hamming
+    shares at least one chunk — the LSH candidate set is LOSSLESS for
+    the declared distance, so chunk-join output provably equals the
+    all-pairs answer. Wider chunks (smaller max_hamming) mean
+    exponentially fewer bucket collisions: the canonical 64-bit/ham≤3
+    setting (Manku, Jain & Sarma, WWW'07) gets 4×16-bit chunks; ham≤9
+    still works but pays 7-bit buckets."""
+    n_chunks = max_hamming + 1
+    if n_chunks < 2 or n_chunks > 32:
+        raise ValueError(f"max_hamming must be in [1, 31], got {max_hamming}")
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    out = []
+    for i in range(n_chunks):
+        lo_bit, hi_bit = bounds[i], bounds[i + 1]
+        # a chunk spanning the 32-bit boundary splits into two pieces
+        # extracted separately and recombined by the caller
+        for half, start, stop in (
+            ("sh_lo", lo_bit, min(hi_bit, 32)),
+            ("sh_hi", max(lo_bit, 32), hi_bit),
+        ):
+            if stop > start:
+                out.append((i, half, start % 32 if half == "sh_hi" else start, stop - start))
+    return out
 
 
 def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ max_hamming.
+    """Near-dup pairs by TRUE Hamming distance ≤ max_hamming.
 
-    LSH on 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
-    chunk equal), so the join is on chunk buckets, never all-pairs."""
+    LSH on max_hamming+1 pigeonhole chunks (see _simhash_chunks): the
+    join is on chunk buckets, never all-pairs, and the candidate set is
+    lossless for the declared distance (r1 shipped 4×16-bit chunks
+    whose guarantee stopped at distance 3 while the declared query
+    asked for 8 — ADVICE r1 item 1)."""
+    pieces = _simhash_chunks(max_hamming)
+    by_chunk: dict[int, list] = {}
+    for ci, half, off, width in pieces:
+        expr = F.shiftrightunsigned(half, off).bitwiseAND(F.lit((1 << width) - 1))
+        by_chunk.setdefault(ci, []).append(expr)
     chunks = F.array(*[
-        F.struct(F.lit(i).alias("chunk"),
-                 F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-        for i in range(4)
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            # combine boundary-spanning pieces into one bucket value
+            (parts[0] if len(parts) == 1
+             else parts[0] + parts[1] * F.lit(1 << 32)).alias("val"),
+        )
+        for ci, parts in sorted(by_chunk.items())
     ])
-    # Materialize the (typically UDF-computed) signatures before the
-    # self-join: its two scan stages run concurrently and would each
-    # recompute the signature pipeline (chunk explode from cache is
-    # cheap — cache pre-explode, 1 row instead of 4 per doc).
+    # Materialize signatures before the self-join: its two scan stages
+    # run concurrently and would each recompute the signature pipeline
+    # (chunk explode from cache is cheap — cache pre-explode, 1 row
+    # instead of 10 per doc).
     signatures = signatures.persist()
     signatures.count()
-    e = signatures.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
-        id_col, "simhash", "c.chunk", "c.val"
+    e = signatures.select(id_col, "sh_lo", "sh_hi", F.explode(chunks).alias("c")).select(
+        id_col, "sh_lo", "sh_hi", "c.chunk", "c.val"
     )
     a, b = e.alias("a"), e.alias("b").hint("shuffle_hash")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = (
+        F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+        + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    ).cast("long")
     return (
         a.join(b, on=["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -262,6 +401,46 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3)
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> str:
+    """DuckDB mirror of simhash signatures + near pairs. Because the
+    chunk LSH is lossless for max_hamming ≤ 9, the oracle can use the
+    straightforward all-pairs formulation — same md5 word hashes, same
+    ±1 votes, same sign packing — and must match exactly."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS word
+  FROM {table}
+),
+h AS (
+  SELECT id, ('0x'||substr(md5(word),1,8))::BIGINT AS hi,
+             ('0x'||substr(md5(word),9,8))::BIGINT AS lo
+  FROM w
+),
+votes AS (
+  SELECT id, i,
+         SUM(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END) >> (i % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM h, range(64) t(i) GROUP BY id, i
+),
+sig AS (
+  SELECT id,
+         SUM(CASE WHEN acc > 0 AND i < 32  THEN (1::BIGINT << i)        ELSE 0 END) AS sh_lo,
+         SUM(CASE WHEN acc > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS sh_hi
+  FROM votes GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= {max_hamming}
+"""
 
 
 # ---------------------------------------------------------------------
@@ -368,9 +547,12 @@ def embedding_dup_pairs(
     bucket_bits=0 compares all pairs (correctness baseline for tests
     only — a cartesian product, never the declared path at scale).
     """
-    from .simsearch import cosine_expr, hyperplane_bucket
+    from .simsearch import cosine_n_expr, hyperplane_bucket, norm_expr
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+    )
     if bucket_bits > 0:
         if dim is None:
             raise ValueError("bucket_bits>0 requires dim (no driver-side inference)")
@@ -381,8 +563,8 @@ def embedding_dup_pairs(
             )
             for t in range(n_tables)
         ])
-        e = v.select("id", "vec", F.explode(tables).alias("tb")).select(
-            "id", "vec", "tb.tbl", "tb.bucket"
+        e = v.select("id", "vec", "nrm", F.explode(tables).alias("tb")).select(
+            "id", "vec", "nrm", "tb.tbl", "tb.bucket"
         )
         # corpus-sized both sides: shuffle-hash, never AQE-broadcast
         a, b = e.alias("a"), e.alias("b").hint("shuffle_hash")
@@ -391,18 +573,24 @@ def embedding_dup_pairs(
             .filter(F.col("a.id") < F.col("b.id"))
             .select(
                 F.col("a.id").alias("id_a"), F.col("a.vec").alias("vec_a"),
+                F.col("a.nrm").alias("nrm_a"),
                 F.col("b.id").alias("id_b"), F.col("b.vec").alias("vec_b"),
+                F.col("b.nrm").alias("nrm_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        cos = cosine_expr(F.col("vec_a"), F.col("vec_b"))
+        cos = cosine_n_expr(
+            F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
+        )
         return (
             joined.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
     a, b = v.alias("a"), v.alias("b")
     joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
-    cos = cosine_expr(F.col("a.vec"), F.col("b.vec"))
+    cos = cosine_n_expr(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")

@@ -66,6 +66,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_n_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms. Norms are O(dim) per ROW while
+    pair dots are O(dim) per PAIR — inlining norm_expr into an n² join
+    triples the flops and recomputes each norm n times. Identical
+    floating-point operations to cosine_expr (dot / (sqrt·sqrt)), so
+    results are bitwise equal."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,11 +89,18 @@ def topk_bruteforce(
     is a single pass, no shuffle until the per-query top-k window on
     the (tiny) scored candidate set."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+            norm_expr(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id")).select(
-        "query_id", "cand_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine")
+        "query_id", "cand_id",
+        cosine_n_expr(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -229,10 +245,12 @@ def topk_lsh(
         dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket0"),
     )
     probes = [F.col("bucket0")]
@@ -244,12 +262,14 @@ def topk_lsh(
             for i in range(bits) for j in range(i + 1, bits)
         ]
     q = qb.select(
-        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
+        "query_id", "qvec", "qn", F.explode(F.array(*probes)).alias("bucket")
     )
     scored = (
         F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .select("query_id", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -330,17 +350,20 @@ def topk_ivf_det(
         centroids = seed_centroids(corpus, id_col, vec_col, nlist)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
         F.element_at(nearest_lists_cosine(vec_col, centroids, 1), 1).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         F.explode(nearest_lists_cosine(vec_col, centroids, nprobe)).alias("list_id"),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (

@@ -885,19 +885,28 @@ def q_ann_bruteforce(spark, sf_dir):
     return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
 
 
-@q("q_dedup_minhash")  # rows-only: Spark Murmur3 band hashes aren't SQL-reproducible
+@q("q_dedup_minhash", D.minhash_pairs_sql(threshold=0.5))
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (shingle→sign→band→bucket-join)."""
+    """MinHash+LSH near-dup pairs (shingle→signature→band→bucket-join).
+    Signatures are pure JVM md5-based expressions and the band keys are
+    portable strings, so the oracle reproduces the identical candidate
+    pairs and estimated Jaccard — the approximation itself is
+    hash-checked (r1 had this rows-only)."""
     docs = _t(spark, sf_dir)["documents"]
-    return D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select("id_a", "id_b", r4(F.col("est_jaccard")).alias("est_jaccard"))
 
 
-@q("q_dedup_simhash")  # rows-only: bit-level signature, no SQL oracle
+@q("q_dedup_simhash", D.simhash_pairs_sql(max_hamming=3))
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs via 16-bit chunk LSH (pigeonhole)."""
+    """SimHash near-dup pairs at the canonical 64-bit/Hamming≤3 setting
+    (Manku, Jain & Sarma WWW'07): 4×16-bit pigeonhole chunks make the
+    bucketed join LOSSLESS for the declared distance, so it provably
+    equals the all-pairs answer the oracle computes — r1 had this
+    rows-only AND under-chunked for its declared max_hamming."""
     docs = _t(spark, sf_dir)["documents"]
     sigs = D.simhash_signatures(docs, "doc_id", "text")
-    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
 
 
 @q("q_ann_ivf", SS.topk_ivf_det_sql(k=5, nlist=16, nprobe=4))

@@ -54,13 +54,32 @@ def test_antijoin_plan(spark):
     assert "LeftAnti" in X.formatted_plan(df)
 
 
-def test_pipeline_udfs_are_arrow_batched(spark):
-    from andl_spark.pipeline.dedup import minhash_signatures
+def test_minhash_simhash_signatures_pure_jvm(spark):
+    """Dedup signature passes must stay inside whole-stage codegen:
+    no Python of any kind (the r1 Arrow UDFs were already vectorized;
+    the md5-expression rewrite removes Python from the 100 TB scan
+    entirely)."""
+    from andl_spark.pipeline.dedup import minhash_signatures, simhash_signatures
 
     docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
-    df = minhash_signatures(docs, "doc_id", "text")
+    for df in (minhash_signatures(docs, "doc_id", "text"),
+               simhash_signatures(docs, "doc_id", "text")):
+        X.assert_no_python_row_udf(df)
+        plan = X.formatted_plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        df.unpersist()
+
+
+def test_multimodal_udfs_are_arrow_batched(spark):
+    """Where Python is unavoidable (binary decode plumbing) it must be
+    Arrow-batched, never row-at-a-time."""
+    from andl_spark.pipeline.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=8)
+    df = extract_features(media)
     X.assert_no_python_row_udf(df)
-    assert "ArrowEvalPython" in X.formatted_plan(df)
+    plan = X.formatted_plan(df)
+    assert "MapInPandas" in plan or "mapInPandas" in plan
 
 
 def test_ann_bruteforce_is_jvm_only(spark):
