@@ -1,0 +1,1322 @@
+"""Tree-walking interpreter for the Andl query subset.
+
+Executes the reference's own `.andl` scripts (Test/SuiteRel*.andl,
+Sample/sample2.andl) directly against the andl_spark engine: driver-side
+control flow is evaluated in Python, but every relational operation is
+compiled to a declarative Spark plan through andl_spark.Relation — the
+scripts drive the SAME Catalyst plans the fluent API produces, not a
+separate evaluator.
+
+Reference: compiler Andl.Peg/PegCompiler.cs, evaluator
+Andl.Runtime/Evaluator.cs + Builtin.cs (semantics re-derived from the
+test suites, not ported — the reference is a C# tree-walking VM over
+local tables; this targets lazy DataFrames).
+
+Semantics fixed by the suites:
+  * `.select{}` with folds = aggregated projection grouped by the bare
+    attributes (SuiteRelFold.andl R1/R2).
+  * Under `.order()`: fold-only select = ordered aggregation (one tuple);
+    folds alongside kept attributes = running folds (SuiteRelOrder cum
+    sum); lag/lead/nth = windowed per-tuple values with type-default
+    fill (SuiteRelOrder.andl:33-46).
+  * `select{*}`: `*` = every attribute not otherwise mentioned; bare
+    names after `*` are removals; `X := A` consumes A (rename)
+    (SuiteRelBasic.andl projection/rename block).
+  * Dyadic set ops on differing headings project onto the common
+    attributes (SuiteRelDyadic.andl:26-30).
+  * Non-commutative folds (-, /, &, user functions) fold sequentially
+    in relation order (SuiteRelFold.andl:34-36).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import joins as _joins
+from ..relation import Relation, _ANDL_TYPE
+from .parser import parse
+
+# ---------------------------------------------------------------------
+# values
+# ---------------------------------------------------------------------
+
+
+class RelV:
+    """Relation value: a Relation plus pending `.order()` keys."""
+
+    def __init__(self, rel: Relation, order=None):
+        self.rel = rel
+        self.order = order  # list[(name, desc, grouped)] | None
+
+    @property
+    def df(self) -> DataFrame:
+        return self.rel.df
+
+    def cols(self) -> list[str]:
+        return self.rel.df.columns
+
+
+class TupV(dict):
+    """Tuple value: attribute name → value."""
+
+
+class FuncDef:
+    def __init__(self, name, params, body, rtype):
+        self.name = name
+        self.params = params  # [(name, andl_type)]
+        self.body = body      # ("body", expr) | ("do", [stmts])
+        self.rtype = rtype or (params[0][1] if params else "number")
+
+
+class StopScript(Exception):
+    """#stop directive — end script execution."""
+
+
+_SPARK_TYPES = {
+    "number": T.DoubleType(),
+    "text": T.StringType(),
+    "bool": T.BooleanType(),
+    "time": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+_TYPE_DEFAULTS = {"number": 0.0, "text": "", "bool": False, "time": None, "binary": b""}
+
+#: ops needing sequential (ordered) evaluation; others hash-aggregate
+_ORDER_DEP_FOLDS = {"-", "/", "&"}
+_COMMUT_FOLDS = {"+", "*", "max", "min", "and", "or", "union"}
+_WINDOW_FNS = {"lag", "lead", "nth"}
+
+
+def _andl_num_text(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def andl_text(v) -> str:
+    """Andl text rendering: 20.0 → '20', true → 'true'."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _andl_num_text(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
+def _num_eq(a, b) -> bool:
+    return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def parse_time(text: str) -> datetime:
+    return datetime.fromisoformat(text.strip())
+
+
+# ---------------------------------------------------------------------
+# session
+# ---------------------------------------------------------------------
+
+
+class AndlSession:
+    """One Andl script-execution session over a SparkSession."""
+
+    def __init__(self, spark, script_dir: str | Path | None = None, ignore_stop: bool = False):
+        self.spark = spark
+        self.ignore_stop = ignore_stop
+        self.globals: dict[str, object] = {}
+        self.defs: dict[str, FuncDef] = {}
+        self.types: dict[str, list] = {}
+        self.tests: list[tuple[float, bool]] = []
+        self.output: list[str] = []
+        self.script_dir = Path(script_dir) if script_dir else None
+        self.filename = "<script>"
+        # catalog-resident helpers the suites rely on (SetupSuite.andl:28-29)
+        self.run("def fold_sum(n:0) => fold(+,n)\ndef fold_ave(n:0) => fold(+,n)/fold(+,1)")
+
+    # -- public API ----------------------------------------------------
+    @property
+    def failures(self) -> list[float]:
+        return [line for line, ok in self.tests if not ok]
+
+    def run(self, src: str, filename: str = "<script>") -> "AndlSession":
+        self.filename = filename
+        src = self._preprocess(src, filename)
+        try:
+            for stmt in parse(src):
+                self._exec(stmt, self.globals)
+        except StopScript:
+            pass
+        return self
+
+    def run_path(self, path: str | Path) -> "AndlSession":
+        path = Path(path)
+        if self.script_dir is None:
+            self.script_dir = path.parent
+        return self.run(path.read_text(), path.name)
+
+    def load_csv(self, name: str, heading: list[tuple[str, str]], directory=None):
+        """var S:{...}(csv) — CSV named <name>.csv beside the script
+        (Andl.Runtime/DataSourceCsv.cs). Positional rename sidesteps the
+        BOM in the reference's files; single partition preserves file
+        order, which take/skip and implicit fold order depend on."""
+        directory = Path(directory) if directory else self.script_dir
+        df = (
+            self.spark.read.option("header", True)
+            .csv(str(directory / f"{name}.csv"))
+            .coalesce(1)
+        )
+        df = df.toDF(*[n for n, _ in heading])
+        casts = {n: F.col(n).cast(_SPARK_TYPES[t]) for n, t in heading if t != "text"}
+        if casts:
+            df = df.withColumns(casts)
+        self.globals[name] = RelV(Relation(df))
+        return self.globals[name]
+
+    # -- statements ----------------------------------------------------
+    def _preprocess(self, src: str, filename: str) -> str:
+        out = []
+        for i, line in enumerate(src.splitlines(), start=1):
+            line = line.replace("$lineno$", str(i))
+            line = line.replace("$filename$", "'" + filename + "'")
+            out.append(line)
+        return "\n".join(out)
+
+    def _exec(self, stmt, env):
+        kind = stmt[0]
+        if kind == "directive":
+            if stmt[1] == "#stop" and not self.ignore_stop:
+                raise StopScript()
+            return  # #catalog / #noisy — catalog is ambient here
+        if kind == "assign":
+            env[stmt[1]] = self.eval(stmt[2], env)
+            return
+        if kind == "var_decl":
+            _, name, heading, source, _line = stmt
+            if source == "csv":
+                self.load_csv(name, heading)
+            else:  # typed empty relvar
+                self.globals[name] = self._empty_rel(heading)
+            return
+        if kind == "def":
+            _, name, params, body, _line, rtype = stmt
+            self.defs[name] = FuncDef(name, params, body, rtype)
+            return
+        if kind == "type":
+            self.types[stmt[1]] = stmt[2]
+            return
+        if kind == "expr":
+            v = self.eval(stmt[1], env)
+            self._display(v)
+            return
+        raise ValueError(f"unknown statement {kind}")
+
+    def _display(self, v):
+        if isinstance(v, RelV):
+            rows = v.df.limit(21).collect()
+            body = "; ".join(
+                "(" + ", ".join(andl_text(x) if x is not None else "" for x in r) + ")"
+                for r in rows[:20]
+            )
+            self.output.append(f"{{{{{', '.join(v.cols())}}}}} {body}")
+        elif v is not None:
+            self.output.append(andl_text(v) if not isinstance(v, (TupV, list)) else str(v))
+
+    # -- driver-level evaluation ---------------------------------------
+    def eval(self, ast, env):
+        kind = ast[0]
+        if kind == "num":
+            return ast[1]
+        if kind == "str":
+            return ast[1]
+        if kind == "bool":
+            return ast[1]
+        if kind == "timelit":
+            return parse_time(ast[1])
+        if kind == "binlit":
+            return bytes.fromhex(ast[1].replace(" ", ""))
+        if kind == "name":
+            return self._lookup(ast[1], env)
+        if kind == "tuple":
+            return TupV((n, self.eval(e, env)) for n, e in ast[1])
+        if kind == "rel_empty":
+            return RelV(Relation(self.spark.range(1 if ast[1] else 0).select()))
+        if kind == "rel_tuples":
+            return self._rel_from_tuples([
+                TupV((n, self.eval(e, env)) for n, e in binds) for binds in ast[1]
+            ])
+        if kind == "rel_call":  # rel(tup-expr, ...) constructor
+            return self._rel_from_tuples([self.eval(e, env) for e in ast[1]])
+        if kind == "rel_typed":
+            return self._rel_typed(ast[1], ast[2], env)
+        if kind == "if":
+            return self.eval(ast[2] if _truthy(self.eval(ast[1], env)) else ast[3], env)
+        if kind == "neg":
+            return -_as_number(self.eval(ast[1], env))
+        if kind == "not":
+            return not _truthy(self.eval(ast[1], env))
+        if kind == "binop":
+            return self._driver_binop(ast[1], ast[2], ast[3], env)
+        if kind == "dyadic":
+            return self._driver_dyadic(ast[1], self.eval(ast[2], env), self.eval(ast[3], env))
+        if kind == "call":
+            return self._driver_call(ast[1], ast[2], env)
+        if kind == "dotname":
+            return self._driver_dot(self.eval(ast[1], env), ast[2])
+        if kind == "where":
+            return self._do_where(self.eval(ast[1], env), ast[2], env)
+        if kind == "select":
+            return self._do_select(self.eval(ast[1], env), ast[2], env)
+        if kind == "order":
+            v = self.eval(ast[1], env)
+            return RelV(v.rel, order=list(ast[2]))
+        if kind == "while":
+            return self._do_while(self.eval(ast[1], env), ast[2], env)
+        if kind == "fold":
+            raise ValueError("fold() is only allowed inside .select{}")
+        raise ValueError(f"cannot evaluate {kind}")
+
+    def _lookup(self, name, env):
+        if name in env:
+            return env[name]
+        if env is not self.globals and name in self.globals:
+            return self.globals[name]
+        raise NameError(f"unknown name {name!r}")
+
+    # -- binops / dyadics (driver) -------------------------------------
+    def _driver_binop(self, op, last, rast, env):
+        if op == "and":
+            l = self.eval(last, env)
+            if isinstance(l, bool) and not l:
+                return False
+            r = self.eval(rast, env)
+            if isinstance(l, bool):
+                return _truthy(r)
+            return float(int(l) & int(r))  # numbers: bitwise (SuiteRelFold bitand)
+        if op == "or":
+            l = self.eval(last, env)
+            if isinstance(l, bool) and l:
+                return True
+            r = self.eval(rast, env)
+            if isinstance(l, bool):
+                return _truthy(r)
+            return float(int(l) | int(r))
+        l, r = self.eval(last, env), self.eval(rast, env)
+        if op == "xor":
+            if isinstance(l, bool):
+                return _truthy(l) != _truthy(r)
+            return float(int(l) ^ int(r))
+        if op == "=":
+            return self._deep_eq(l, r)
+        if op == "<>":
+            return not self._deep_eq(l, r)
+        if op == "&":
+            return _andl_text_scalar(self._scalarize(l)) + _andl_text_scalar(self._scalarize(r))
+        if op == "=~":
+            import re as _re
+
+            return _re.search(str(r), str(self._scalarize(l))) is not None
+        l, r = self._scalarize(l), self._scalarize(r)
+        if op in ("<", ">", "<=", ">="):
+            import operator as _op
+
+            return {"<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[op](l, r)
+        a, b = _as_number(l), _as_number(r)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "mod":
+            return math.fmod(a, b)
+        raise ValueError(f"unknown operator {op}")
+
+    def _driver_dyadic(self, op, l, r):
+        if isinstance(l, TupV) and isinstance(r, TupV):
+            return _tuple_setop(op, l, r)
+        if not (isinstance(l, RelV) and isinstance(r, RelV)):
+            raise TypeError(f"dyadic {op} needs relations or tuples")
+        lr_, rr_ = l.rel, r.rel
+        if op in ("sub", "sup", "sep"):
+            return self._subsetop(op, lr_, rr_)
+        keep = {
+            "join": "all", "joinl": "left", "joinr": "right", "joinlc": "leftc",
+            "joinlr": "lr", "joincr": "cr", "compose": "lr",
+            # sample2.andl:150-155 comment block fixes these projections
+            "semijoin": "leftc", "divide": "left", "rsemijoin": "cr", "rdivide": "right",
+        }
+        if op in keep:
+            return RelV(Relation(_joins.natural_join(lr_.df, rr_.df, keep[op])))
+        if op == "ajoin":
+            return RelV(Relation(_joins.antijoin(lr_.df, rr_.df)))
+        if op == "ajoinl":
+            return RelV(Relation(_joins.antijoin_trimmed(lr_.df, rr_.df)))
+        if op == "rajoin":
+            return RelV(Relation(_joins.antijoin(rr_.df, lr_.df)))
+        if op == "rajoinr":
+            return RelV(Relation(_joins.antijoin_trimmed(rr_.df, lr_.df)))
+        method = {
+            "union": lr_.union, "minus": lr_.minus, "intersect": lr_.intersect,
+            "symdiff": lr_.symdiff,
+        }
+        if op in method:
+            return RelV(method[op](rr_))
+        if op == "rminus":
+            return RelV(rr_.minus(lr_))
+        raise ValueError(f"unknown dyadic {op}")
+
+    def _subsetop(self, op, lr_: Relation, rr_: Relation) -> bool:
+        # zero-degree relations: the only tuple is (), so containment
+        # reduces to emptiness tests (SuiteRelBasic {{}} sub {{:}} rows)
+        if not lr_.df.columns or not rr_.df.columns:
+            if set(lr_.df.columns) != set(rr_.df.columns):
+                return False
+            le, re_ = lr_.df.isEmpty(), rr_.df.isEmpty()
+            if op == "sub":
+                return le or not re_
+            if op == "sup":
+                return re_ or not le
+            return le or re_
+        return {"sub": lr_.sub, "sup": lr_.sup, "sep": lr_.sep}[op](rr_)
+
+    # -- calls (driver) -------------------------------------------------
+    def _driver_call(self, name, args, env):
+        if name == "test_true":
+            line = _as_number(self.eval(args[0], env))
+            ok = self.eval(args[1], env) is True
+            self.tests.append((line, ok))
+            if not ok:
+                self.output.append(f">>>FAIL: line no {andl_text(line)}")
+            return None
+        if name in ("start", "finish"):
+            which = "start" if name == "start" else "complete"
+            self.output.append(f"Test suite {which}: {self.eval(args[0], env)}")
+            return None
+        if name == "write":
+            self.output.append(_andl_text_scalar(self._scalarize(self.eval(args[0], env))))
+            return None
+        if name == "pause":
+            return None
+        if name in self.defs:
+            fd = self.defs[name]
+            vals = [self.eval(a, env) for a in args]
+            return self._call_user(fd, vals)
+        if name in self.types:
+            fields = self.types[name]
+            return TupV((fn, self.eval(a, env)) for (fn, _), a in zip(fields, args))
+        vals = [self.eval(a, env) for a in args]
+        return self._builtin(name, vals)
+
+    def _call_user(self, fd: FuncDef, vals):
+        scope = dict(zip((p for p, _ in fd.params), vals))
+        if fd.body[0] == "body":
+            return self.eval(fd.body[1], _Chain(scope, self.globals))
+        result = None
+        child = _Chain(scope, self.globals)
+        for stmt in fd.body[1]:
+            if stmt[0] == "assign":
+                child[stmt[1]] = self.eval(stmt[2], child)
+            elif stmt[0] == "expr":
+                result = self.eval(stmt[1], child)
+            else:
+                self._exec(stmt, child)
+        return result
+
+    def _builtin(self, name, vals):
+        v = vals[0] if vals else None
+        if name == "count":
+            return float(v.rel.count())
+        if name == "degree":
+            return float(v.rel.degree())
+        if name == "schema":
+            return self._schema_rel(v)
+        if name == "seq":
+            return RelV(Relation(
+                self.spark.range(int(_as_number(v))).select(F.col("id").cast("double").alias("N"))
+            ))
+        if name == "now":
+            return datetime.now()
+        if name == "take" and isinstance(v, RelV):
+            return RelV(v.rel.take(int(_as_number(vals[1]))), order=v.order)
+        if name == "skip" and isinstance(v, RelV):
+            return RelV(v.rel.skip(int(_as_number(vals[1]))), order=v.order)
+        # text builtins, driver flavor (Builtin.cs:TextValue ops)
+        if name == "left":
+            return str(v)[: int(_as_number(vals[1]))]
+        if name == "right":
+            return str(v)[-int(_as_number(vals[1])):]
+        if name == "fill":
+            n = int(_as_number(vals[1]))
+            return (str(v) * n)[:n]
+        if name == "trim":
+            return str(v).strip()
+        if name == "length":
+            return float(len(str(v)))
+        if name == "tolower":
+            return str(v).lower()
+        if name == "toupper":
+            return str(v).upper()
+        if name == "before":
+            s, sep = str(v), str(vals[1])
+            return s.split(sep)[0] if sep in s else s
+        if name == "after":
+            s, sep = str(v), str(vals[1])
+            return s.split(sep, 1)[1] if sep in s else ""
+        raise NameError(f"unknown function {name!r}")
+
+    def _driver_dot(self, v, name):
+        if isinstance(v, RelV):
+            if name == "count":
+                return float(v.rel.count())
+            if name == "degree":
+                return float(v.rel.degree())
+            if name == "schema":
+                return self._schema_rel(v)
+            raise AttributeError(f"relation has no property {name!r}")
+        if isinstance(v, TupV):
+            return v[name]
+        if name == "seq":
+            return self._builtin("seq", [v])
+        if name == "text":
+            return _andl_text_scalar(v)
+        if name == "number":
+            return _as_number(v)
+        raise AttributeError(f"no property {name!r}")
+
+    def _schema_rel(self, v: RelV) -> RelV:
+        rows = [
+            (f.name, _ANDL_TYPE.get(f.dataType.simpleString(), f.dataType.simpleString()))
+            for f in v.df.schema.fields
+        ]
+        return RelV(Relation(self.spark.createDataFrame(rows, "Name string, Type string")))
+
+    # -- relation construction -----------------------------------------
+    def _empty_rel(self, heading) -> RelV:
+        schema = T.StructType(
+            [T.StructField(n, _SPARK_TYPES[t], True) for n, t in heading]
+        )
+        return RelV(Relation(self.spark.createDataFrame([], schema)))
+
+    def _rel_from_tuples(self, tuples: list[TupV]) -> RelV:
+        names = list(tuples[0].keys())
+        rows, fieldtypes = [], None
+        for t in tuples:
+            vals = [_to_spark_value(t[n]) for n in names]
+            if fieldtypes is None:
+                fieldtypes = [tp for _, tp in vals]
+            rows.append(tuple(v for v, _ in vals))
+        schema = T.StructType(
+            [T.StructField(n, tp, True) for n, tp in zip(names, fieldtypes)]
+        )
+        return RelV(Relation(self.spark.createDataFrame(rows, schema)))
+
+    def _rel_typed(self, heading, rows_ast, env) -> RelV:
+        if isinstance(heading, tuple) and heading and heading[0] == "ref":
+            ref = heading[1]
+            if ref in self.types:
+                heading = self.types[ref]
+            else:
+                base = self._lookup(ref, env)
+                schema = T.StructType(
+                    [T.StructField(f.name, f.dataType, True) for f in base.df.schema.fields]
+                )
+                rows = [
+                    tuple(_to_spark_value(self.eval(v, env))[0] for v in row)
+                    for row in rows_ast
+                ]
+                return RelV(Relation(self.spark.createDataFrame(rows, schema)))
+        schema = T.StructType(
+            [T.StructField(n, _SPARK_TYPES[t], True) for n, t in heading]
+        )
+        rows = [
+            tuple(_to_spark_value(self.eval(v, env))[0] for v in row) for row in rows_ast
+        ]
+        return RelV(Relation(self.spark.createDataFrame(rows, schema)))
+
+    # -- equality -------------------------------------------------------
+    def _scalarize(self, v):
+        """Lift a singleton relation to its value (Andl lift coercion)."""
+        if isinstance(v, RelV) and len(v.cols()) == 1:
+            row = v.df.first()
+            if row is None:
+                return _dtype_default(v.df.schema.fields[0].dataType)
+            return row[0]
+        return v
+
+    def _deep_eq(self, a, b) -> bool:
+        if isinstance(a, RelV) and isinstance(b, RelV):
+            return self._rel_eq(a, b)
+        if isinstance(a, RelV) or isinstance(b, RelV):
+            rel, other = (a, b) if isinstance(a, RelV) else (b, a)
+            if isinstance(other, list):  # lifted RVA vs relation
+                return _norm_rows(rel.df.collect()) == _norm_rows(other)
+            return self._deep_eq(self._scalarize(rel), other)
+        if isinstance(a, TupV) and isinstance(b, TupV):
+            return set(a) == set(b) and all(self._deep_eq(a[k], b[k]) for k in a)
+        if isinstance(a, list) and isinstance(b, list):
+            return _norm_rows(a) == _norm_rows(b)
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a is b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return _num_eq(a, b)
+        return a == b
+
+    def _rel_eq(self, a: RelV, b: RelV) -> bool:
+        if set(a.cols()) != set(b.cols()):
+            return False
+        if not a.cols():  # zero-degree: equal iff same emptiness
+            return a.df.isEmpty() == b.df.isEmpty()
+        return a.rel.equals(b.rel)
+
+    # -- where ----------------------------------------------------------
+    def _do_where(self, v: RelV, cond_ast, env):
+        ast = self._inline(cond_ast, {})
+        ctx = _Ctx(self, v.df, env)
+        return RelV(Relation(v.df.filter(self._compile(ast, ctx))), order=v.order)
+
+    # -- select ---------------------------------------------------------
+    def _do_select(self, v: RelV, items, env):
+        df, order = v.df, v.order
+        star = any(it[0] == "star" for it in items)
+        keeps = [it[1] for it in items if it[0] == "keep"]
+        binds = [(it[1], self._inline(it[2], {})) for it in items if it[0] == "bind"]
+        lifts = [self._inline(it[1], {}) for it in items if it[0] == "lift"]
+
+        if lifts:
+            return self._do_lift(v, lifts[0], env)
+
+        has_fold = any(_contains(ast, "fold") for _, ast in binds)
+        has_win = any(_contains_call(ast, _WINDOW_FNS) for _, ast in binds)
+
+        if has_fold and not (order and (keeps or star or has_win)):
+            out = self._select_agg(df, order, keeps, binds, env)
+        elif has_fold or has_win:
+            out = self._select_windowed(df, order, star, keeps, binds, env)
+        else:
+            out = self._select_plain(df, star, keeps, binds, env)
+        return RelV(Relation(out))
+
+    def _output_heading(self, df, star, keeps, binds):
+        """Andl select heading: see module docstring (`*` rules)."""
+        bind_names = [n for n, _ in binds]
+        if not star:
+            return keeps + bind_names
+        mentioned = set(keeps)
+        for _, ast in binds:
+            if ast[0] == "name":  # pure rename consumes its source
+                mentioned.add(ast[1])
+        base = [c for c in df.columns if c not in mentioned and c not in bind_names]
+        return base + bind_names
+
+    def _select_plain(self, df, star, keeps, binds, env):
+        ctx = _Ctx(self, df, env)
+        out_cols = self._output_heading(df, star, keeps, binds)
+        exprs = {n: self._compile(a, ctx) for n, a in binds}
+        cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
+        if not cols:
+            return self.spark.range(0 if df.isEmpty() else 1).select()
+        return df.select(*cols).dropDuplicates()
+
+    def _do_lift(self, v: RelV, ast, env):
+        """.select{(expr)} — lift to a scalar value."""
+        if _contains(ast, "fold"):
+            out = self._select_agg(v.df, v.order, [], [("__lift", ast)], env)
+            return self._scalarize(RelV(Relation(out)))
+        ctx = _Ctx(self, v.df, env)
+        col = self._compile(ast, ctx)
+        probe = v.df.select(col.alias("__lift"))
+        row = probe.first()
+        if row is None:
+            return _dtype_default(probe.schema.fields[0].dataType)
+        return row[0]
+
+    # fold compilation ---------------------------------------------------
+    def _select_agg(self, df, order, keeps, binds, env):
+        """Aggregated projection: groupBy the bare attrs (plus %-grouped
+        order keys), hash-aggregate commutative folds, sequential-fold
+        the order-dependent ones over a sorted collected array."""
+        group_keys = list(keeps)
+        # non-fold computed binds are grouping attributes (SuiteRelBasic
+        # fn3 block: bi := bi alongside folds groups per (bi, ti))
+        plain = [(n, a) for n, a in binds if not _contains(a, "fold")]
+        if plain:
+            ctx0 = _Ctx(self, df, env)
+            df = df.withColumns({n: self._compile(a, ctx0) for n, a in plain})
+            group_keys += [n for n, _ in plain]
+            binds = [(n, a) for n, a in binds if _contains(a, "fold")]
+        order_keys = []
+        if order:
+            for name, desc, grouped in order:
+                if grouped:
+                    group_keys.append(name)
+                else:
+                    order_keys.append((name, desc))
+        needs_order = any(
+            self._fold_is_ordered(op) for op, _ in _collect_folds(binds)
+        )
+        if needs_order and not order_keys:
+            # implicit relation order (CSV file order): stable row id
+            df = df.withColumn("__ord", F.monotonically_increasing_id())
+            order_keys = [("__ord", False)]
+
+        ctx = _Ctx(self, df, env)
+        aggs, post = {}, []
+        fold_index = {}
+        for name, ast in binds:
+            def repl(op, val_ast):
+                key = ("%s" % op, repr(val_ast))
+                if key not in fold_index:
+                    fname = f"__f{len(fold_index)}"
+                    fold_index[key] = fname
+                    aggs[fname] = self._fold_agg(op, val_ast, ctx, order_keys)
+                return ("name", fold_index[key])
+
+            post.append((name, _map_folds(ast, repl)))
+
+        if group_keys:
+            agg_df = df.groupBy(*group_keys).agg(*[c.alias(n) for n, c in aggs.items()])
+        else:
+            agg_df = df.agg(*[c.alias(n) for n, c in aggs.items()])
+        pctx = _Ctx(self, agg_df, env)
+        cols = [F.col(k) for k in group_keys]
+        cols += [self._compile(a, pctx).alias(n) for n, a in post]
+        return agg_df.select(*cols).dropDuplicates()
+
+    def _fold_is_ordered(self, op) -> bool:
+        return op in _ORDER_DEP_FOLDS or op in self.defs
+
+    def _fold_agg(self, op, val_ast, ctx, order_keys) -> Column:
+        val = self._compile(val_ast, ctx)
+        if op == "+":
+            return F.sum(val)
+        if op == "*":
+            return F.product(val)
+        if op == "max":
+            return F.max(val)
+        if op == "min":
+            return F.min(val)
+        if op == "and":
+            return F.bool_and(val)
+        if op == "or":
+            return F.bool_or(val)
+        if op == "union":  # fold(union, rva) — flatten RVAs
+            return F.array_distinct(F.flatten(F.collect_list(val)))
+        # sequential fold over values sorted by the order keys
+        styp = self._static_type(val_ast, ctx)
+        arr = self._sorted_values(val, ctx, order_keys)
+        seed, step = self._fold_seed_step(op, styp, ctx)
+        return F.aggregate(arr, seed, step)
+
+    def _sorted_values(self, val: Column, ctx, order_keys) -> Column:
+        keys = [
+            (F.col(k) if isinstance(k, str) else k, desc) for k, desc in order_keys
+        ]
+        pairs = F.collect_list(
+            F.struct(*[c.alias(f"k{i}") for i, (c, _) in enumerate(keys)], val.alias("v"))
+        )
+        descs = [d for _, d in keys]
+
+        def cmp(l, r):
+            res = F.lit(0)
+            for i, desc in reversed(list(enumerate(descs))):
+                lt, gt = (F.lit(1), F.lit(-1)) if desc else (F.lit(-1), F.lit(1))
+                res = (
+                    F.when(l[f"k{i}"] < r[f"k{i}"], lt)
+                    .when(l[f"k{i}"] > r[f"k{i}"], gt)
+                    .otherwise(res)
+                )
+            return res
+
+        return F.transform(F.array_sort(pairs, cmp), lambda s: s["v"])
+
+    def _fold_seed_step(self, op, styp, ctx):
+        if op in self.defs:
+            fd = self.defs[op]
+            seed = _seed_for(fd.rtype)
+            (p1, t1), (p2, t2) = fd.params[0], fd.params[1]
+            body = fd.body[1] if fd.body[0] == "body" else None
+            if body is None:  # do-block: inline assigns
+                body = self._do_body_expr(fd)
+
+            def step(acc, v):
+                sub = dict(ctx.subst)
+                sub[p1], sub[p2] = acc, v
+                types = dict(ctx.types)
+                types[p1], types[p2] = t1, t2
+                return self._compile(body, ctx.with_subst(sub, types))
+
+            return seed, step
+        if op == "&":
+            return F.lit(""), lambda acc, v: F.concat(acc, v)
+        if op == "-":
+            return F.lit(0.0), lambda acc, v: acc - v
+        if op == "/":
+            return F.lit(1.0), lambda acc, v: acc / v
+        raise ValueError(f"unknown fold op {op!r}")
+
+    def _do_body_expr(self, fd: FuncDef):
+        """Flatten a do-block body into one expression by substituting
+        local assignments (SuiteRelFold fdomax2/fdocat2)."""
+        mapping = {}
+        result = None
+        for stmt in fd.body[1]:
+            if stmt[0] == "assign":
+                mapping[stmt[1]] = self._inline(stmt[2], mapping)
+            elif stmt[0] == "expr":
+                result = self._inline(stmt[1], mapping)
+        return result
+
+    def _select_windowed(self, df, order, star, keeps, binds, env):
+        """Running folds and lag/lead/nth under .order() — window
+        functions over the declared ordering (Spark window exec; the
+        global-order case is single-partition by nature, same as any
+        engine's total ordering)."""
+        parts, orders = [], []
+        for name, desc, grouped in order or []:
+            if grouped:
+                parts.append(name)
+            else:
+                orders.append(F.col(name).desc() if desc else F.col(name))
+        w = Window.partitionBy(*parts).orderBy(*orders) if parts else Window.orderBy(*orders)
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ctx = _Ctx(self, df, env)
+
+        def repl_fold(op, val_ast):
+            val = self._compile(val_ast, ctx)
+            if op == "+":
+                c = F.sum(val).over(frame)
+            elif op == "*":
+                c = F.product(val).over(frame)
+            elif op == "max":
+                c = F.max(val).over(frame)
+            elif op == "min":
+                c = F.min(val).over(frame)
+            elif op == "&":
+                c = F.concat_ws("", F.collect_list(val).over(frame))
+            else:
+                styp = self._static_type(val_ast, ctx)
+                seed, step = self._fold_seed_step(op, styp, ctx)
+                c = F.aggregate(F.collect_list(val).over(frame), seed, step)
+            return ("_col", c)
+
+        def repl_win(fname, args):
+            val = self._compile(args[0], ctx)
+            k = int(_as_number(self.eval(args[1], env)))
+            dtype = df.select(val.alias("__t")).schema.fields[0].dataType
+            default = _dtype_default(dtype)
+            if fname == "lag":
+                c = F.lag(val, k, default).over(w)
+            elif fname == "lead":
+                c = F.lead(val, k, default).over(w)
+            else:  # nth — k is 0-based in Andl (SuiteRelOrder nth(A0,3) = 4th)
+                c = F.coalesce(F.nth_value(val, k + 1).over(full), F.lit(default))
+            return ("_col", c)
+
+        out_binds = []
+        for name, ast in binds:
+            ast = _map_folds(ast, repl_fold)
+            ast = _map_calls(ast, _WINDOW_FNS, repl_win)
+            out_binds.append((name, ast))
+        out_cols = self._output_heading(df, star, keeps, out_binds)
+        exprs = {n: self._compile(a, ctx) for n, a in out_binds}
+        cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
+        return df.select(*cols).dropDuplicates()
+
+    # -- while ----------------------------------------------------------
+    def _do_while(self, v: RelV, body_ast, env):
+        cols = v.cols()
+        body = self._inline(body_ast, {})
+
+        def colmap(branch, df):
+            if branch[0] == "rel_star":
+                return {c: F.col(c) for c in cols}
+            if branch[0] == "rel_tuples" and len(branch[1]) == 1:
+                ctx = _Ctx(self, df, env)
+                return {n: self._compile(e, ctx) for n, e in branch[1][0]}
+            raise ValueError("unsupported while-branch form")
+
+        def step_df(ast, df):
+            kind = ast[0]
+            if kind == "where":
+                inner = step_df(ast[1], df)
+                ctx = _Ctx(self, inner, env)
+                return inner.filter(self._compile(ast[2], ctx))
+            if kind == "rel_star":
+                return df.select(*cols)
+            if kind == "rel_tuples":
+                ctx = _Ctx(self, df, env)
+                parts = [
+                    df.select(*[self._compile(e, ctx).alias(n) for n, e in binds]).select(*cols)
+                    for binds in ast[1]
+                ]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
+            if kind == "if":
+                ctx = _Ctx(self, df, env)
+                cond = self._compile(ast[1], ctx)
+                a, b = colmap(ast[2], df), colmap(ast[3], df)
+                return df.select(
+                    *[F.when(cond, a[c]).otherwise(b[c]).alias(c) for c in cols]
+                )
+            raise ValueError(f"unsupported while body {kind}")
+
+        return RelV(v.rel.while_(lambda df: step_df(body, df)))
+
+    # -- inline user functions (column contexts) -------------------------
+    def _inline(self, ast, mapping, depth=0):
+        if depth > 32:
+            raise RecursionError("def expansion too deep")
+        if not isinstance(ast, tuple):
+            return ast
+        kind = ast[0]
+        if kind == "name":
+            return mapping.get(ast[1], ast)
+        if kind == "call" and ast[1] in self.defs:
+            fd = self.defs[ast[1]]
+            args = [self._inline(a, mapping, depth + 1) for a in ast[2]]
+            if len(args) == len(fd.params):
+                sub = dict(zip((p for p, _ in fd.params), args))
+                body = fd.body[1] if fd.body[0] == "body" else self._do_body_expr(fd)
+                return self._inline(body, sub, depth + 1)
+        if kind == "fold":
+            # the fold OP name is expanded lazily at fold-compile time
+            return ("fold", ast[1], self._inline(ast[2], mapping, depth + 1))
+        if kind == "str":
+            return ast
+
+        def walk(x):
+            if isinstance(x, tuple):
+                return self._inline(x, mapping, depth)
+            if isinstance(x, list):
+                return [walk(i) for i in x]
+            return x
+
+        return tuple(walk(x) for x in ast)
+
+    # -- column compilation ---------------------------------------------
+    def _compile(self, ast, ctx: "_Ctx") -> Column:
+        if isinstance(ast, tuple) and ast[0] == "_col":
+            return ast[1]
+        kind = ast[0]
+        if kind == "num":
+            return F.lit(float(ast[1]))
+        if kind == "str":
+            return F.lit(ast[1])
+        if kind == "bool":
+            return F.lit(ast[1])
+        if kind == "timelit":
+            return F.lit(parse_time(ast[1]))
+        if kind == "binlit":
+            return F.lit(bytearray.fromhex(ast[1].replace(" ", "")))
+        if kind == "name":
+            n = ast[1]
+            if n in ctx.subst:
+                return ctx.subst[n]
+            if n in ctx.df.columns:
+                return F.col(n)
+            return _lit_value(self._lookup(n, ctx.env))
+        if kind == "neg":
+            return -self._compile(ast[1], ctx)
+        if kind == "not":
+            return ~self._compile(ast[1], ctx)
+        if kind == "if":
+            return F.when(
+                self._compile(ast[1], ctx), self._compile(ast[2], ctx)
+            ).otherwise(self._compile(ast[3], ctx))
+        if kind == "binop":
+            return self._compile_binop(ast[1], ast[2], ast[3], ctx)
+        if kind == "call":
+            return self._compile_call(ast[1], ast[2], ctx)
+        if kind == "dotname":
+            recv = self._compile(ast[1], ctx)
+            if ast[2] == "text":
+                return _andl_text_col(recv, self._static_type(ast[1], ctx))
+            if ast[2] == "number":
+                return recv.cast("double")
+            raise ValueError(f"unsupported column property {ast[2]!r}")
+        if kind == "fold":
+            raise ValueError("fold() outside aggregated select")
+        raise ValueError(f"cannot compile {kind} to a column")
+
+    def _compile_binop(self, op, last, rast, ctx) -> Column:
+        l, r = self._compile(last, ctx), self._compile(rast, ctx)
+        if op == "&":
+            lt = _andl_text_col(l, self._static_type(last, ctx))
+            rt = _andl_text_col(r, self._static_type(rast, ctx))
+            return F.concat(lt, rt)
+        if op in ("and", "or", "xor"):
+            numeric = self._static_type(last, ctx) == "number"
+            if numeric:
+                a, b = l.cast("long"), r.cast("long")
+                c = {
+                    "and": a.bitwiseAND(b), "or": a.bitwiseOR(b), "xor": a.bitwiseXOR(b),
+                }[op]
+                return c.cast("double")
+            return {"and": l & r, "or": l | r, "xor": l != r}[op]
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "=~":
+            return l.rlike(rast[1] if rast[0] == "str" else "")
+        if op == "<":
+            return l < r
+        if op == ">":
+            return l > r
+        if op == "<=":
+            return l <= r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "mod":
+            return l % r
+        raise ValueError(f"unknown operator {op}")
+
+    def _compile_call(self, name, args, ctx) -> Column:
+        if name in self.defs:  # late inline (nested contexts)
+            inlined = self._inline(("call", name, args), {})
+            if inlined[0] != "call":
+                return self._compile(inlined, ctx)
+        from ..functions import scalar as S
+
+        def c(i):
+            return self._compile(args[i], ctx)
+
+        def n(i):
+            return int(_as_number(self.eval(args[i], ctx.env)))
+
+        if name == "left":
+            return S.left(c(0), n(1))
+        if name == "right":
+            return S.right(c(0), n(1))
+        if name == "fill":
+            return S.fill(c(0), n(1))
+        if name == "trim":
+            return S.trim(c(0))
+        if name == "length":
+            return S.length(c(0)).cast("double")
+        if name == "tolower":
+            return S.tolower(c(0))
+        if name == "toupper":
+            return S.toupper(c(0))
+        if name == "before":
+            return S.before(c(0), self.eval(args[1], ctx.env))
+        if name == "after":
+            return S.after(c(0), self.eval(args[1], ctx.env))
+        if name == "now":
+            return S.now()
+        if name == "dateymd":
+            return S.dateymd(c(0), c(1), c(2))
+        if name == "year":
+            return S.year(c(0)).cast("double")
+        if name == "month":
+            return S.month(c(0)).cast("double")
+        if name == "day":
+            return S.day(c(0)).cast("double")
+        if name == "dow":
+            return S.dow(c(0)).cast("double")
+        if name == "daysdiff":
+            return S.daysdiff(c(0), c(1)).cast("double")
+        raise NameError(f"unknown column function {name!r}")
+
+    # -- static Andl type of an expression (for & coercion, bitwise) ----
+    def _static_type(self, ast, ctx) -> str | None:
+        if not isinstance(ast, tuple):
+            return None
+        kind = ast[0]
+        if kind == "num":
+            return "number"
+        if kind == "str":
+            return "text"
+        if kind == "bool":
+            return "bool"
+        if kind == "timelit":
+            return "time"
+        if kind == "binlit":
+            return "binary"
+        if kind == "name":
+            n = ast[1]
+            if n in ctx.types:
+                return ctx.types[n]
+            if n in ctx.df.columns:
+                dt = dict(
+                    (f.name, f.dataType.simpleString()) for f in ctx.df.schema.fields
+                )[n]
+                return _ANDL_TYPE.get(dt, None)
+            try:
+                v = self._lookup(n, ctx.env)
+            except NameError:
+                return None
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "text"
+            if isinstance(v, datetime):
+                return "time"
+            return None
+        if kind == "binop":
+            op = ast[1]
+            if op == "&":
+                return "text"
+            if op in ("+", "-", "*", "/", "mod"):
+                return "number"
+            if op in ("and", "or", "xor"):
+                return self._static_type(ast[2], ctx)
+            return "bool"
+        if kind in ("neg",):
+            return "number"
+        if kind == "not":
+            return "bool"
+        if kind == "if":
+            return self._static_type(ast[2], ctx)
+        if kind == "dotname":
+            return {"text": "text", "number": "number"}.get(ast[2])
+        if kind == "call":
+            return {
+                "left": "text", "right": "text", "fill": "text", "trim": "text",
+                "tolower": "text", "toupper": "text", "before": "text", "after": "text",
+                "length": "number", "year": "number", "month": "number", "day": "number",
+                "dow": "number", "daysdiff": "number", "now": "time", "dateymd": "time",
+            }.get(ast[1])
+        if kind == "fold":
+            op = ast[1]
+            if op == "&":
+                return "text"
+            if op in ("and", "or"):
+                return "bool"
+            if op in self.defs:
+                return self.defs[op].rtype
+            return "number"
+        return None
+
+
+# ---------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------
+
+
+class _Chain(dict):
+    """Scope chain: local dict with global fallback (reads only)."""
+
+    def __init__(self, local, parent):
+        super().__init__(parent)
+        self.update(local)
+
+
+class _Ctx:
+    """Column-compilation context."""
+
+    def __init__(self, session, df, env, subst=None, types=None):
+        self.session = session
+        self.df = df
+        self.env = env
+        self.subst = subst or {}
+        self.types = types or {}
+
+    def with_subst(self, subst, types):
+        return _Ctx(self.session, self.df, self.env, subst, types)
+
+
+def _truthy(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    raise TypeError(f"not a condition: {v!r}")
+
+
+def _as_number(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return float(v)
+    raise TypeError(f"not a number: {v!r}")
+
+
+def _andl_text_scalar(v) -> str:
+    return andl_text(v)
+
+
+def _seed_for(rtype: str) -> Column:
+    v = _TYPE_DEFAULTS.get(rtype, 0.0)
+    return F.lit(v)
+
+
+def _dtype_default(dtype):
+    s = dtype.simpleString()
+    return {"double": 0.0, "string": "", "boolean": False}.get(
+        s, 0.0 if s in ("bigint", "int", "float") else None
+    )
+
+
+def _lit_value(v) -> Column:
+    if isinstance(v, bytes):
+        return F.lit(bytearray(v))
+    if isinstance(v, (bool, int, float, str, datetime)):
+        return F.lit(v)
+    raise TypeError(f"cannot lift {type(v).__name__} into a column")
+
+
+def _andl_text_col(c: Column, styp: str | None) -> Column:
+    if styp == "text":
+        return c
+    if styp == "number":
+        return F.when(
+            c == F.floor(c), c.cast("bigint").cast("string")
+        ).otherwise(c.cast("string"))
+    if styp == "bool":
+        return F.when(c, "true").otherwise("false")
+    return c.cast("string")
+
+
+def _to_spark_value(v):
+    """Python value → (spark-compatible value, DataType). Relations
+    nest as canonically-sorted array<struct> (RVA, SuiteRelNest)."""
+    if isinstance(v, bool):
+        return v, T.BooleanType()
+    if isinstance(v, (int, float)):
+        return float(v), T.DoubleType()
+    if isinstance(v, str):
+        return v, T.StringType()
+    if isinstance(v, datetime):
+        return v, T.TimestampType()
+    if isinstance(v, bytes):
+        return bytearray(v), T.BinaryType()
+    if isinstance(v, TupV):
+        fields, vals = [], []
+        for k, x in v.items():
+            sv, st = _to_spark_value(x)
+            fields.append(T.StructField(k, st, True))
+            vals.append(sv)
+        return tuple(vals), T.StructType(fields)
+    if isinstance(v, RelV):
+        elem = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in v.df.schema.fields]
+        )
+        rows = sorted((tuple(r) for r in v.df.collect()), key=lambda t: tuple(map(repr, t)))
+        return rows, T.ArrayType(elem)
+    raise TypeError(f"cannot embed {type(v).__name__} in a relation")
+
+
+def _norm_rows(rows) -> set:
+    out = set()
+    for r in rows:
+        vals = tuple(r) if not isinstance(r, tuple) else r
+        out.add(tuple(round(x, 9) if isinstance(x, float) else x for x in vals))
+    return out
+
+
+# -- AST walking -------------------------------------------------------
+
+
+def _contains(ast, kind) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast and ast[0] == kind:
+        return True
+    return any(_contains(x, kind) for x in ast if isinstance(x, (tuple, list)))
+
+
+def _contains_call(ast, names) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast and ast[0] == "call" and ast[1] in names:
+        return True
+    return any(_contains_call(x, names) for x in ast if isinstance(x, (tuple, list)))
+
+
+def _collect_folds(binds):
+    found = []
+
+    def walk(ast):
+        if not isinstance(ast, (tuple, list)):
+            return
+        if isinstance(ast, tuple) and ast and ast[0] == "fold":
+            found.append((ast[1], ast[2]))
+        for x in ast:
+            if isinstance(x, (tuple, list)):
+                walk(x)
+
+    for _, ast in binds:
+        walk(ast)
+    return found
+
+
+def _walk_map(ast, f):
+    """Map f over tuple nodes, recursing through tuple and list children."""
+    def walk(x):
+        if isinstance(x, tuple):
+            return f(x)
+        if isinstance(x, list):
+            return [walk(i) for i in x]
+        return x
+
+    return tuple(walk(x) for x in ast)
+
+
+def _map_folds(ast, repl):
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "fold":
+        return repl(ast[1], ast[2])
+    if ast[0] == "str":
+        return ast
+    return _walk_map(ast, lambda x: _map_folds(x, repl))
+
+
+def _map_calls(ast, names, repl):
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "call" and ast[1] in names:
+        return repl(ast[1], ast[2])
+    if ast[0] == "str":
+        return ast
+    return _walk_map(ast, lambda x: _map_calls(x, names, repl))
+
+
+def _tuple_setop(op, l: TupV, r: TupV) -> TupV:
+    lp, rp = set(l.items()), set(r.items())
+    if op == "union":
+        return TupV({**r, **l})
+    if op == "intersect":
+        return TupV(dict(lp & rp))
+    if op == "minus":
+        return TupV(dict(lp - rp))
+    if op == "rminus":
+        return TupV(dict(rp - lp))
+    if op == "symdiff":
+        return TupV(dict(lp ^ rp))
+    raise ValueError(f"unsupported tuple op {op}")
+
+
+# ---------------------------------------------------------------------
+# module API
+# ---------------------------------------------------------------------
+
+
+def run_script(spark, src: str, script_dir=None) -> AndlSession:
+    return AndlSession(spark, script_dir).run(src)
+
+
+def run_file(spark, path: str | Path) -> AndlSession:
+    return AndlSession(spark, Path(path).parent).run_path(path)

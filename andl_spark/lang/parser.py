@@ -1,0 +1,647 @@
+"""Lexer + Pratt parser for the Andl query subset.
+
+Produces a small AST (tuples of ('kind', ...)) consumed by interp.py.
+Grammar reference: Andl.Peg/Andl.grammar.peg (hand re-derived, not a
+port of the PEG machinery).
+
+Syntax covered (the relational suites + sample query subset):
+  statements   var / := assignment / def / type / expression / directives
+  literals     number, 'text' ('' escape), "text", t'...' time, true/false,
+               tuple {a:=e,...} / tup(...), relation {{...}}, rel:{...}(...),
+               rel:NAME(...), rel({...}), {{heading} (row),(row)}, {{*}}
+  operators    + - * / mod & = <> < > <= >= =~ and or not, unary -
+  relational   infix: join joinl joinr joinlc joinlr joincr compose
+               ajoin ajoinl rajoin rajoinr minus rminus intersect
+               symdiff union
+  postfix      .name, .name(args), .select{...}, .where(e), .order(keys),
+               .while(e), .{ ... }
+  calls        f(args)
+
+Newline handling: expressions continue across newlines only through an
+infix operator, a dot, or inside brackets — a '(' or identifier at the
+start of a line begins a new statement (matches how the suites are
+written; Andl proper is newline-sensitive the same way).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------
+
+_KEYWORDS = {
+    "and", "or", "not", "xor", "mod", "true", "false",
+    "var", "def", "type", "do", "if",
+    "join", "joinl", "joinr", "joinlc", "joinlr", "joincr", "compose",
+    "ajoin", "ajoinl", "rajoin", "rajoinr",
+    "minus", "rminus", "intersect", "symdiff", "union",
+    "semijoin", "divide", "rsemijoin", "rdivide",
+    "sub", "sup", "sep",
+    "rel", "tup", "wait",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>[ \t\r]+)
+    | (?P<comment>//[^\n]*)
+    | (?P<nl>\n)
+    | (?P<directive>\#[A-Za-z]\w*[^\n]*)
+    | (?P<time>t'[^']*')
+    | (?P<binary>b'[^']*')
+    | (?P<dchar>d'[^']*')
+    | (?P<hchar>h'[^']*')
+    | (?P<string>'[^']*'|"[^"]*")
+    | (?P<number>\d+(?:\.\d+)?)
+    | (?P<ident>[@^]?[A-Za-z_]\w*\#?)
+    | (?P<dblbrace>\{\{|\}\})
+    | (?P<op>:=|=~|<>|<=|>=|=>|[-+*/&=<>(){},.%:])
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # 'num' 'str' 'time' 'ident' 'kw' 'op' 'directive' 'eof'
+    text: str
+    line: int
+    nl_before: bool  # a newline separates this token from the previous one
+
+
+def tokenize(src: str) -> list[Tok]:
+    src = src.lstrip("﻿")
+    toks: list[Tok] = []
+    line = 1
+    nl = True
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"andl lex error at line {line}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws" or kind == "comment":
+            continue
+        if kind == "nl":
+            line += 1
+            nl = True
+            continue
+        if kind == "directive":
+            toks.append(Tok("directive", text.split()[0], line, nl))
+        elif kind == "number":
+            toks.append(Tok("num", text, line, nl))
+        elif kind == "string":
+            # no escape sequences: 'a''bc' is two adjacent literals,
+            # concatenated by the parser (SuiteRelBasic.andl:24)
+            toks.append(Tok("str", text[1:-1], line, nl))
+        elif kind == "time":
+            toks.append(Tok("time", text[2:-1], line, nl))
+        elif kind == "binary":
+            toks.append(Tok("bin", text[2:-1], line, nl))
+        elif kind == "dchar":
+            # d'33 34' — text from decimal char codes (SuiteRelBasic.andl)
+            s = "".join(chr(int(x)) for x in text[2:-1].split())
+            toks.append(Tok("str", s, line, nl))
+        elif kind == "hchar":
+            # h'd a' — text from hex char codes (setup.andl prompt)
+            s = "".join(chr(int(x, 16)) for x in text[2:-1].split())
+            toks.append(Tok("str", s, line, nl))
+        elif kind == "ident":
+            toks.append(Tok("kw" if text in _KEYWORDS else "ident", text, line, nl))
+        elif kind == "dblbrace":
+            toks.append(Tok("op", text, line, nl))
+        else:
+            toks.append(Tok("op", text, line, nl))
+        nl = False
+    toks.append(Tok("eof", "", line, True))
+    return toks
+
+
+# ---------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------
+
+_DYADIC = {
+    "join", "joinl", "joinr", "joinlc", "joinlr", "joincr", "compose",
+    "ajoin", "ajoinl", "rajoin", "rajoinr",
+    "minus", "rminus", "intersect", "symdiff", "union",
+    "semijoin", "divide", "rsemijoin", "rdivide",
+    "sub", "sup", "sep",
+}
+
+# precedence (higher binds tighter); '=' family is comparison
+_BINOP_PREC = {
+    "or": 10, "xor": 10,
+    "and": 20,
+    "=": 30, "<>": 30, "<": 30, ">": 30, "<=": 30, ">=": 30, "=~": 30,
+    "&": 40,
+    "+": 50, "-": 50,
+    "*": 60, "/": 60, "mod": 60,
+}
+_DYADIC_PREC = 35  # relational dyadics bind tighter than comparison
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t.text == text and t.kind in ("op", "kw")
+
+    def accept(self, text: str) -> bool:
+        if self.at(text):
+            self.next()
+            return True
+        return False
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"andl parse error line {t.line}: expected {text!r}, got {t.text!r}")
+        return t
+
+    # -- statements ----------------------------------------------------
+    def parse_program(self) -> list:
+        stmts = []
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.kind == "directive":
+                self.next()
+                stmts.append(("directive", t.text, t.line))
+                continue
+            if t.kind == "kw" and t.text == "wait":
+                self.next()
+                continue
+            stmts.append(self.parse_statement())
+        return stmts
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.kind == "kw" and t.text == "var":
+            return self.parse_var()
+        if t.kind == "kw" and t.text == "def":
+            return self.parse_def()
+        if t.kind == "kw" and t.text == "type":
+            return self.parse_type()
+        if t.kind == "ident" and self.peek(1).text == ":=":
+            name = self.next().text
+            self.next()
+            return ("assign", name, self.parse_expr(), t.line)
+        return ("expr", self.parse_expr(), t.line)
+
+    def parse_var(self):
+        line = self.expect("var").line
+        name = self.next().text
+        if self.accept(":="):
+            return ("assign", name, self.parse_expr(), line)
+        self.expect(":")
+        dbl = self.accept("{{")
+        if not dbl:
+            self.expect("{")
+        heading = self.parse_heading()
+        self.expect("}}" if dbl else "}")
+        if dbl:
+            pass
+        source = None
+        if self.accept("("):
+            source = self.next().text  # csv / sql / ...
+            self.expect(")")
+        return ("var_decl", name, heading, source, line)
+
+    def parse_heading(self) -> list[tuple[str, str]]:
+        """A:type pairs; type omitted means text. Types: number, text,
+        time, bool, 0 (number), '' (text)."""
+        cols: list[tuple[str, str]] = []
+        if self.at(":"):  # {{:}} empty heading
+            self.next()
+            return cols
+        while not (self.at("}") or self.at("}}")):
+            name = self.next().text
+            ctype = "text"
+            if self.accept(":"):
+                t = self.next()
+                ctype = _type_name(t)
+            cols.append((name, ctype))
+            if not self.accept(","):
+                break
+        return cols
+
+    def parse_def(self):
+        line = self.expect("def").line
+        name = self.next().text
+        rtype = None
+        if self.accept(":"):  # result-type annotation: def f:0(...)
+            rtype = _type_name(self.next())
+        self.expect("(")
+        params: list[tuple[str, str]] = []
+        while not self.at(")"):
+            pname = self.next().text
+            ptype = "number"
+            if self.accept(":"):
+                t = self.next()
+                ptype = _type_name(t)
+            params.append((pname, ptype))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        self.expect("=>")
+        if self.peek().kind == "kw" and self.peek().text == "do":
+            self.next()
+            self.expect("{")
+            body = []
+            while not self.at("}"):
+                body.append(self.parse_statement())
+            self.expect("}")
+            return ("def", name, params, ("do", body), line, rtype)
+        return ("def", name, params, ("body", self.parse_expr()), line, rtype)
+
+    def parse_type(self):
+        line = self.expect("type").line
+        name = self.next().text
+        self.expect("(")
+        fields = []
+        while not self.at(")"):
+            fname = self.next().text
+            ftype = "text"
+            if self.accept(":"):
+                ftype = _type_name(self.next())
+            fields.append((fname, ftype))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return ("type", name, fields, line)
+
+    # -- expressions ---------------------------------------------------
+    def parse_expr(self, min_prec: int = 0):
+        lhs = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "kw" and t.text in _DYADIC:
+                if _DYADIC_PREC < min_prec:
+                    break
+                self.next()
+                rhs = self.parse_expr(_DYADIC_PREC + 1)
+                lhs = ("dyadic", t.text, lhs, rhs)
+                continue
+            op = t.text if t.kind in ("op", "kw") else None
+            if op in _BINOP_PREC and not (t.kind == "kw" and op not in ("and", "or", "xor", "mod")):
+                prec = _BINOP_PREC[op]
+                if prec < min_prec:
+                    break
+                self.next()
+                rhs = self.parse_expr(prec + 1)
+                lhs = ("binop", op, lhs, rhs)
+                continue
+            break
+        return lhs
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.text == "-" and t.kind == "op":
+            self.next()
+            return ("neg", self.parse_unary())
+        if t.kind == "kw" and t.text == "not":
+            self.next()
+            return ("not", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.text == "." and t.kind == "op":
+                self.next()
+                e = self.parse_dot(e)
+                continue
+            # call directly adjacent (no newline): f(...)
+            if t.text == "(" and t.kind == "op" and not t.nl_before and e[0] == "name":
+                if e[1] == "fold":
+                    e = self.parse_fold_call()
+                    continue
+                self.next()
+                args = self.parse_args()
+                e = ("call", e[1], args)
+                continue
+            break
+        return e
+
+    def parse_fold_call(self):
+        """fold(op, expr) — op may be an operator symbol (+,-,*,/,&),
+        a logical keyword (and/or/union), or a function name."""
+        self.expect("(")
+        t = self.peek()
+        if t.kind in ("op", "kw") and t.text in ("+", "-", "*", "/", "&", "and", "or", "union"):
+            self.next()
+            op = t.text
+        else:
+            op = self.next().text
+        self.expect(",")
+        val = self.parse_expr()
+        self.expect(")")
+        return ("fold", op, val)
+
+    def parse_dot(self, recv):
+        t = self.next()
+        if t.text == "{":  # .{ ... }  select shorthand
+            items = self.parse_select_items()
+            return ("select", recv, items)
+        name = t.text
+        if name == "select":
+            if self.accept("{"):
+                return ("select", recv, self.parse_select_items())
+            self.expect("(")
+            # .select( (expr) ) / .select(expr...) — lift or item list
+            items = self.parse_select_list_paren()
+            return ("select", recv, items)
+        if name == "where":
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            return ("where", recv, cond)
+        if name == "order":
+            self.expect("(")
+            keys = []
+            while not self.at(")"):
+                grouped = self.accept("%")
+                desc = self.accept("-")
+                keys.append((self.next().text, desc, grouped))
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            return ("order", recv, keys)
+        if name == "while":
+            self.expect("(")
+            body = self.parse_expr()
+            self.expect(")")
+            return ("while", recv, body)
+        if self.peek().text == "(" and not self.peek().nl_before:
+            self.next()
+            args = self.parse_args()
+            return ("call", name, [recv, *args])
+        return ("dotname", recv, name)
+
+    def parse_select_items(self):
+        """Items inside .select{ ... }: '*', name, name := expr, (expr)."""
+        items = []
+        while not self.at("}"):
+            if self.accept("*"):
+                items.append(("star",))
+                self.accept(",")  # comma after * is optional: { * F1 := SNAME }
+                continue
+            elif self.at("("):
+                self.next()
+                e = self.parse_expr()
+                self.expect(")")
+                items.append(("lift", e))
+            elif self.peek().kind == "ident" and self.peek(1).text == ":=":
+                name = self.next().text
+                self.next()
+                items.append(("bind", name, self.parse_expr()))
+            else:
+                e = self.parse_expr()
+                if e[0] == "name":
+                    items.append(("keep", e[1]))
+                else:
+                    items.append(("lift", e))
+            if not self.accept(","):
+                break
+        self.expect("}")
+        return items
+
+    def parse_select_list_paren(self):
+        items = []
+        while not self.at(")"):
+            if self.at("("):
+                self.next()
+                e = self.parse_expr()
+                self.expect(")")
+                items.append(("lift", e))
+            elif self.peek().kind == "ident" and self.peek(1).text == ":=":
+                name = self.next().text
+                self.next()
+                items.append(("bind", name, self.parse_expr()))
+            else:
+                e = self.parse_expr()
+                if e[0] == "name":
+                    items.append(("keep", e[1]))
+                else:
+                    items.append(("lift", e))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return items
+
+    def parse_args(self):
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_expr())
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return args
+
+    def parse_primary(self):
+        t = self.next()
+        if t.kind == "num":
+            return ("num", float(t.text))
+        if t.kind == "str":
+            # adjacent string-ish literals concatenate: 'abc def' d'33'
+            text = t.text
+            while self.peek().kind == "str" and not self.peek().nl_before:
+                text += self.next().text
+            return ("str", text)
+        if t.kind == "bin":
+            return ("binlit", t.text)
+        if t.kind == "time":
+            return ("timelit", t.text)
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return ("bool", t.text == "true")
+        if t.kind == "kw" and t.text == "if":
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(",")
+            then = self.parse_expr()
+            self.expect(",")
+            other = self.parse_expr()
+            self.expect(")")
+            return ("if", cond, then, other)
+        if t.kind == "kw" and t.text == "tup":
+            self.expect("(")
+            binds = []
+            while not self.at(")"):
+                name = self.next().text
+                self.expect(":=")
+                binds.append((name, self.parse_expr()))
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            return ("tuple", binds)
+        if t.kind == "kw" and t.text == "rel":
+            return self.parse_rel_constructor()
+        if t.kind == "ident":
+            return ("name", t.text)
+        if t.text == "(":
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.text == "{{":
+            return self.parse_relation_literal()
+        if t.text == "{":
+            return self.parse_tuple_literal()
+        raise SyntaxError(f"andl parse error line {t.line}: unexpected {t.text!r}")
+
+    def parse_rel_constructor(self):
+        """rel:{heading}(rows) | rel:NAME(rows) | rel({tuple},...)"""
+        if self.accept(":"):
+            if self.at("{"):
+                self.next()
+                heading = self.parse_heading()
+                self.expect("}")
+            else:
+                heading = ("ref", self.next().text)
+            self.expect("(")
+            rows = []
+            while not self.at(")"):
+                self.expect("(")
+                vals = []
+                while not self.at(")"):
+                    vals.append(self.parse_expr())
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+                rows.append(vals)
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            return ("rel_typed", heading, rows)
+        self.expect("(")
+        exprs = []
+        while not self.at(")"):
+            if self.accept("{"):
+                exprs.append(("tuple", self.parse_tuple_binds()))
+            else:
+                exprs.append(self.parse_expr())  # rel(tup1) — tuple-valued expr
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return ("rel_call", exprs)
+
+    def parse_tuple_binds(self):
+        binds = []
+        while not self.at("}"):
+            name = self.next().text
+            self.expect(":=")
+            binds.append((name, self.parse_expr()))
+            if not self.accept(","):
+                break
+        self.expect("}")
+        return binds
+
+    def parse_tuple_literal(self):
+        if self.accept("}"):
+            return ("tuple", [])
+        return ("tuple", self.parse_tuple_binds())
+
+    def parse_relation_literal(self):
+        """Forms after '{{' (Sample/sample2.andl:17-40, SetupSuite.andl):
+        '}}'                          -> {{}}: ONE empty tuple
+        '*' [, binds] '}}'            -> current-tuple relation (while body)
+        ':' '}}'                      -> {{:}}: empty heading, no tuples
+        ':' '}' '('')',... '}'        -> {{:}(),()...}: empty heading + tuples
+        binds '}' [',' '{' binds]* '}}'          -> tuple list
+        heading '}' '(' vals ')',... '}'         -> heading + rows
+        """
+        if self.accept("}}"):
+            return ("rel_empty", 1)
+        if self.accept("*"):
+            items = [("star",)]
+            while self.accept(","):
+                if self.peek().kind == "ident" and self.peek(1).text == ":=":
+                    name = self.next().text
+                    self.next()
+                    items.append(("bind", name, self.parse_expr()))
+            self.expect("}}")
+            return ("rel_star", items)
+        if self.accept(":"):
+            if self.accept("}}"):
+                return ("rel_empty", 0)
+            self.expect("}")
+            n_tuples = 0
+            while self.accept("("):
+                self.expect(")")
+                n_tuples = 1
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return ("rel_empty", n_tuples)
+        # distinguish tuple-list {{a:=1,...},{...}} from heading form
+        # {{A:type,...} (vals)...}: look at the binder after the name
+        if self.peek(1).text == ":=" or self.peek().text == "}":
+            first = self.parse_tuple_binds_dbl()
+            tuples = [first]
+            while self.accept(","):
+                self.expect("{")
+                tuples.append(self.parse_tuple_binds_dbl())
+            if not self.accept("}}"):  # '} }' with whitespace lexes apart
+                self.expect("}")
+            return ("rel_tuples", tuples)
+        heading = self.parse_heading()
+        self.expect("}")
+        rows = []
+        while self.accept("("):
+            vals = []
+            while not self.at(")"):
+                vals.append(self.parse_expr())
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            rows.append(vals)
+            self.accept(",")
+        self.expect("}")
+        return ("rel_typed", heading, rows)
+
+    def parse_tuple_binds_dbl(self):
+        """First tuple of a {{a:=e,...}...}} literal: ends at '}' or,
+        for the single-tuple form, directly at '}}'."""
+        binds = []
+        while not (self.at("}") or self.at("}}")):
+            name = self.next().text
+            self.expect(":=")
+            binds.append((name, self.parse_expr()))
+            if not self.accept(","):
+                break
+        if self.accept("}}"):
+            self.toks.insert(self.i, Tok("op", "}}", 0, False))
+            return binds
+        self.expect("}")
+        return binds
+
+
+def _type_name(t: Tok) -> str:
+    if t.kind == "num":
+        return "number"
+    if t.kind == "str":
+        return "text"
+    if t.text in ("number", "text", "time", "bool", "binary"):
+        return t.text
+    return "text"
+
+
+def parse(src: str) -> list:
+    return Parser(tokenize(src)).parse_program()
