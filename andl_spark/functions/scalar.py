@@ -24,12 +24,17 @@ def _c(x) -> Column:
 # ---- text (Builtin.cs: Left/Right/Fill/Trim/ToLower/ToUpper/Length/Before/After/Format)
 
 def left(col, n: int) -> Column:
-    return F.substring(_c(col), 1, n)
+    """First n chars, space-padded to width n when shorter
+    (Builtin.cs:917-921 PadRight — rpad truncates or pads exactly so)."""
+    return F.rpad(_c(col), n, " ")
 
 
 def right(col, n: int) -> Column:
+    """Last n chars, space-padded on the left when shorter
+    (Builtin.cs:926-930 PadLeft; lpad alone would truncate keeping the
+    FIRST n chars, so the long case takes the tail substring)."""
     c = _c(col)
-    return F.when(F.length(c) <= n, c).otherwise(F.substring(c, -n, n))
+    return F.when(F.length(c) >= n, F.substring(c, -n, n)).otherwise(F.lpad(c, n, " "))
 
 
 def fill(col, n) -> Column:

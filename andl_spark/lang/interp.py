@@ -66,12 +66,35 @@ class TupV(dict):
     """Tuple value: attribute name → value."""
 
 
+class LocalRel:
+    """Driver-side relation for values Spark cannot column-ize —
+    function-valued attributes (SuiteDefer funvals-in-relation). The
+    reference's tables are all local; here ONLY this corner is, and it
+    converts back to a Spark RelV the moment a projection drops the
+    function values."""
+
+    def __init__(self, tuples: list[TupV]):
+        self.tuples = tuples
+
+    def cols(self) -> list[str]:
+        return list(self.tuples[0].keys()) if self.tuples else []
+
+
 class FuncDef:
-    def __init__(self, name, params, body, rtype):
+    def __init__(self, name, params, body, rtype, env=None):
         self.name = name
         self.params = params  # [(name, andl_type)]
         self.body = body      # ("body", expr) | ("do", [stmts])
         self.rtype = rtype or (params[0][1] if params else "number")
+        self.env = env        # lexical scope for defs inside do-blocks
+
+
+class FuncVal:
+    """First-class function value (SuiteDefer funvals) — equality is
+    identity: two structurally-equal literals are distinct values."""
+
+    def __init__(self, fd: FuncDef):
+        self.fd = fd
 
 
 class StopScript(Exception):
@@ -104,7 +127,12 @@ def andl_text(v) -> str:
     if isinstance(v, (int, float)):
         return _andl_num_text(v)
     if isinstance(v, datetime):
+        # date-only values render dd/mm/yyyy (SuiteBasic.andl:10 concat)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%d/%m/%Y")
         return v.isoformat(sep=" ")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()  # b'dead' & ... renders 'dead' (SuiteDefer fn6)
     return str(v)
 
 
@@ -113,7 +141,14 @@ def _num_eq(a, b) -> bool:
 
 
 def parse_time(text: str) -> datetime:
-    return datetime.fromisoformat(text.strip())
+    """t'...' literal formats seen in the suites: ISO, dd/mm/yyyy
+    (SuiteBasic.andl:11 `t'31/12/2015'`), yyyy/mm/dd (`t'2016/12/31'`)."""
+    text = text.strip()
+    if "/" in text:
+        parts = text.split("/")
+        fmt = "%Y/%m/%d" if len(parts[0]) == 4 else "%d/%m/%Y"
+        return datetime.strptime(text, fmt)
+    return datetime.fromisoformat(text)
 
 
 # ---------------------------------------------------------------------
@@ -124,18 +159,85 @@ def parse_time(text: str) -> datetime:
 class AndlSession:
     """One Andl script-execution session over a SparkSession."""
 
-    def __init__(self, spark, script_dir: str | Path | None = None, ignore_stop: bool = False):
+    def __init__(
+        self,
+        spark,
+        script_dir: str | Path | None = None,
+        ignore_stop: bool = False,
+        catalog_path: str | Path | None = None,
+    ):
         self.spark = spark
         self.ignore_stop = ignore_stop
         self.globals: dict[str, object] = {}
-        self.defs: dict[str, FuncDef] = {}
+        self.defs: dict[str, list[FuncDef]] = {}  # name → overload set
         self.types: dict[str, list] = {}
         self.tests: list[tuple[float, bool]] = []
         self.output: list[str] = []
         self.script_dir = Path(script_dir) if script_dir else None
         self.filename = "<script>"
+        self.catalog_update = False
+        self._catalog = None
         # catalog-resident helpers the suites rely on (SetupSuite.andl:28-29)
         self.run("def fold_sum(n:0) => fold(+,n)\ndef fold_ave(n:0) => fold(+,n)/fold(+,1)")
+        if catalog_path is not None:
+            self._attach_catalog(Path(catalog_path))
+
+    # -- persistent catalog (Catalog.cs / Test/SuiteUpdateCat*.andl) ----
+    def _attach_catalog(self, path: Path):
+        """Open a persistent catalog: relvars live as parquet through
+        sources.catalog.Catalog; scalars, tuples, TYPES and OPERATORS
+        live in a typed JSON manifest (operators as ASTs, recompiled on
+        load — the Catalog.cs parity: `def f(x) => ...` written under
+        `#catalog update` survives into any later session)."""
+        from ..sources.catalog import Catalog as _RelvarCatalog
+
+        self._catalog = _RelvarCatalog(self.spark, str(path))
+        self._lang_manifest = path / "_lang_catalog.json"
+        if self._lang_manifest.exists():
+            import json
+
+            m = json.loads(self._lang_manifest.read_text())
+            for name, enc in m.get("values", {}).items():
+                self.globals[name] = _decode_value(enc)
+            for name, fields in m.get("types", {}).items():
+                self.types[name] = [tuple(f) for f in fields]
+            for name, encs in m.get("defs", {}).items():
+                self.defs[name] = [
+                    FuncDef(name, [tuple(p) for p in d["params"]],
+                            _ast_from_json(d["body"]), d.get("rtype"))
+                    for d in encs
+                ]
+            for name in m.get("relvars", []):
+                self.globals[name] = RelV(Relation(self._catalog.get(name)))
+
+    def _persist(self, kind: str, name: str, payload) -> None:
+        if self._catalog is None or not self.catalog_update:
+            return
+        import json
+
+        m = {"values": {}, "types": {}, "defs": {}, "relvars": []}
+        if self._lang_manifest.exists():
+            m.update(json.loads(self._lang_manifest.read_text()))
+        if kind == "value":
+            if isinstance(payload, RelV):
+                self._catalog.put(name, payload.df)
+                if name not in m["relvars"]:
+                    m["relvars"].append(name)
+            else:
+                m["values"][name] = _encode_value(payload)
+        elif kind == "type":
+            m["types"][name] = [list(f) for f in payload]
+        elif kind == "def":
+            m["defs"][name] = [
+                {
+                    "params": [list(p) for p in fd.params],
+                    "rtype": fd.rtype,
+                    "body": _ast_to_json(fd.body),
+                }
+                for fd in payload
+                if fd.env is None  # closures over locals don't round-trip
+            ]
+        self._lang_manifest.write_text(json.dumps(m, indent=1, sort_keys=True))
 
     # -- public API ----------------------------------------------------
     @property
@@ -158,19 +260,29 @@ class AndlSession:
             self.script_dir = path.parent
         return self.run(path.read_text(), path.name)
 
-    def load_csv(self, name: str, heading: list[tuple[str, str]], directory=None):
+    def load_csv(self, name: str, heading=None, directory=None):
         """var S:{...}(csv) — CSV named <name>.csv beside the script
         (Andl.Runtime/DataSourceCsv.cs). Positional rename sidesteps the
         BOM in the reference's files; single partition preserves file
-        order, which take/skip and implicit fold order depend on."""
+        order, which take/skip and implicit fold order depend on.
+        Without a heading (`var orgchart(csv)`) the schema is inferred
+        and numeric columns become Andl numbers."""
         directory = Path(directory) if directory else self.script_dir
-        df = (
-            self.spark.read.option("header", True)
-            .csv(str(directory / f"{name}.csv"))
-            .coalesce(1)
-        )
-        df = df.toDF(*[n for n, _ in heading])
-        casts = {n: F.col(n).cast(_SPARK_TYPES[t]) for n, t in heading if t != "text"}
+        reader = self.spark.read.option("header", True)
+        if heading is None:
+            df = reader.option("inferSchema", True).csv(
+                str(directory / f"{name}.csv")
+            ).coalesce(1)
+            df = df.toDF(*[c.lstrip("﻿") for c in df.columns])
+            casts = {
+                f.name: F.col(f.name).cast("double")
+                for f in df.schema.fields
+                if f.dataType.simpleString() in ("int", "bigint", "float")
+            }
+        else:
+            df = reader.csv(str(directory / f"{name}.csv")).coalesce(1)
+            df = df.toDF(*[n for n, _ in heading])
+            casts = {n: F.col(n).cast(_SPARK_TYPES[t]) for n, t in heading if t != "text"}
         if casts:
             df = df.withColumns(casts)
         self.globals[name] = RelV(Relation(df))
@@ -188,25 +300,42 @@ class AndlSession:
     def _exec(self, stmt, env):
         kind = stmt[0]
         if kind == "directive":
-            if stmt[1] == "#stop" and not self.ignore_stop:
+            words = stmt[1].split()
+            if words[0] == "#stop" and not self.ignore_stop:
                 raise StopScript()
-            return  # #catalog / #noisy — catalog is ambient here
+            if words[0] == "#catalog":
+                # `#catalog update` / `#catalog new update`: subsequent
+                # ^-prefixed assignments, defs and types persist
+                self.catalog_update = "update" in words
+            return
         if kind == "assign":
-            env[stmt[1]] = self.eval(stmt[2], env)
+            v = self.eval(stmt[2], env)
+            env[stmt[1]] = v
+            if stmt[1].startswith("^"):
+                self._persist("value", stmt[1], v)
             return
         if kind == "var_decl":
             _, name, heading, source, _line = stmt
             if source == "csv":
                 self.load_csv(name, heading)
-            else:  # typed empty relvar
+            elif heading is not None:  # typed empty relvar
                 self.globals[name] = self._empty_rel(heading)
+            else:
+                raise ValueError(f"var {name!r}: unknown source {source!r}")
             return
         if kind == "def":
             _, name, params, body, _line, rtype = stmt
-            self.defs[name] = FuncDef(name, params, body, rtype)
+            fd = FuncDef(name, params, body, rtype,
+                         env=env if env is not self.globals else None)
+            ov = self.defs.setdefault(name, [])
+            sig = [t for _, t in params]
+            ov[:] = [f for f in ov if [t for _, t in f.params] != sig]
+            ov.append(fd)
+            self._persist("def", name, ov)
             return
         if kind == "type":
             self.types[stmt[1]] = stmt[2]
+            self._persist("type", stmt[1], stmt[2])
             return
         if kind == "expr":
             v = self.eval(stmt[1], env)
@@ -214,16 +343,19 @@ class AndlSession:
             return
         raise ValueError(f"unknown statement {kind}")
 
-    def _display(self, v):
+    def _format(self, v) -> str:
         if isinstance(v, RelV):
             rows = v.df.limit(21).collect()
             body = "; ".join(
                 "(" + ", ".join(andl_text(x) if x is not None else "" for x in r) + ")"
                 for r in rows[:20]
             )
-            self.output.append(f"{{{{{', '.join(v.cols())}}}}} {body}")
-        elif v is not None:
-            self.output.append(andl_text(v) if not isinstance(v, (TupV, list)) else str(v))
+            return f"{{{{{', '.join(v.cols())}}}}} {body}"
+        return andl_text(v) if not isinstance(v, (TupV, list)) else str(v)
+
+    def _display(self, v):
+        if v is not None:
+            self.output.append(self._format(v))
 
     # -- driver-level evaluation ---------------------------------------
     def eval(self, ast, env):
@@ -264,6 +396,13 @@ class AndlSession:
             return self._driver_dyadic(ast[1], self.eval(ast[2], env), self.eval(ast[3], env))
         if kind == "call":
             return self._driver_call(ast[1], ast[2], env)
+        if kind == "deflit":
+            return FuncVal(FuncDef("<fn>", ast[1], ast[2], None, env=env))
+        if kind == "callv":
+            f = self.eval(ast[1], env)
+            if not isinstance(f, FuncVal):
+                raise TypeError("not a function value")
+            return self._call_user(f.fd, [self.eval(a, env) for a in ast[2]])
         if kind == "dotname":
             return self._driver_dot(self.eval(ast[1], env), ast[2])
         if kind == "where":
@@ -284,7 +423,28 @@ class AndlSession:
             return env[name]
         if env is not self.globals and name in self.globals:
             return self.globals[name]
+        fd = self._resolve_def(name, 0)
+        if fd is not None:
+            # argless operator referenced bare: `def1 => 42; def1 = 42`;
+            # re-evaluated each reference (SuiteDefer df2 sees dv1 updates)
+            return self._call_user(fd, [])
         raise NameError(f"unknown name {name!r}")
+
+    def _resolve_def(self, name, nargs, arg_types=None):
+        """Pick the overload by arity, then by declared-vs-actual
+        parameter types (SuiteDefer fov1/fov2 overload block)."""
+        cands = [fd for fd in self.defs.get(name, []) if len(fd.params) == nargs]
+        if not cands:
+            return None
+        if len(cands) == 1 or not arg_types:
+            return cands[0]
+
+        def score(fd):
+            return sum(
+                1 for (_, pt), at in zip(fd.params, arg_types) if at is not None and pt == at
+            )
+
+        return max(cands, key=score)
 
     # -- binops / dyadics (driver) -------------------------------------
     def _driver_binop(self, op, last, rast, env):
@@ -323,6 +483,9 @@ class AndlSession:
         if op in ("<", ">", "<=", ">="):
             import operator as _op
 
+            if isinstance(l, TupV) and isinstance(r, TupV):
+                # user-type ordering: field order (SuiteBasic uvar11 > uvar1)
+                l, r = tuple(l.values()), tuple(r.values())
             return {"<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[op](l, r)
         a, b = _as_number(l), _as_number(r)
         if op == "+":
@@ -333,6 +496,8 @@ class AndlSession:
             return a * b
         if op == "/":
             return a / b
+        if op == "**":
+            return a ** b
         if op == "mod":
             return math.fmod(a, b)
         raise ValueError(f"unknown operator {op}")
@@ -404,21 +569,34 @@ class AndlSession:
         if name == "pause":
             return None
         if name in self.defs:
-            fd = self.defs[name]
             vals = [self.eval(a, env) for a in args]
+            fd = self._resolve_def(name, len(vals), [_andl_type_of(v) for v in vals])
+            if fd is None:
+                raise TypeError(f"no {name!r} overload takes {len(vals)} arguments")
             return self._call_user(fd, vals)
         if name in self.types:
             fields = self.types[name]
             return TupV((fn, self.eval(a, env)) for (fn, _), a in zip(fields, args))
+        # a name bound to a function VALUE: vfnv1a('ab')
+        try:
+            v = self._lookup(name, env)
+        except NameError:
+            v = None
+        if isinstance(v, FuncVal):
+            return self._call_user(v.fd, [self.eval(a, env) for a in args])
         vals = [self.eval(a, env) for a in args]
+        # method-style call on a function-valued tuple field: vfnv3a.f('ab')
+        if vals and isinstance(vals[0], TupV) and isinstance(vals[0].get(name), FuncVal):
+            return self._call_user(vals[0][name].fd, vals[1:])
         return self._builtin(name, vals)
 
     def _call_user(self, fd: FuncDef, vals):
         scope = dict(zip((p for p, _ in fd.params), vals))
+        parent = fd.env if fd.env is not None else self.globals
         if fd.body[0] == "body":
-            return self.eval(fd.body[1], _Chain(scope, self.globals))
+            return self.eval(fd.body[1], _Chain(scope, parent))
         result = None
-        child = _Chain(scope, self.globals)
+        child = _Chain(scope, parent)
         for stmt in fd.body[1]:
             if stmt[0] == "assign":
                 child[stmt[1]] = self.eval(stmt[2], child)
@@ -446,14 +624,29 @@ class AndlSession:
             return RelV(v.rel.take(int(_as_number(vals[1]))), order=v.order)
         if name == "skip" and isinstance(v, RelV):
             return RelV(v.rel.skip(int(_as_number(vals[1]))), order=v.order)
-        # text builtins, driver flavor (Builtin.cs:TextValue ops)
+        if name == "number":
+            return _as_number(v)
+        if name == "text":
+            return _andl_text_scalar(self._scalarize(v))
+        if name == "max":
+            return max(vals[0], vals[1])
+        if name == "min":
+            return min(vals[0], vals[1])
+        if name == "mod":
+            return math.fmod(_as_number(vals[0]), _as_number(vals[1]))
+        # text builtins, driver flavor (Builtin.cs:917-930 — left/right
+        # PAD to the requested width when the string is shorter)
         if name == "left":
-            return str(v)[: int(_as_number(vals[1]))]
+            n = int(_as_number(vals[1]))
+            s = str(v)
+            return s.ljust(n) if n >= len(s) else s[:max(n, 0)]
         if name == "right":
-            return str(v)[-int(_as_number(vals[1])):]
+            n = int(_as_number(vals[1]))
+            s = str(v)
+            return s.rjust(n) if n >= len(s) else s[len(s) - n:]
         if name == "fill":
             n = int(_as_number(vals[1]))
-            return (str(v) * n)[:n]
+            return (str(v) * (n // max(len(str(v)), 1) + 1))[:n] if n > 0 else ""
         if name == "trim":
             return str(v).strip()
         if name == "length":
@@ -471,6 +664,11 @@ class AndlSession:
         raise NameError(f"unknown function {name!r}")
 
     def _driver_dot(self, v, name):
+        if name == "pp":  # pretty-print → text value (Builtin.cs PrettyPrint)
+            return self._format(v)
+        if name == "write":  # console sink: emit once, yield nothing so the
+            self._display(v)  # enclosing expr statement doesn't re-display
+            return None
         if isinstance(v, RelV):
             if name == "count":
                 return float(v.rel.count())
@@ -487,6 +685,8 @@ class AndlSession:
             return _andl_text_scalar(v)
         if name == "number":
             return _as_number(v)
+        if isinstance(v, str) and name in ("length", "trim", "toupper", "tolower"):
+            return self._builtin(name, [v])
         raise AttributeError(f"no property {name!r}")
 
     def _schema_rel(self, v: RelV) -> RelV:
@@ -503,7 +703,9 @@ class AndlSession:
         )
         return RelV(Relation(self.spark.createDataFrame([], schema)))
 
-    def _rel_from_tuples(self, tuples: list[TupV]) -> RelV:
+    def _rel_from_tuples(self, tuples: list[TupV]):
+        if any(isinstance(x, FuncVal) for t in tuples for x in t.values()):
+            return LocalRel(tuples)
         names = list(tuples[0].keys())
         rows, fieldtypes = [], None
         for t in tuples:
@@ -550,6 +752,8 @@ class AndlSession:
         return v
 
     def _deep_eq(self, a, b) -> bool:
+        if isinstance(a, FuncVal) or isinstance(b, FuncVal):
+            return a is b  # function values compare by identity
         if isinstance(a, RelV) and isinstance(b, RelV):
             return self._rel_eq(a, b)
         if isinstance(a, RelV) or isinstance(b, RelV):
@@ -581,12 +785,24 @@ class AndlSession:
         return RelV(Relation(v.df.filter(self._compile(ast, ctx))), order=v.order)
 
     # -- select ---------------------------------------------------------
-    def _do_select(self, v: RelV, items, env):
+    def _do_select(self, v, items, env):
+        if isinstance(v, LocalRel):
+            return self._local_select(v, items, env)
         df, order = v.df, v.order
         star = any(it[0] == "star" for it in items)
         keeps = [it[1] for it in items if it[0] == "keep"]
-        binds = [(it[1], self._inline(it[2], {})) for it in items if it[0] == "bind"]
-        lifts = [self._inline(it[1], {}) for it in items if it[0] == "lift"]
+
+        def safe_inline(ast):
+            try:
+                return self._inline(ast, {})
+            except RecursionError:
+                # unboundedly-recursive def (fibonacci.andl fib) — leave
+                # raw; compile will fail and trigger the driver fallback
+                return ast
+
+        raw_binds = [(it[1], it[2]) for it in items if it[0] == "bind"]
+        binds = [(n, safe_inline(a)) for n, a in raw_binds]
+        lifts = [safe_inline(it[1]) for it in items if it[0] == "lift"]
 
         if lifts:
             return self._do_lift(v, lifts[0], env)
@@ -599,8 +815,28 @@ class AndlSession:
         elif has_fold or has_win:
             out = self._select_windowed(df, order, star, keeps, binds, env)
         else:
-            out = self._select_plain(df, star, keeps, binds, env)
+            out = self._select_plain(df, star, keeps, binds, env, raw_binds)
         return RelV(Relation(out))
+
+    def _local_select(self, v: LocalRel, items, env):
+        """Per-tuple driver evaluation for function-valued relations;
+        re-enters Spark as soon as the output is column-izable."""
+        keeps = [it[1] for it in items if it[0] == "keep"]
+        binds = [(it[1], it[2]) for it in items if it[0] == "bind"]
+        out = []
+        for t in v.tuples:
+            scope = _Chain(dict(t), env if isinstance(env, dict) else self.globals)
+            row = TupV((k, t[k]) for k in keeps)
+            for n, ast in binds:
+                row[n] = self.eval(ast, scope)
+            out.append(row)
+        seen, dedup = set(), []
+        for r in out:
+            key = tuple(sorted((k, repr(x)) for k, x in r.items()))
+            if key not in seen:
+                seen.add(key)
+                dedup.append(r)
+        return self._rel_from_tuples(dedup)
 
     def _output_heading(self, df, star, keeps, binds):
         """Andl select heading: see module docstring (`*` rules)."""
@@ -614,14 +850,45 @@ class AndlSession:
         base = [c for c in df.columns if c not in mentioned and c not in bind_names]
         return base + bind_names
 
-    def _select_plain(self, df, star, keeps, binds, env):
+    def _select_plain(self, df, star, keeps, binds, env, raw_binds=None):
         ctx = _Ctx(self, df, env)
         out_cols = self._output_heading(df, star, keeps, binds)
-        exprs = {n: self._compile(a, ctx) for n, a in binds}
+        try:
+            exprs = {n: self._compile(a, ctx) for n, a in binds}
+        except (RecursionError, ValueError, NameError):
+            # recursive functions / correlated relation subqueries can't
+            # become one Column expression (Sample/fibonacci.andl fib,
+            # 100doors.andl isopen) — evaluate per tuple on the driver,
+            # like the reference's evaluator. Bounded: sample scale only.
+            # Use the ORIGINAL (un-inlined) asts: textual inlining is not
+            # hygienic — isopen(N)'s param x:=N must not capture the
+            # body's inner relation column N; _call_user scopes by env.
+            return self._select_local_rows(
+                df, star, keeps, raw_binds or binds, env, out_cols
+            )
         cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
         if not cols:
             return self.spark.range(0 if df.isEmpty() else 1).select()
         return df.select(*cols).dropDuplicates()
+
+    def _select_local_rows(self, df, star, keeps, binds, env, out_cols):
+        rows = df.limit(10001).collect()
+        if len(rows) > 10000:
+            raise ValueError("driver-side select fallback capped at 10k rows")
+        out = []
+        for r in rows:
+            scope = _Chain(r.asDict(), env if env is not None else self.globals)
+            vals = dict(r.asDict())
+            for n, ast in binds:
+                v = self.eval(ast, scope)
+                if isinstance(v, RelV) and len(v.cols()) == 1:
+                    v = self._scalarize(v)
+                vals[n] = v
+            out.append(TupV((c, vals[c]) for c in out_cols))
+        rel = self._rel_from_tuples(out)
+        if not isinstance(rel, RelV):
+            raise TypeError("select fallback produced non-columnar values")
+        return rel.df.dropDuplicates()
 
     def _do_lift(self, v: RelV, ast, env):
         """.select{(expr)} — lift to a scalar value."""
@@ -705,6 +972,16 @@ class AndlSession:
             return F.bool_and(val)
         if op == "or":
             return F.bool_or(val)
+        if op == "xor":
+            styp = self._static_type(val_ast, ctx)
+            if styp == "number":  # bitwise xor fold over numbers
+                return F.aggregate(
+                    F.collect_list(val.cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a.bitwiseXOR(v),
+                ).cast("double")
+            # booleans: xor = odd parity of trues (100doors.andl isopen)
+            return F.sum(val.cast("long")) % 2 == 1
         if op == "union":  # fold(union, rva) — flatten RVAs
             return F.array_distinct(F.flatten(F.collect_list(val)))
         # sequential fold over values sorted by the order keys
@@ -737,7 +1014,9 @@ class AndlSession:
 
     def _fold_seed_step(self, op, styp, ctx):
         if op in self.defs:
-            fd = self.defs[op]
+            fd = self._resolve_def(op, 2, [styp, styp])
+            if fd is None:
+                raise ValueError(f"fold op {op!r} has no 2-argument overload")
             seed = _seed_for(fd.rtype)
             (p1, t1), (p2, t2) = fd.params[0], fd.params[1]
             body = fd.body[1] if fd.body[0] == "body" else None
@@ -853,13 +1132,26 @@ class AndlSession:
             if kind == "rel_tuples":
                 ctx = _Ctx(self, df, env)
                 parts = [
-                    df.select(*[self._compile(e, ctx).alias(n) for n, e in binds]).select(*cols)
+                    df.select(*[self._compile(e, ctx).alias(n) for n, e in binds])
                     for binds in ast[1]
                 ]
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p)
                 return out
+            if kind == "dyadic":
+                # {{...}} compose STATIC — the recursive-CTE join step
+                # (Sample/recursive.andl org chart / MM closure). The
+                # static side is evaluated once per step from env; the
+                # frontier side is the transformed current tuples.
+                left = step_df(ast[2], df)
+                right = self.eval(ast[3], env)
+                op = ast[1]
+                if op == "compose":
+                    return _joins.compose(left, right.df)
+                if op == "join":
+                    return _joins.natural_join(left, right.df)
+                raise ValueError(f"unsupported while dyadic {op!r}")
             if kind == "if":
                 ctx = _Ctx(self, df, env)
                 cond = self._compile(ast[1], ctx)
@@ -881,9 +1173,9 @@ class AndlSession:
         if kind == "name":
             return mapping.get(ast[1], ast)
         if kind == "call" and ast[1] in self.defs:
-            fd = self.defs[ast[1]]
             args = [self._inline(a, mapping, depth + 1) for a in ast[2]]
-            if len(args) == len(fd.params):
+            fd = self._resolve_def(ast[1], len(args))
+            if fd is not None:
                 sub = dict(zip((p for p, _ in fd.params), args))
                 body = fd.body[1] if fd.body[0] == "body" else self._do_body_expr(fd)
                 return self._inline(body, sub, depth + 1)
@@ -984,6 +1276,8 @@ class AndlSession:
             return l * r
         if op == "/":
             return l / r
+        if op == "**":
+            return F.pow(l, r)
         if op == "mod":
             return l % r
         raise ValueError(f"unknown operator {op}")
@@ -1033,6 +1327,16 @@ class AndlSession:
             return S.dow(c(0)).cast("double")
         if name == "daysdiff":
             return S.daysdiff(c(0), c(1)).cast("double")
+        if name == "number":
+            return c(0).cast("double")
+        if name == "text":
+            return _andl_text_col(c(0), self._static_type(args[0], ctx))
+        if name == "max":
+            return F.greatest(c(0), c(1))
+        if name == "min":
+            return F.least(c(0), c(1))
+        if name == "mod":
+            return c(0) % c(1)
         raise NameError(f"unknown column function {name!r}")
 
     # -- static Andl type of an expression (for & coercion, bitwise) ----
@@ -1095,6 +1399,7 @@ class AndlSession:
                 "tolower": "text", "toupper": "text", "before": "text", "after": "text",
                 "length": "number", "year": "number", "month": "number", "day": "number",
                 "dow": "number", "daysdiff": "number", "now": "time", "dateymd": "time",
+                "number": "number",
             }.get(ast[1])
         if kind == "fold":
             op = ast[1]
@@ -1103,7 +1408,8 @@ class AndlSession:
             if op in ("and", "or"):
                 return "bool"
             if op in self.defs:
-                return self.defs[op].rtype
+                fd = self._resolve_def(op, 2)
+                return fd.rtype if fd else "number"
             return "number"
         return None
 
@@ -1133,6 +1439,20 @@ class _Ctx:
 
     def with_subst(self, subst, types):
         return _Ctx(self.session, self.df, self.env, subst, types)
+
+
+def _andl_type_of(v) -> str | None:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "text"
+    if isinstance(v, datetime):
+        return "time"
+    if isinstance(v, bytes):
+        return "binary"
+    return None
 
 
 def _truthy(v) -> bool:
@@ -1229,19 +1549,31 @@ def _norm_rows(rows) -> set:
 # -- AST walking -------------------------------------------------------
 
 
+#: nested relation-level expressions own their OWN folds/windows — the
+#: outer select must not classify or rewrite through them (100doors
+#: isopen: a correlated subquery with a fold inside a plain select)
+_REL_NODES = {"select", "where", "order", "while", "dyadic", "deflit"}
+
+
 def _contains(ast, kind) -> bool:
     if not isinstance(ast, (tuple, list)):
         return False
-    if isinstance(ast, tuple) and ast and ast[0] == kind:
-        return True
+    if isinstance(ast, tuple) and ast:
+        if ast[0] == kind:
+            return True
+        if ast[0] in _REL_NODES:
+            return False
     return any(_contains(x, kind) for x in ast if isinstance(x, (tuple, list)))
 
 
 def _contains_call(ast, names) -> bool:
     if not isinstance(ast, (tuple, list)):
         return False
-    if isinstance(ast, tuple) and ast and ast[0] == "call" and ast[1] in names:
-        return True
+    if isinstance(ast, tuple) and ast:
+        if ast[0] == "call" and ast[1] in names:
+            return True
+        if ast[0] in _REL_NODES:
+            return False
     return any(_contains_call(x, names) for x in ast if isinstance(x, (tuple, list)))
 
 
@@ -1251,8 +1583,11 @@ def _collect_folds(binds):
     def walk(ast):
         if not isinstance(ast, (tuple, list)):
             return
-        if isinstance(ast, tuple) and ast and ast[0] == "fold":
-            found.append((ast[1], ast[2]))
+        if isinstance(ast, tuple) and ast:
+            if ast[0] == "fold":
+                found.append((ast[1], ast[2]))
+            if ast[0] in _REL_NODES:
+                return
         for x in ast:
             if isinstance(x, (tuple, list)):
                 walk(x)
@@ -1279,7 +1614,7 @@ def _map_folds(ast, repl):
         return ast
     if ast[0] == "fold":
         return repl(ast[1], ast[2])
-    if ast[0] == "str":
+    if ast[0] == "str" or ast[0] in _REL_NODES:
         return ast
     return _walk_map(ast, lambda x: _map_folds(x, repl))
 
@@ -1289,9 +1624,59 @@ def _map_calls(ast, names, repl):
         return ast
     if ast[0] == "call" and ast[1] in names:
         return repl(ast[1], ast[2])
-    if ast[0] == "str":
+    if ast[0] == "str" or ast[0] in _REL_NODES:
         return ast
     return _walk_map(ast, lambda x: _map_calls(x, names, repl))
+
+
+# -- catalog serialization (lang manifest) -----------------------------
+
+
+def _ast_to_json(x):
+    """AST (nested tuples/lists of primitives) → JSON. Tuples become
+    {"t": [...]} so they survive the round-trip distinct from lists."""
+    if isinstance(x, tuple):
+        return {"t": [_ast_to_json(i) for i in x]}
+    if isinstance(x, list):
+        return [_ast_to_json(i) for i in x]
+    return x
+
+
+def _ast_from_json(x):
+    if isinstance(x, dict):
+        return tuple(_ast_from_json(i) for i in x["t"])
+    if isinstance(x, list):
+        return [_ast_from_json(i) for i in x]
+    return x
+
+
+def _encode_value(v) -> dict:
+    if isinstance(v, bool):
+        return {"k": "bool", "v": v}
+    if isinstance(v, (int, float)):
+        return {"k": "number", "v": float(v)}
+    if isinstance(v, str):
+        return {"k": "text", "v": v}
+    if isinstance(v, datetime):
+        return {"k": "time", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"k": "binary", "v": v.hex()}
+    if isinstance(v, TupV):
+        return {"k": "tuple", "v": {n: _encode_value(x) for n, x in v.items()}}
+    raise TypeError(f"cannot persist {type(v).__name__} in the lang manifest")
+
+
+def _decode_value(enc: dict):
+    k, v = enc["k"], enc["v"]
+    if k in ("bool", "number", "text"):
+        return v
+    if k == "time":
+        return datetime.fromisoformat(v)
+    if k == "binary":
+        return bytes.fromhex(v)
+    if k == "tuple":
+        return TupV((n, _decode_value(x)) for n, x in v.items())
+    raise ValueError(f"unknown encoded kind {k!r}")
 
 
 def _tuple_setop(op, l: TupV, r: TupV) -> TupV:

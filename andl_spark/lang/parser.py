@@ -53,11 +53,12 @@ _TOKEN_RE = re.compile(
     | (?P<binary>b'[^']*')
     | (?P<dchar>d'[^']*')
     | (?P<hchar>h'[^']*')
+    | (?P<iident>i'[^']*')
     | (?P<string>'[^']*'|"[^"]*")
-    | (?P<number>\d+(?:\.\d+)?)
-    | (?P<ident>[@^]?[A-Za-z_]\w*\#?)
+    | (?P<number>\d+(?:\.\d*)?)
+    | (?P<ident>[@^$]?[A-Za-z_]\w*\#?)
     | (?P<dblbrace>\{\{|\}\})
-    | (?P<op>:=|=~|<>|<=|>=|=>|[-+*/&=<>(){},.%:])
+    | (?P<op>:=|=~|<>|<=|>=|=>|\*\*|[-+*/&=<>(){},.%:])
 """,
     re.VERBOSE,
 )
@@ -91,25 +92,32 @@ def tokenize(src: str) -> list[Tok]:
             nl = True
             continue
         if kind == "directive":
-            toks.append(Tok("directive", text.split()[0], line, nl))
+            toks.append(Tok("directive", text.strip(), line, nl))
         elif kind == "number":
             toks.append(Tok("num", text, line, nl))
+        elif kind == "iident":
+            # quoted identifier i'...' — adjacent string-ish literals
+            # extend the name (SuiteBasic.andl:13 `i':=' "''" d'32'`)
+            toks.append(Tok("iident", text[2:-1], line, nl))
         elif kind == "string":
             # no escape sequences: 'a''bc' is two adjacent literals,
             # concatenated by the parser (SuiteRelBasic.andl:24)
-            toks.append(Tok("str", text[1:-1], line, nl))
+            if toks and toks[-1].kind == "iident" and not nl:
+                toks[-1].text += text[1:-1]
+            else:
+                toks.append(Tok("str", text[1:-1], line, nl))
         elif kind == "time":
             toks.append(Tok("time", text[2:-1], line, nl))
         elif kind == "binary":
             toks.append(Tok("bin", text[2:-1], line, nl))
-        elif kind == "dchar":
-            # d'33 34' — text from decimal char codes (SuiteRelBasic.andl)
-            s = "".join(chr(int(x)) for x in text[2:-1].split())
-            toks.append(Tok("str", s, line, nl))
-        elif kind == "hchar":
-            # h'd a' — text from hex char codes (setup.andl prompt)
-            s = "".join(chr(int(x, 16)) for x in text[2:-1].split())
-            toks.append(Tok("str", s, line, nl))
+        elif kind in ("dchar", "hchar"):
+            # d'33 34' / h'd a' — text from decimal / hex char codes
+            base = 10 if kind == "dchar" else 16
+            s = "".join(chr(int(x, base)) for x in text[2:-1].split())
+            if toks and toks[-1].kind == "iident" and not nl:
+                toks[-1].text += s
+            else:
+                toks.append(Tok("str", s, line, nl))
         elif kind == "ident":
             toks.append(Tok("kw" if text in _KEYWORDS else "ident", text, line, nl))
         elif kind == "dblbrace":
@@ -117,6 +125,9 @@ def tokenize(src: str) -> list[Tok]:
         else:
             toks.append(Tok("op", text, line, nl))
         nl = False
+    for t in toks:
+        if t.kind == "iident":
+            t.kind = "ident"
     toks.append(Tok("eof", "", line, True))
     return toks
 
@@ -141,6 +152,7 @@ _BINOP_PREC = {
     "&": 40,
     "+": 50, "-": 50,
     "*": 60, "/": 60, "mod": 60,
+    "**": 70,  # right-assoc (SuiteBasic.andl precedence block)
 }
 _DYADIC_PREC = 35  # relational dyadics bind tighter than comparison
 
@@ -203,6 +215,19 @@ class Parser:
             name = self.next().text
             self.next()
             return ("assign", name, self.parse_expr(), t.line)
+        if t.kind == "ident" and self.peek(1).text == "=>":
+            # argless operator: `def1 => 42`, `fnret2 => do {...}`
+            name = self.next().text
+            self.next()
+            if self.peek().kind == "kw" and self.peek().text == "do":
+                self.next()
+                self.expect("{")
+                body = []
+                while not self.at("}"):
+                    body.append(self.parse_statement())
+                self.expect("}")
+                return ("def", name, [], ("do", body), t.line, None)
+            return ("def", name, [], ("body", self.parse_expr()), t.line, None)
         return ("expr", self.parse_expr(), t.line)
 
     def parse_var(self):
@@ -210,6 +235,10 @@ class Parser:
         name = self.next().text
         if self.accept(":="):
             return ("assign", name, self.parse_expr(), line)
+        if self.accept("("):  # var orgchart(csv) — heading inferred
+            source = self.next().text
+            self.expect(")")
+            return ("var_decl", name, None, source, line)
         self.expect(":")
         dbl = self.accept("{{")
         if not dbl:
@@ -248,6 +277,10 @@ class Parser:
         rtype = None
         if self.accept(":"):  # result-type annotation: def f:0(...)
             rtype = _type_name(self.next())
+        params, body = self.parse_def_tail()
+        return ("def", name, params, body, line, rtype)
+
+    def parse_def_tail(self):
         self.expect("(")
         params: list[tuple[str, str]] = []
         while not self.at(")"):
@@ -268,8 +301,8 @@ class Parser:
             while not self.at("}"):
                 body.append(self.parse_statement())
             self.expect("}")
-            return ("def", name, params, ("do", body), line, rtype)
-        return ("def", name, params, ("body", self.parse_expr()), line, rtype)
+            return params, ("do", body)
+        return params, ("body", self.parse_expr())
 
     def parse_type(self):
         line = self.expect("type").line
@@ -280,7 +313,13 @@ class Parser:
             fname = self.next().text
             ftype = "text"
             if self.accept(":"):
-                ftype = _type_name(self.next())
+                if self.peek().kind == "kw" and self.peek().text == "def":
+                    # function-typed field: f:def(a:'')=>'' (SuiteDefer tfnv)
+                    self.next()
+                    self.parse_def_tail()
+                    ftype = "func"
+                else:
+                    ftype = _type_name(self.next())
             fields.append((fname, ftype))
             if not self.accept(","):
                 break
@@ -305,7 +344,7 @@ class Parser:
                 if prec < min_prec:
                     break
                 self.next()
-                rhs = self.parse_expr(prec + 1)
+                rhs = self.parse_expr(prec if op == "**" else prec + 1)
                 lhs = ("binop", op, lhs, rhs)
                 continue
             break
@@ -330,13 +369,13 @@ class Parser:
                 e = self.parse_dot(e)
                 continue
             # call directly adjacent (no newline): f(...)
-            if t.text == "(" and t.kind == "op" and not t.nl_before and e[0] == "name":
-                if e[1] == "fold":
+            if t.text == "(" and t.kind == "op" and not t.nl_before and e[0] in ("name", "deflit"):
+                if e[0] == "name" and e[1] == "fold":
                     e = self.parse_fold_call()
                     continue
                 self.next()
                 args = self.parse_args()
-                e = ("call", e[1], args)
+                e = ("call", e[1], args) if e[0] == "name" else ("callv", e, args)
                 continue
             break
         return e
@@ -346,7 +385,7 @@ class Parser:
         a logical keyword (and/or/union), or a function name."""
         self.expect("(")
         t = self.peek()
-        if t.kind in ("op", "kw") and t.text in ("+", "-", "*", "/", "&", "and", "or", "union"):
+        if t.kind in ("op", "kw") and t.text in ("+", "-", "*", "/", "&", "and", "or", "xor", "union"):
             self.next()
             op = t.text
         else:
@@ -472,6 +511,10 @@ class Parser:
             return ("timelit", t.text)
         if t.kind == "kw" and t.text in ("true", "false"):
             return ("bool", t.text == "true")
+        if t.kind == "kw" and t.text == "def":
+            # anonymous function value: def(a:'') => a & a (SuiteDefer funvals)
+            params, body = self.parse_def_tail()
+            return ("deflit", params, body)
         if t.kind == "kw" and t.text == "if":
             self.expect("(")
             cond = self.parse_expr()
@@ -492,6 +535,11 @@ class Parser:
                     break
             self.expect(")")
             return ("tuple", binds)
+        if t.kind == "kw" and t.text == "mod" and self.at("("):
+            # function form: mod(x, y) (100doors.andl isopen)
+            self.next()
+            args = self.parse_args()
+            return ("call", "mod", args)
         if t.kind == "kw" and t.text == "rel":
             return self.parse_rel_constructor()
         if t.kind == "ident":
@@ -542,12 +590,29 @@ class Parser:
         self.expect(")")
         return ("rel_call", exprs)
 
+    def _binds_ahead(self) -> bool:
+        """True if a ':=' occurs before the closing brace at depth 0."""
+        depth = 0
+        for k in range(self.i, len(self.toks)):
+            t = self.toks[k].text
+            if t in ("(", "{", "{{"):
+                depth += 1
+            elif t in (")", "}", "}}"):
+                if depth == 0:
+                    return False
+                depth -= 1
+            elif t == ":=" and depth == 0:
+                return True
+        return False
+
     def parse_tuple_binds(self):
         binds = []
         while not self.at("}"):
             name = self.next().text
-            self.expect(":=")
-            binds.append((name, self.parse_expr()))
+            if self.accept(":="):
+                binds.append((name, self.parse_expr()))
+            else:  # bare name keeps the attribute: {{ z:=A, B }}
+                binds.append((name, ("name", name)))
             if not self.accept(","):
                 break
         self.expect("}")
@@ -556,6 +621,15 @@ class Parser:
     def parse_tuple_literal(self):
         if self.accept("}"):
             return ("tuple", [])
+        if self.at("{"):
+            # single-brace relation of tuple literals: { {..}, {..}, }
+            tuples = []
+            while self.accept("{"):
+                tuples.append(self.parse_tuple_binds())
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return ("rel_tuples", tuples)
         return ("tuple", self.parse_tuple_binds())
 
     def parse_relation_literal(self):
@@ -591,8 +665,9 @@ class Parser:
             self.expect("}")
             return ("rel_empty", n_tuples)
         # distinguish tuple-list {{a:=1,...},{...}} from heading form
-        # {{A:type,...} (vals)...}: look at the binder after the name
-        if self.peek(1).text == ":=" or self.peek().text == "}":
+        # {{A:type,...} (vals)...}: a ':=' ahead of the closer means
+        # binds (bare names allowed: {{ z:=MAJOR_P#, MINOR_P# }})
+        if self._binds_ahead() or self.peek().text == "}":
             first = self.parse_tuple_binds_dbl()
             tuples = [first]
             while self.accept(","):
@@ -602,6 +677,8 @@ class Parser:
                 self.expect("}")
             return ("rel_tuples", tuples)
         heading = self.parse_heading()
+        if self.accept("}}"):  # {{A:type,...}} — heading only, no rows
+            return ("rel_typed", heading, [])
         self.expect("}")
         rows = []
         while self.accept("("):
@@ -622,8 +699,10 @@ class Parser:
         binds = []
         while not (self.at("}") or self.at("}}")):
             name = self.next().text
-            self.expect(":=")
-            binds.append((name, self.parse_expr()))
+            if self.accept(":="):
+                binds.append((name, self.parse_expr()))
+            else:  # bare name keeps the attribute: {{ z:=A, B }}
+                binds.append((name, ("name", name)))
             if not self.accept(","):
                 break
         if self.accept("}}"):

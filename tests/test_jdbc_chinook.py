@@ -1,0 +1,105 @@
+"""Sample/chinook.andl parity: the SQL backend exercised end-to-end.
+
+The reference runs chinook.andl against Sample/Chinook.sqlite through
+its Andl.Sqlite backend. Here the same data flows through the Spark SQL
+source machinery: SQLite → (Derby, the JDBC database bundled with
+Spark) → ``read_jdbc`` partitioned scan → Relation operators → the
+actual chinook.andl script via the language front-end.
+
+Derby stands in for Postgres/SQLite-over-JDBC because no sqlite-jdbc or
+postgres jar ships in this environment; the read path
+(sources/io.py:read_jdbc) is identical for any JDBC URL.
+"""
+
+import sqlite3
+
+import pytest
+
+from andl_spark.lang import AndlSession
+from andl_spark.relation import Relation
+from andl_spark.sources.io import read_jdbc
+from andl_spark.sources.sqlite_src import copy_to_jdbc, read_sqlite, sqlite_tables
+
+CHINOOK = "/root/reference/Sample/Chinook.sqlite"
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    return f"jdbc:derby:{tmp_path_factory.mktemp('derby')}/chinook;create=true"
+
+
+@pytest.fixture(scope="module")
+def album_jdbc(spark, derby_url):
+    """Album staged behind JDBC, read back as a partitioned scan."""
+    copy_to_jdbc(read_sqlite(spark, CHINOOK, "Album"), derby_url, "Album", DERBY_DRIVER)
+    return read_jdbc(
+        spark, derby_url, "Album",
+        partition_column="AlbumId", num_partitions=4,
+        lower_bound=1, upper_bound=348, driver=DERBY_DRIVER,
+    )
+
+
+def test_catalog_lists_reference_tables():
+    names = sqlite_tables(CHINOOK)
+    assert {"Album", "Artist", "Track", "Invoice", "Customer"} <= set(names)
+
+
+def test_read_jdbc_partitioned_scan(spark, album_jdbc):
+    """The partitioned JDBC read: same rows as the source, split into
+    range partitions (the scale path — N executor connections)."""
+    with sqlite3.connect(CHINOOK) as con:
+        want = con.execute("SELECT COUNT(*) FROM Album").fetchone()[0]
+    assert album_jdbc.count() == want == 347
+    assert album_jdbc.rdd.getNumPartitions() == 4
+    assert album_jdbc.columns == ["AlbumId", "Title", "ArtistId"]
+
+
+def test_top_artists_via_jdbc(spark, album_jdbc):
+    """chinook.andl:25 — top artists by album count, Albums arriving via
+    the JDBC scan; oracle computed independently by SQLite."""
+    from pyspark.sql import functions as F
+
+    artist = Relation(read_sqlite(spark, CHINOOK, "Artist"))
+
+    rel = Relation(album_jdbc).join(artist, broadcast=True)
+    agg = rel.aggregate(["Name"], HowMany=F.count(F.lit(1)))
+    got = {
+        (r["Name"], r["HowMany"])
+        for r in agg.where(F.col("HowMany") > 5).df.collect()
+    }
+    with sqlite3.connect(CHINOOK) as con:
+        want = set(
+            con.execute(
+                "SELECT Name, COUNT(*) FROM Album JOIN Artist USING(ArtistId) "
+                "GROUP BY Name HAVING COUNT(*) > 5"
+            ).fetchall()
+        )
+    assert got == want and ("Iron Maiden", 21) in got
+
+
+CHINOOK_TABLES = [
+    "Album", "Artist", "Track", "InvoiceLine", "Invoice", "Customer", "MediaType",
+]
+
+
+def test_chinook_andl_script(spark, derby_url, album_jdbc):
+    """Runs the reference's actual Sample/chinook.andl through the
+    language front-end, Album arriving via the JDBC path and the other
+    tables via the sqlite bridge."""
+    sess = AndlSession(spark, "/root/reference/Sample")
+    from andl_spark.lang.interp import RelV
+
+    sess.globals["Album"] = RelV(Relation(album_jdbc))
+    for t in CHINOOK_TABLES[1:]:
+        sess.globals[t] = RelV(Relation(read_sqlite(spark, CHINOOK, t)))
+    sess.run_path("/root/reference/Sample/chinook.andl")
+    out = "\n".join(sess.output)
+    # schema displays
+    assert "(AlbumId, number)" in out and "(Title, text)" in out
+    assert "(MediaTypeId, number)" in out
+    # top-artists aggregate (chinook.andl:25)
+    assert "(Iron Maiden, 21)" in out
+    assert "(Led Zeppelin, 14)" in out
+    # regex-join queries produced rows
+    assert "Concert" in out or "UnitPrice" in "\n".join(sess.output)

@@ -22,6 +22,8 @@ REF_SAMPLE = Path("/root/reference/Sample")
 #: suite file → number of test_true assertions it contains (pinned so a
 #: parser regression that silently skips statements cannot pass)
 SUITES = {
+    "SuiteBasic.andl": 122,
+    "SuiteDefer.andl": 53,
     "SuiteRelBasic.andl": 113,
     "SuiteRelDyadic.andl": 39,
     "SuiteRelFold.andl": 28,

@@ -13,7 +13,10 @@ def test_text_functions(spark):
     lit = F.lit("Hello#World")
     assert _one(spark, S.left(lit, 5)) == "Hello"
     assert _one(spark, S.right(lit, 5)) == "World"
-    assert _one(spark, S.right(F.lit("ab"), 5)) == "ab"
+    # shorter than n pads to width n (Builtin.cs:926-930 PadLeft;
+    # pinned by Test/SuiteBasic.andl:206 right(ss1,10))
+    assert _one(spark, S.right(F.lit("ab"), 5)) == "   ab"
+    assert _one(spark, S.left(F.lit("ab"), 5)) == "ab   "
     assert _one(spark, S.length(lit)) == 11
     assert _one(spark, S.tolower(lit)) == "hello#world"
     assert _one(spark, S.toupper(lit)) == "HELLO#WORLD"
