@@ -1330,15 +1330,32 @@ class AndlSession:
         if body_ast[0] == "doblock":
             # non-linear recursion (sudoku.andl): the body is a whole
             # program re-evaluated against the ACCUMULATED relation,
-            # which shadows the seed relvar's name each pass
+            # which shadows the seed relvar's name each pass. Each
+            # relation assigned inside the pass is eagerly checkpointed:
+            # bodies reference intermediates repeatedly (sudoku's
+            # allowedu feeds 4 aggregates), and without materialization
+            # every reference re-runs the whole interpreted plan.
             from ..operators.whileop import fixpoint_naive
 
             def step(df):
                 child = _Chain(
                     {seed_name: RelV(Relation(df))} if seed_name else {}, env
                 )
-                out = self.eval(body_ast, child)
-                return self._coerce_rel(out).df
+                result = None
+                for stmt in body_ast[1]:
+                    if stmt[0] == "assign":
+                        val = self.eval(stmt[2], child)
+                        if isinstance(val, RelV):
+                            val = RelV(
+                                Relation(val.df.localCheckpoint(eager=True)),
+                                order=val.order,
+                            )
+                        child[stmt[1]] = val
+                    elif stmt[0] == "expr":
+                        result = self.eval(stmt[1], child)
+                    else:
+                        self._exec(stmt, child)
+                return self._coerce_rel(result).df
 
             return RelV(Relation(fixpoint_naive(v.df, step)))
         body = self._inline(body_ast, {})
