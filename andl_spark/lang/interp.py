@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 from datetime import date, datetime
+from decimal import Decimal
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, Window
@@ -133,7 +134,7 @@ def andl_text(v) -> str:
     """Andl text rendering: 20.0 → '20', true → 'true'."""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, Decimal)):
         return _andl_num_text(v)
     if isinstance(v, date) and not isinstance(v, datetime):
         return v.strftime("%d/%m/%Y")  # date subtype (sample6.andl)
@@ -504,6 +505,9 @@ class AndlSession:
             return RelV(v.rel, order=list(ast[2]))
         if kind == "while":
             seed_name = ast[1][1] if ast[1][0] == "name" else None
+            local = self._try_while_local(ast[1], ast[2], env)
+            if local is not None:
+                return local
             return self._do_while(self.eval(ast[1], env), ast[2], env, seed_name)
         if kind == "fold":
             raise ValueError("fold() is only allowed inside .select{}")
@@ -551,7 +555,7 @@ class AndlSession:
             r = self.eval(rast, env)
             if isinstance(l, bool):
                 return _truthy(r)
-            return float(int(l) & int(r))  # numbers: bitwise (SuiteRelFold bitand)
+            return Decimal(int(l) & int(r))  # numbers: bitwise (SuiteRelFold bitand)
         if op == "or":
             l = self.eval(last, env)
             if isinstance(l, bool) and l:
@@ -559,12 +563,12 @@ class AndlSession:
             r = self.eval(rast, env)
             if isinstance(l, bool):
                 return _truthy(r)
-            return float(int(l) | int(r))
+            return Decimal(int(l) | int(r))
         l, r = self.eval(last, env), self.eval(rast, env)
         if op == "xor":
             if isinstance(l, bool):
                 return _truthy(l) != _truthy(r)
-            return float(int(l) ^ int(r))
+            return Decimal(int(l) ^ int(r))
         if op == "=":
             return self._deep_eq(l, r)
         if op == "<>":
@@ -593,11 +597,14 @@ class AndlSession:
         if op == "/":
             return a / b
         if op == "**":
-            return a ** b
+            try:
+                return a ** b
+            except Exception:  # e.g. negative base, fractional exponent
+                return Decimal(str(float(a) ** float(b)))
         if op == "mod":
-            return math.fmod(a, b)
+            return a % b  # Decimal remainder: sign of dividend, like C#
         if op == "div":  # truncating integer division (Builtin.cs:693)
-            return float(math.trunc(math.trunc(a) / math.trunc(b)))
+            return Decimal(math.trunc(Decimal(math.trunc(a)) / Decimal(math.trunc(b))))
         raise ValueError(f"unknown operator {op}")
 
     def _coerce_rel(self, v):
@@ -919,7 +926,7 @@ class AndlSession:
             return _norm_rows(a) == _norm_rows(b)
         if isinstance(a, bool) or isinstance(b, bool):
             return a is b
-        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, (int, float, Decimal)) and isinstance(b, (int, float, Decimal)):
             return _num_eq(a, b)
         return a == b
 
@@ -1325,6 +1332,113 @@ class AndlSession:
         return df.select(*cols).dropDuplicates()
 
     # -- while ----------------------------------------------------------
+    _WHILE_LOCAL_MAX_STEPS = 10_000
+    _WHILE_LOCAL_MAX_ROWS = 200_000
+
+    def _try_while_local(self, seed_ast, body_ast, env):
+        """Driver-side DECIMAL fixpoint for generator whiles.
+
+        The reference evaluates `.while()` in-memory with C# decimal
+        arithmetic (Andl.Runtime/DataTableLocal.cs Recurse over
+        TypedValue.cs decimals), so accumulate-and-compare programs like
+        mandelbrot.andl:5-6 (`{{y:=-1.0}}.while({{y:=y+0.1}}.where(y<1.1))`)
+        stop EXACTLY at the decimal boundary — twenty +0.1 steps reach
+        1.0, not 1.0999999999999999. When the seed is a literal relation
+        and the body is a pure scalar transform (no joins, no folds), we
+        mirror that: run the fixpoint driver-side on decimal.Decimal
+        values and hand Spark only the finished (tiny) generator table.
+        Large/relational whiles (closures, mandelbrot's 1344-point inner
+        loop) keep the distributed semi-naive Spark path — scale work
+        stays in Spark; only the reference's in-memory scalar-generator
+        corner runs on the driver, bounded by _WHILE_LOCAL_MAX_*.
+
+        Returns None (caller falls back to the Spark path) unless the
+        seed is a rel_tuples literal and the body walks clean."""
+        if not (isinstance(seed_ast, tuple) and seed_ast[0] == "rel_tuples"):
+            return None
+        body = self._inline(body_ast, {})
+        if not self._while_body_local_ok(body):
+            return None
+        try:
+            rows = [
+                TupV((n, self.eval(e, env)) for n, e in binds)
+                for binds in seed_ast[1]
+            ]
+            if not rows or any(
+                not isinstance(x, (bool, int, float, Decimal, str, datetime, date, bytes))
+                for t in rows for x in t.values()
+            ):
+                return None
+            cols = list(rows[0].keys())
+
+            def key(t):
+                return tuple(t[c] for c in cols)
+
+            seen = {}
+            for t in rows:
+                seen.setdefault(key(t), t)
+            frontier = list(seen.values())
+            steps = 0
+            while frontier:
+                steps += 1
+                if steps > self._WHILE_LOCAL_MAX_STEPS or len(seen) > self._WHILE_LOCAL_MAX_ROWS:
+                    return None  # too big for the driver — Spark path
+                out = []
+                for t in frontier:
+                    for nt in self._while_local_step(body, t, cols, env):
+                        nt = TupV((c, nt[c]) for c in cols)
+                        k = key(nt)
+                        if k not in seen:
+                            seen[k] = nt
+                            out.append(nt)
+                frontier = out
+            return self._rel_from_tuples(list(seen.values()))
+        except Exception:
+            return None  # anything exotic — defer to the Spark path
+
+    def _while_body_local_ok(self, ast) -> bool:
+        """Body is local-evaluable: only where/if wrappers over literal
+        tuple transforms; no dyadic joins, folds, or window functions."""
+
+        def walk(x) -> bool:
+            if isinstance(x, list):
+                return all(walk(i) for i in x)
+            if not isinstance(x, tuple):
+                return True
+            kind = x[0]
+            if kind in ("dyadic", "fold", "doblock", "select", "order", "while"):
+                return False
+            if kind == "call" and x[1] in _WINDOW_FNS:
+                return False
+            return all(walk(i) for i in x[1:])
+
+        return walk(ast)
+
+    def _while_local_step(self, body, t, cols, env):
+        """One driver-side step: mirror of step_df (the Spark body
+        compiler below) over a single tuple, decimal arithmetic."""
+        kind = body[0]
+        if kind == "where":
+            kept = []
+            for nt in self._while_local_step(body[1], t, cols, env):
+                child = _Chain({**nt, "__tuple__": dict(nt)}, env)
+                if _truthy(self.eval(body[2], child)):
+                    kept.append(nt)
+            return kept
+        if kind == "rel_star":
+            return [TupV((c, t[c]) for c in cols)]
+        if kind == "rel_tuples":
+            child = _Chain({**t, "__tuple__": dict(t)}, env)
+            return [
+                TupV((n, self.eval(e, child)) for n, e in binds)
+                for binds in body[1]
+            ]
+        if kind == "if":
+            child = _Chain({**t, "__tuple__": dict(t)}, env)
+            branch = body[2] if _truthy(self.eval(body[1], child)) else body[3]
+            return self._while_local_step(branch, t, cols, env)
+        raise ValueError(f"unsupported local while body {kind}")
+
     def _do_while(self, v: RelV, body_ast, env, seed_name=None):
         cols = v.cols()
         if body_ast[0] == "doblock":
@@ -1656,7 +1770,7 @@ class AndlSession:
                 return None
             if isinstance(v, bool):
                 return "bool"
-            if isinstance(v, (int, float)):
+            if isinstance(v, (int, float, Decimal)):
                 return "number"
             if isinstance(v, str):
                 return "text"
@@ -1760,7 +1874,7 @@ class _Ctx:
 def _andl_type_of(v) -> str | None:
     if isinstance(v, bool):
         return "bool"
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, Decimal)):
         return "number"
     if isinstance(v, str):
         return "text"
@@ -1797,18 +1911,27 @@ def _andl_format(v) -> str:
 def _truthy(v) -> bool:
     if isinstance(v, bool):
         return v
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, Decimal)):
         return v != 0
     raise TypeError(f"not a condition: {v!r}")
 
 
-def _as_number(v) -> float:
+def _as_number(v) -> Decimal:
+    """Andl Number is C# `decimal` (Andl.Runtime/TypedValue.cs:78, :294):
+    all driver-side arithmetic runs in decimal.Decimal (28-digit context,
+    banker's rounding — the same shape as .NET decimal). Doubles coming
+    back from Spark collects re-enter decimal through their shortest
+    round-trip repr, so `0.1` stays one-tenth across the boundary."""
     if isinstance(v, bool):
-        return 1.0 if v else 0.0
-    if isinstance(v, (int, float)):
-        return float(v)
+        return Decimal(1) if v else Decimal(0)
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, int):
+        return Decimal(v)
+    if isinstance(v, float):
+        return Decimal(str(v))
     if isinstance(v, str):
-        return float(v)
+        return Decimal(v)
     raise TypeError(f"not a number: {v!r}")
 
 
@@ -1831,6 +1954,8 @@ def _dtype_default(dtype):
 def _lit_value(v) -> Column:
     if isinstance(v, bytes):
         return F.lit(bytearray(v))
+    if isinstance(v, Decimal):
+        return F.lit(float(v))  # columns stay double; driver stays decimal
     if isinstance(v, (bool, int, float, str, datetime, date)):
         return F.lit(v)
     raise TypeError(f"cannot lift {type(v).__name__} into a column")
@@ -1853,7 +1978,7 @@ def _to_spark_value(v):
     nest as canonically-sorted array<struct> (RVA, SuiteRelNest)."""
     if isinstance(v, bool):
         return v, T.BooleanType()
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, Decimal)):
         return float(v), T.DoubleType()
     if isinstance(v, str):
         return v, T.StringType()
@@ -1993,16 +2118,21 @@ def _map_calls(ast, names, repl):
 
 def _ast_to_json(x):
     """AST (nested tuples/lists of primitives) → JSON. Tuples become
-    {"t": [...]} so they survive the round-trip distinct from lists."""
+    {"t": [...]} so they survive the round-trip distinct from lists;
+    Decimal number literals become {"d": "1.5"} to stay exact."""
     if isinstance(x, tuple):
         return {"t": [_ast_to_json(i) for i in x]}
     if isinstance(x, list):
         return [_ast_to_json(i) for i in x]
+    if isinstance(x, Decimal):
+        return {"d": str(x)}
     return x
 
 
 def _ast_from_json(x):
     if isinstance(x, dict):
+        if "d" in x:
+            return Decimal(x["d"])
         return tuple(_ast_from_json(i) for i in x["t"])
     if isinstance(x, list):
         return [_ast_from_json(i) for i in x]
@@ -2012,6 +2142,8 @@ def _ast_from_json(x):
 def _encode_value(v) -> dict:
     if isinstance(v, bool):
         return {"k": "bool", "v": v}
+    if isinstance(v, Decimal):
+        return {"k": "number", "v": str(v)}  # exact decimal round-trip
     if isinstance(v, (int, float)):
         return {"k": "number", "v": float(v)}
     if isinstance(v, str):
@@ -2027,7 +2159,9 @@ def _encode_value(v) -> dict:
 
 def _decode_value(enc: dict):
     k, v = enc["k"], enc["v"]
-    if k in ("bool", "number", "text"):
+    if k == "number":
+        return Decimal(v) if isinstance(v, str) else v
+    if k in ("bool", "text"):
         return v
     if k == "time":
         return datetime.fromisoformat(v)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from decimal import Decimal
 
 # ---------------------------------------------------------------------
 # lexer
@@ -526,7 +527,11 @@ class Parser:
     def parse_primary(self):
         t = self.next()
         if t.kind == "num":
-            return ("num", float(t.text))
+            # Andl Number is C# decimal (Andl.Runtime/TypedValue.cs:78):
+            # keep the literal EXACT as decimal.Decimal so driver-side
+            # arithmetic (interp.py) matches the reference's decimal
+            # semantics — `0.1` is one-tenth, not the nearest double.
+            return ("num", Decimal(t.text))
         if t.kind == "str":
             # adjacent string-ish literals concatenate: 'abc def' d'33'
             text = t.text

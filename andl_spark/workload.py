@@ -1180,8 +1180,8 @@ def q_window_ordg(spark, sf_dir):
 @q("q_mandelbrot", """
 WITH RECURSIVE
 grid AS (
-  SELECT CAST(-2.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) * xi.i AS cx,
-         CAST(-1.0 AS DOUBLE) + CAST(0.1  AS DOUBLE) * yi.i AS cy
+  SELECT (CAST(xi.i AS DOUBLE) - 40) / 20.0 AS cx,
+         (CAST(yi.i AS DOUBLE) - 10) / 10.0 AS cy
   FROM range(64) xi(i), range(21) yi(i)
 ),
 m(iter, cx, cy, x, y) AS (
@@ -1213,11 +1213,16 @@ def q_mandelbrot(spark, sf_dir):
     frontier only (escaped points drop out), so work shrinks
     monotonically; the only shuffle is the final two-level groupBy.
     """
+    # Axes as integer/denominator DIVISION, not step accumulation: the
+    # correctly-rounded quotient (i-40)/20 equals float(exact decimal
+    # -2.0 + 0.05*i), so the doubles here are bit-identical to the
+    # language front-end's decimal.Decimal axis fixpoint AND to DuckDB's
+    # same division — all three engines agree on every grid key.
     xaxis = spark.range(64).select(
-        (F.lit(-2.0) + F.lit(0.05) * F.col("id")).alias("cx")
+        ((F.col("id").cast("double") - 40) / F.lit(20.0)).alias("cx")
     )
     yaxis = spark.range(21).select(
-        (F.lit(-1.0) + F.lit(0.1) * F.col("id")).alias("cy")
+        ((F.col("id").cast("double") - 10) / F.lit(10.0)).alias("cy")
     )
     seed = xaxis.crossJoin(yaxis).select(
         F.lit(0).cast("long").alias("iter"),

@@ -177,16 +177,76 @@ def test_99bottles_andl(spark):
     assert song.index("99 bottles") < song.index("98 bottles")
 
 
+def _mandel_oracle():
+    """Pure-Python oracle for mandelbrot.andl under the REFERENCE's
+    exact semantics, independently derived:
+
+    * axes: decimal fixpoint (Andl Number is C# decimal,
+      Andl.Runtime/TypedValue.cs:78) — y stops exactly at 1.0 after
+      twenty +0.1 steps, so 21 rows, not the 22 binary doubles give;
+    * while body: transform THEN where — Recurse evaluates the body
+      per-row with the OLD tuple open and filters the constructed NEW
+      tuple (Builtin.cs:511, DataTableLocal.cs:631 EvalOpen); so the
+      escape-step tuple is NOT accumulated and max iter for a pixel is
+      one LESS than the SQLite-CTE (input-filter) flavor;
+    * render: `.order(cy,cx) .select{cy, t:=fold(&,..)}` with a kept
+      attribute and NO %-group is a RUNNING fold over one global group
+      (sample5.andl:12-14 says so verbatim), emitting one tuple per
+      input row — 1344 (cy, prefix) tuples, not 21 lines.
+
+    Returns (iters, running_rows): per-pixel max iter under reference
+    semantics, and the running-concat tuple set."""
+    from decimal import Decimal
+
+    xs = [float(Decimal("-2.0") + Decimal("0.05") * i) for i in range(64)]
+    ys = [float(Decimal("-1.0") + Decimal("0.1") * i) for i in range(21)]
+
+    def maxiter(cx, cy):
+        it, x, y = 0, 0.0, 0.0
+        while True:
+            nx, ny, nit = x * x - y * y + cx, 2 * x * y + cy, it + 1
+            if not (nx * nx + ny * ny < 4.0 and nit < 28):
+                return it
+            it, x, y = nit, nx, ny
+
+    iters, rows, t = {}, set(), ""
+    for cy in ys:
+        for cx in xs:
+            iters[(cx, cy)] = maxiter(cx, cy)
+            t += " .+*#"[iters[(cx, cy)] // 6]
+            rows.add((cy, t))
+    return iters, rows
+
+
 def test_mandelbrot_andl_matches_fluent(spark):
-    """mandelbrot.andl through the LANGUAGE equals the fluent
-    (DuckDB-oracle-verified) q_mandelbrot render line for line."""
+    """mandelbrot.andl through the LANGUAGE, checked three ways: the
+    decimal 64x21 grid, per-pixel escape counts, and the running-fold
+    render — all against the independent pure-Python oracle above —
+    plus the exact bridge to the fluent q_mandelbrot (whose CTE flavor
+    counts every pixel at oracle_iter + 1, char map unchanged)."""
     from andl_spark.workload import q_mandelbrot
 
     sess = run_file(spark, SAMPLE / "mandelbrot.andl")
-    assert "(1344)" in sess.output[1]  # m2: 64 x 21 grid points
-    lang = {(r["cy"], r["t"]) for r in sess.globals["a"].df.collect()}
-    fluent = {(r["cy"], r["t"]) for r in q_mandelbrot(spark, None).collect()}
-    assert lang == fluent and len(lang) == 21
+    # m2: 64 x 21 = 1344 grid points (decimal axes; doubles give 1408)
+    assert sess.output[1].strip() == "1344"
+
+    iters, running = _mandel_oracle()
+    lang_m2 = {
+        (r["cx"], r["cy"]): int(r["iter"])
+        for r in sess.globals["m2"].df.collect()
+    }
+    assert lang_m2 == iters
+    lang_a = {(r["cy"], r["t"]) for r in sess.globals["a"].df.collect()}
+    assert lang_a == running
+
+    # fluent bridge: q_mandelbrot's input-filter CTE yields iter+1 per
+    # pixel; its per-cy GROUPED lines must equal the same render built
+    # from oracle iters + 1.
+    fluent = {r["cy"]: r["t"] for r in q_mandelbrot(spark, None).collect()}
+    expect = {}
+    for (cx, cy), it in sorted(iters.items(), key=lambda kv: (kv[0][1], kv[0][0])):
+        expect[cy] = expect.get(cy, "") + " .+*#"[min((it + 1) // 6, 4)]
+    assert fluent == expect and len(fluent) == 21
 
 
 def test_dbix_cd_sample_andl(setup_session):
