@@ -1400,10 +1400,25 @@ def sudoku_solve(spark: SparkSession, puzzle: str) -> DataFrame:
     return W.fixpoint_naive(knowns, step, max_iterations=81)
 
 
-@q("q_sudoku")  # rows-only: non-linear constraint-propagation fixpoint, no SQL oracle
+#: the unique logic-derivable solution of sudoku.andl:31's puzzle —
+#: deterministic, so it IS the oracle (also asserted verbatim through
+#: the language front-end in tests/test_lang_samples.py).
+_SUDOKU_SOLVED = (
+    "534678912672195348198342567859761423426853791"
+    "713924856961537284287419635345286179"
+)
+
+
+@q("q_sudoku", f"""
+SELECT CAST(t.i AS INTEGER) AS "index",
+       CAST(substring('{_SUDOKU_SOLVED}', CAST(t.i AS INTEGER) + 1, 1) AS INTEGER) AS ndigit
+FROM range(81) t(i)
+""")
 def q_sudoku(spark, sf_dir):
     """The reference's sudoku puzzle (sudoku.andl:31) solved by logic
-    alone; 81 rows = fully solved."""
+    alone; 81 rows = fully solved. The fixpoint isn't SQL-expressible,
+    but its RESULT is closed-form: the puzzle has a unique solution, so
+    the oracle is the solved grid itself as literal values."""
     puzzle = ("53..7....6..195....98....6.8...6...34..8.3..17...2...6"
               ".6....28....419..5....8..79")
     return sudoku_solve(spark, puzzle)

@@ -249,6 +249,28 @@ def test_mandelbrot_andl_matches_fluent(spark):
     assert fluent == expect and len(fluent) == 21
 
 
+def test_sudoku_andl_verbatim(spark):
+    """Sample/sudoku.andl end-to-end through the LANGUAGE: the digits/
+    units generator whiles (driver-side decimal fixpoint with div/mod/
+    text()), possu cross join, def showb/showunk do-block functions over
+    seq(11), and the solver's do-block non-linear `.while`
+    (sudoku.andl:44-63 → fixpoint_naive). Asserts the solved 81-cell
+    grid — the same unique solution the fluent q_sudoku's DuckDB oracle
+    declares."""
+    from andl_spark.workload import _SUDOKU_SOLVED
+
+    sess = run_file(spark, SAMPLE / "sudoku.andl")
+    assert any("Knowns=30" in o for o in sess.output)
+    sol = sorted(
+        (int(r["index"]), int(r["ndigit"]))
+        for r in sess.globals["solution"].df.collect()
+    )
+    assert sol == [(i, int(_SUDOKU_SOLVED[i])) for i in range(81)]
+    # the final showunk render contains the three solved board bands
+    for band in ("534678912", "859761423", "961537284"):
+        assert band in sess.output[-1]
+
+
 def test_dbix_cd_sample_andl(setup_session):
     """DbixCdSample.andl: ord()-generated keys, update-union loads, and
     query functions printing through the `output` console variable."""
