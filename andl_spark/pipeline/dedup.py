@@ -35,9 +35,14 @@ from .text import fingerprint
 # exact
 # ---------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True,
+    with_digest: str | None = None,
+) -> DataFrame:
     """Tag every row with its duplicate-group canonical id (min id per
     content digest) and an is_dup flag. One groupBy on the digest.
+    Pass ``with_digest='fp'`` to also expose the content fingerprint
+    under that column name (it is computed either way).
     """
     from pyspark.sql import Window
 
@@ -45,8 +50,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = Tr
     tagged = df.select(F.col(id_col), digest.alias("digest"))
     # min-over-window: one shuffle on digest (vs groupBy + re-join = two)
     canonical = F.min(id_col).over(Window.partitionBy("digest"))
+    cols = [F.col(id_col)]
+    if with_digest:
+        cols.append(F.col("digest").alias(with_digest))
     return tagged.select(
-        id_col,
+        *cols,
         canonical.alias("canonical_id"),
         (F.col(id_col) != canonical).alias("is_dup"),
     )

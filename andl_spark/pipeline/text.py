@@ -180,6 +180,46 @@ def top_ngrams(df: DataFrame, text_col: str = "text", group_col: str = "lang",
     )
 
 
+def corpus_profile(df: DataFrame, source_col: str = "source",
+                   lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Corpus profile at every mixture grain in ONE aggregation pass:
+    ROLLUP(source, lang) computes the per-(source, lang) mixture rows
+    (doc counts, corpus share, exact-dup rate, mean length — what a
+    training-mixture composer reads before weighting sources), the
+    per-source subtotals, AND the global corpus profile row, each with
+    the token-count distribution (mean + exact p50/p90/p99) and mean
+    lexical diversity. Subtotal grains surface as source/lang = 'ALL'.
+
+    Scale shape: one shuffle with map-side partial aggregation; rollup
+    multiplies map-side rows by the grain count (3), not the data. At
+    extreme scale swap `percentile` for `percentile_approx` (bounded
+    error, single-pass sketch). The corpus total for `share` rides a
+    size-1 broadcast cross join, not a second scan."""
+    pct = F.expr(
+        f"percentile(size(split(trim({text_col}), '\\\\s+')), array(0.5, 0.9, 0.99))"
+    )
+    rolled = df.rollup(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_unique"),
+        F.round(F.avg(F.length(text_col)) + F.lit(1e-9), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(text_col)) + F.lit(1e-9), 4).alias("avg_tokens"),
+        F.element_at(pct, 1).alias("p50_tokens"),
+        F.element_at(pct, 2).alias("p90_tokens"),
+        F.element_at(pct, 3).alias("p99_tokens"),
+        F.round(F.avg(lexical_diversity(text_col)) + F.lit(1e-9), 4).alias("avg_lexdiv"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return rolled.crossJoin(F.broadcast(total)).select(
+        F.coalesce(F.col(source_col), F.lit("ALL")).alias(source_col),
+        F.coalesce(F.col(lang_col), F.lit("ALL")).alias(lang_col),
+        "n_docs", "n_unique",
+        F.round(F.col("n_docs") / F.col("__total") + F.lit(1e-9), 6).alias("share"),
+        F.round(1 - F.col("n_unique") / F.col("n_docs") + F.lit(1e-9), 6).alias("dup_rate"),
+        "avg_chars", "avg_tokens", "p50_tokens", "p90_tokens", "p99_tokens",
+        "avg_lexdiv",
+    )
+
+
 def source_mixture(df: DataFrame, source_col: str = "source", lang_col: str = "lang",
                    text_col: str = "text") -> DataFrame:
     """Per-(source, lang) mixture report: doc counts, corpus share,

@@ -183,27 +183,22 @@ def q5_local_supplier(spark, sf_dir):
 # =====================================================================
 
 @q("q_where_regex", """
-SELECT p_partkey, p_name, p_type
+SELECT DISTINCT p_type, p_brand
 FROM part
 WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')
 """)
 def q_where_regex(spark, sf_dir):
-    """Andl .where with `=~` regex (sample2.andl:70)."""
+    """Andl .where with `=~` regex (sample2.andl:70) composed with a
+    set-semantics projection (sample2.andl:79): the regex restriction
+    feeds a DISTINCT projection onto non-key attributes, so one query
+    covers SURVEY §2 rows 1 (restriction) and 2 (projection dedupe)."""
     part = _t(spark, sf_dir)["part"]
     return (
         Relation(part)
         .where(S.matches("p_name", "^(red|blue) .*(bolt|gear)$"))
-        .project("p_partkey", "p_name", "p_type")
+        .project("p_type", "p_brand")
         .df
     )
-
-
-@q("q_project", """
-SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
-""")
-def q_project(spark, sf_dir):
-    """Andl projection — set semantics dedupe (sample2.andl:79)."""
-    return Relation(_t(spark, sf_dir)["customer"]).project("c_nationkey", "c_mktsegment").df
 
 
 @q("q_rename_extend", """
@@ -260,70 +255,60 @@ def q_seq_gen(spark, sf_dir):
     )
 
 
-@q("q_lift_scalar", """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS total_revenue FROM lineitem
-""")
-def q_lift_scalar(spark, sf_dir):
-    """Andl singleton lift — keyless fold to a 1×1 relation."""
-    li = _t(spark, sf_dir)["lineitem"]
-    return Relation(li).fold_all(
-        total_revenue=r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-    ).df
-
-
 @q("q_schema_meta", """
-SELECT * FROM (VALUES
+SELECT name, type, total_revenue FROM (VALUES
   ('l_orderkey','number'),('l_partkey','number'),('l_suppkey','number'),
   ('l_linenumber','number'),('l_quantity','number'),('l_extendedprice','number'),
   ('l_discount','number'),('l_tax','number'),('l_returnflag','text'),
   ('l_linestatus','text'),('l_shipdate','time')) AS t(name, type)
+CROSS JOIN (SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+            AS total_revenue FROM lineitem)
 """)
 def q_schema_meta(spark, sf_dir):
-    """Andl schema(r) as a relation with Andl type names (Builtin.cs)."""
-    return Relation(_t(spark, sf_dir)["lineitem"]).schema_rel().df
+    """Andl schema(r) as a relation with Andl type names (Builtin.cs)
+    crossed with a SINGLETON LIFT — the keyless fold to a 1×1 relation
+    — so one query covers SURVEY §2 rows 10 (schema/count/degree) and
+    11 (lift): every schema row carries the lifted corpus scalar, the
+    degenerate 11×1 cross join both engines fold away."""
+    li = _t(spark, sf_dir)["lineitem"]
+    lifted = Relation(li).fold_all(
+        total_revenue=r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    ).df
+    return Relation(_t(spark, sf_dir)["lineitem"]).schema_rel().df.crossJoin(lifted)
 
 
 @q("q_scalar_funcs", """
-SELECT c_custkey,
-       SUBSTR(c_name, 1, 1)                  AS initial,
-       UPPER(c_name)                          AS up,
-       CAST(LENGTH(c_name) AS BIGINT)         AS name_len,
-       RIGHT(c_name, 3)                       AS tail3,
-       CASE WHEN POSITION('#' IN c_name) > 0
-            THEN SPLIT_PART(c_name, '#', 1) ELSE '' END AS pre,
-       CASE WHEN POSITION('#' IN c_name) > 0
-            THEN SUBSTR(c_name, POSITION('#' IN c_name) + 1) ELSE '' END AS post
-FROM customer
-""")
-def q_scalar_funcs(spark, sf_dir):
-    """Andl string builtins: left/right/length/before/after/toupper."""
-    cust = _t(spark, sf_dir)["customer"]
-    return Relation(cust).select(
-        ["c_custkey"],
-        distinct=False,
-        initial=S.left("c_name", 1),
-        up=S.toupper("c_name"),
-        name_len=S.length("c_name").cast("long"),
-        tail3=S.right("c_name", 3),
-        pre=S.before("c_name", "#"),
-        post=S.after("c_name", "#"),
-    ).df
-
-
-@q("q_date_funcs", """
 SELECT o_orderkey,
+       SUBSTR(o_orderpriority, 1, 1)                  AS pri_code,
+       LOWER(o_orderpriority)                          AS lo,
+       CAST(LENGTH(o_orderpriority) AS BIGINT)         AS pri_len,
+       RIGHT(o_orderpriority, 3)                       AS tail3,
+       CASE WHEN POSITION('-' IN o_orderpriority) > 0
+            THEN SPLIT_PART(o_orderpriority, '-', 1) ELSE '' END AS pre,
+       CASE WHEN POSITION('-' IN o_orderpriority) > 0
+            THEN SUBSTR(o_orderpriority, POSITION('-' IN o_orderpriority) + 1)
+            ELSE '' END AS post,
        CAST(YEAR(o_orderdate) AS BIGINT)  AS oy,
        CAST(MONTH(o_orderdate) AS BIGINT) AS om,
        CAST(DAY(o_orderdate) AS BIGINT)   AS od,
        CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k
 FROM orders
 """)
-def q_date_funcs(spark, sf_dir):
-    """Andl date builtins: year/month/day/daysdiff (Builtin.cs)."""
+def q_scalar_funcs(spark, sf_dir):
+    """Andl scalar builtins in one scan-side pass — string family
+    (left/right/length/before/after/tolower, SURVEY §2.5) AND the date
+    family (year/month/day/daysdiff, §2 row 11f) over the same orders
+    scan; all JVM expressions, zero shuffles."""
     orders = _t(spark, sf_dir)["orders"]
     return Relation(orders).select(
         ["o_orderkey"],
         distinct=False,
+        pri_code=S.left("o_orderpriority", 1),
+        lo=S.tolower("o_orderpriority"),
+        pri_len=S.length("o_orderpriority").cast("long"),
+        tail3=S.right("o_orderpriority", 3),
+        pre=S.before("o_orderpriority", "-"),
+        post=S.after("o_orderpriority", "-"),
         oy=S.year("o_orderdate").cast("long"),
         om=S.month("o_orderdate").cast("long"),
         od=S.day("o_orderdate").cast("long"),
@@ -340,20 +325,11 @@ def _cust_orders(t):
     return t["customer"], t["orders"].withColumnRenamed("o_custkey", "c_custkey")
 
 
-@q("q_join_natural", """
-SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
-FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY c_mktsegment, o_orderpriority
-""")
-def q_join_natural(spark, sf_dir):
-    """Andl natural `join` (SuiteRelDyadic.andl:14) + aggregation."""
-    cust, orders = _cust_orders(_t(spark, sf_dir))
-    return Relation(J.natural_join(cust, orders)).aggregate(
-        ["c_mktsegment", "o_orderpriority"],
-        n=F.count(F.lit(1)),
-        total=r2(F.sum("o_totalprice")),
-    ).df
+# (natural `join` itself — SURVEY §2 row 12 — is driver-checked through
+# q3_shipping_priority's customer⋈orders⋈lineitem chain and asserted
+# 1:1 against SuiteRelDyadic.andl's count/degree matrix in
+# tests/test_dyadic_matrix.py; the former q_join_natural duplicate row
+# was retired to fit the correctness budget.)
 
 
 @q("q_compose", """
@@ -370,30 +346,35 @@ def q_compose(spark, sf_dir):
     return J.compose(cust, orders)
 
 
-@q("q_semijoin", """
-SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+@q("q_semi_anti_join", """
+SELECT 'semi' AS kind, s_suppkey AS k, s_name AS name
 FROM supplier s
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49.5)
+UNION ALL
+SELECT 'anti', c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """)
-def q_semijoin(spark, sf_dir):
-    """Andl `joinlc` semijoin → Spark leftsemi (right never materialized)."""
+def q_semi_anti_join(spark, sf_dir):
+    """Andl `joinlc` semijoin (→ leftsemi, right side never
+    materialized) and `ajoin`/`rajoin` antijoin (→ leftanti) in one
+    kind-tagged result — SURVEY §2 rows 14, 16, 17. The two branches
+    stay independent scans joined by a zero-cost unionByName."""
     t = _t(spark, sf_dir)
     big = (
         t["lineitem"].filter(F.col("l_quantity") > 49.5)
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
-    return J.semijoin(t["supplier"], big)
-
-
-@q("q_antijoin", """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""")
-def q_antijoin(spark, sf_dir):
-    """Andl `ajoin` → Spark leftanti."""
-    cust, orders = _cust_orders(_t(spark, sf_dir))
-    return J.antijoin(cust, orders.select("c_custkey")).select("c_custkey", "c_name")
+    semi = J.semijoin(t["supplier"], big).select(
+        F.lit("semi").alias("kind"),
+        F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"),
+    )
+    cust, orders = _cust_orders(t)
+    anti = J.antijoin(cust, orders.select("c_custkey")).select(
+        F.lit("anti").alias("kind"),
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
+    )
+    return semi.unionByName(anti)
 
 
 @q("q_join_proj", """
@@ -435,32 +416,39 @@ def _setop_inputs(spark, sf_dir):
     return a, b
 
 
-@q("q_union", _URGENT_BUILDING + "SELECT c_custkey FROM a UNION SELECT c_custkey FROM b")
-def q_union(spark, sf_dir):
-    a, b = _setop_inputs(spark, sf_dir)
-    return SO.union(a, b)
-
-
-@q("q_minus", _URGENT_BUILDING + "SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b")
-def q_minus(spark, sf_dir):
-    a, b = _setop_inputs(spark, sf_dir)
-    return SO.minus(a, b)
-
-
-@q("q_intersect", _URGENT_BUILDING + "SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b")
-def q_intersect(spark, sf_dir):
-    a, b = _setop_inputs(spark, sf_dir)
-    return SO.intersect(a, b)
-
-
-@q("q_symdiff", _URGENT_BUILDING + """
-SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b
-UNION
-SELECT c_custkey FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a)
+@q("q_setops", _URGENT_BUILDING + """
+SELECT 'union' AS op, c_custkey
+  FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'minus', c_custkey
+  FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'intersect', c_custkey
+  FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'symdiff', c_custkey FROM (
+  SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b
+  UNION
+  SELECT c_custkey FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a))
 """)
-def q_symdiff(spark, sf_dir):
+def q_setops(spark, sf_dir):
+    """All four Andl set operators — union / minus / intersect /
+    symdiff (SURVEY §2 rows 18-21, setops.py) — over the same two
+    heading-aligned inputs, each branch tagged with its operator. The
+    branches are disjoint by tag, so the UNION ALL stitching preserves
+    each operator's set semantics exactly."""
     a, b = _setop_inputs(spark, sf_dir)
-    return SO.symdiff(a, b)
+    parts = [
+        ("union", SO.union(a, b)),
+        ("minus", SO.minus(a, b)),
+        ("intersect", SO.intersect(a, b)),
+        ("symdiff", SO.symdiff(a, b)),
+    ]
+    out = None
+    for op, df in parts:
+        tagged = df.select(F.lit(op).alias("op"), "c_custkey")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 @q("q_rdivide", """
@@ -657,26 +645,20 @@ from .pipeline import text as T  # noqa: E402
 _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
 
-@q("q_fingerprint", f"""
-SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
-""")
-def q_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 of normalized text (pipeline/text.py)."""
-    docs = _t(spark, sf_dir)["documents"]
-    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
-
-
 @q("q_dedup_exact", f"""
-WITH tagged AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
-SELECT doc_id,
-       MIN(doc_id) OVER (PARTITION BY digest) AS canonical_id,
-       doc_id <> MIN(doc_id) OVER (PARTITION BY digest) AS is_dup
+WITH tagged AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+SELECT doc_id, fp,
+       MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
 FROM tagged
 """)
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup via content-digest hash-groupBy (pipeline/dedup.py)."""
+    """Exact dedup via content-digest hash-groupBy (pipeline/dedup.py),
+    with the DOCUMENT FINGERPRINT itself (pipeline/text.fingerprint —
+    md5 of normalized text, SURVEY §2.8 row 41) exposed as the `fp`
+    column: one scan computes the fingerprint, one shuffle groups it."""
     docs = _t(spark, sf_dir)["documents"]
-    return D.exact_dedup(docs, "doc_id", "text")
+    return D.exact_dedup(docs, "doc_id", "text", with_digest="fp")
 
 
 @q("q_token_count", """
@@ -734,14 +716,35 @@ _QUALITY_R4_SQL = r"""ROUND(
   + 1e-9, 4)"""
 
 
+_DUP_FRAC_SQL = r"""(
+  SELECT CASE WHEN len(g) > 0 THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g) END
+  FROM (SELECT list_transform(range(2, len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1),
+                              i -> regexp_split_to_array(lower(trim(text)), '\s+')[i-1] || ' ' ||
+                                   regexp_split_to_array(lower(trim(text)), '\s+')[i]) AS g)
+)"""
+
+
 @q("q_text_quality", f"""
-SELECT doc_id, {_QUALITY_R4_SQL} AS quality
+SELECT doc_id, {_QUALITY_R4_SQL} AS quality,
+       ROUND({_DUP_FRAC_SQL} + 1e-9, 4) AS dup_bigram_frac,
+       ({_DUP_FRAC_SQL} <= 0.2) AS keep_rep
 FROM documents
 """)
 def q_text_quality(spark, sf_dir):
-    """Surface-statistics quality score (pipeline/text.py)."""
+    """Per-document quality signals in ONE scan-side pass: the
+    surface-statistics quality score (pipeline/text.quality_score) AND
+    the Gopher-style duplicate-bigram repetition fraction with its
+    keep-≤0.2 rule (pipeline/text.repetition_stats, Rae et al. 2021) —
+    SURVEY §2.8 rows 39 and 47. No shuffle; both signals compose with
+    downstream dedup in the same stage."""
     docs = _t(spark, sf_dir)["documents"]
-    return docs.select("doc_id", r4(T.quality_score("text")).alias("quality"))
+    scored = T.repetition_stats(docs, "text")
+    return scored.select(
+        "doc_id",
+        r4(T.quality_score("text")).alias("quality"),
+        r4(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
+        (F.col("dup_bigram_frac") <= 0.2).alias("keep_rep"),
+    )
 
 
 @q("q_clean_corpus", f"""
@@ -824,7 +827,7 @@ def q_embed_dup(spark, sf_dir):
     8 hyperplane tables × 8 bits, any-table collision → exact-cosine
     verify; never a cartesian product). The oracle mirrors the same
     hyperplane literals, so the approximate candidate set itself is
-    hash-checked. q_embed_dup_recall reports its measured recall vs the
+    hash-checked. q_recall_gauges reports its measured recall vs the
     exact all-pairs result."""
     emb = _t(spark, sf_dir)["embeddings"]
     pairs = D.embedding_dup_pairs(
@@ -834,25 +837,44 @@ def q_embed_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b", r4(F.col("cosine")).alias("cosine"))
 
 
-@q("q_embed_dup_recall", f"""
-WITH exact AS (
+@q("q_recall_gauges", f"""
+WITH exact_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE {_COS_SQL} >= 0.45
-), approx AS (
+), approx_pairs AS (
   SELECT id_a, id_b FROM ({D.embedding_dup_pairs_sql(
       threshold=0.45, bucket_bits=8, n_tables=8, dim=64, round_to=None)})
+), exact_topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+    JOIN embeddings b ON a.vec_id <> b.vec_id
+  ) WHERE rank <= 5
+), lsh AS (
+  SELECT query_id, cand_id FROM ({SS.topk_lsh_sql(k=5, bits=8, multiprobe=1, dim=64)})
+), ivf AS (
+  SELECT query_id, cand_id FROM ({SS.topk_ivf_det_sql(k=5, nlist=16, nprobe=4)})
 )
-SELECT COUNT(*) AS n_exact,
-       COUNT(a.id_a) AS n_found,
-       ROUND(COUNT(a.id_a) / COUNT(*) + 1e-9, 4) AS recall
-FROM exact e LEFT JOIN approx a USING (id_a, id_b)
+SELECT 'embed_dup' AS gauge, CAST(-1 AS BIGINT) AS query_id,
+       ROUND(COUNT(a.id_a) * 1.0 / COUNT(*) + 1e-9, 4) AS recall
+FROM exact_pairs e LEFT JOIN approx_pairs a USING (id_a, id_b)
+UNION ALL
+SELECT 'ann_lsh', CAST(e.query_id AS BIGINT), ROUND(COUNT(l.cand_id) / 5.0 + 1e-9, 4)
+FROM exact_topk e LEFT JOIN lsh l USING (query_id, cand_id) GROUP BY 2
+UNION ALL
+SELECT 'ann_ivf', CAST(e.query_id AS BIGINT), ROUND(COUNT(i.cand_id) / 5.0 + 1e-9, 4)
+FROM exact_topk e LEFT JOIN ivf i USING (query_id, cand_id) GROUP BY 2
 """)
-def q_embed_dup_recall(spark, sf_dir):
-    """Self-verification of the bucketed near-dup path: recall of the
-    LSH candidate pairs against the exact all-pairs ≥-threshold set,
-    as one deterministic row both engines reproduce (VERDICT r1 §2:
-    make approximate ops self-verifying)."""
+def q_recall_gauges(spark, sf_dir):
+    """Every approximate operator's self-verification in one gauge
+    relation (gauge, query_id, recall): the bucketed embedding near-dup
+    path's pair recall vs the exact all-pairs set (query_id = -1), and
+    per-query recall@5 of both ANN paths (hyperplane LSH, IVF) against
+    exact brute-force top-5. Deterministic numbers an independent
+    engine reproduces — the recall/cost dials (bits, multiprobe,
+    nprobe) are what a user tunes at 100 TB; this query is the gauge."""
     emb = _t(spark, sf_dir)["embeddings"]
     exact = D.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
     approx = D.embedding_dup_pairs(
@@ -862,10 +884,32 @@ def q_embed_dup_recall(spark, sf_dir):
     hit = exact.select("id_a", "id_b").join(
         approx.select("id_a", "id_b", F.lit(1).alias("__f")), ["id_a", "id_b"], "left"
     )
-    return hit.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("__f").alias("n_found"),
-        r4(F.count("__f") / F.count(F.lit(1))).alias("recall"),
+    embed_row = hit.agg(
+        r4(F.count("__f") / F.count(F.lit(1))).alias("recall")
+    ).select(
+        F.lit("embed_dup").alias("gauge"),
+        F.lit(-1).cast("long").alias("query_id"), "recall",
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_k = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    lsh = SS.topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1, dim=64)
+    ivf = SS.topk_ivf_det(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+
+    def ann_rows(tag, path):
+        joined = exact_k.select("query_id", "cand_id").join(
+            path.select("query_id", "cand_id", F.lit(1).alias("__h")),
+            ["query_id", "cand_id"], "left",
+        )
+        return joined.groupBy("query_id").agg(
+            r4(F.count("__h") / F.lit(5.0)).alias("recall")
+        ).select(
+            F.lit(tag).alias("gauge"),
+            F.col("query_id").cast("long").alias("query_id"), "recall",
+        )
+
+    return embed_row.unionByName(ann_rows("ann_lsh", lsh)).unionByName(
+        ann_rows("ann_ivf", ivf)
     )
 
 
@@ -936,67 +980,50 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
 
 
-@q("q_ann_recall", f"""
-WITH exact AS (
-  SELECT query_id, cand_id FROM (
-    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
-    FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
-    JOIN embeddings b ON a.vec_id <> b.vec_id
-  ) WHERE rank <= 5
-), lsh AS (
-  SELECT query_id, cand_id FROM ({SS.topk_lsh_sql(k=5, bits=8, multiprobe=1, dim=64)})
-), ivf AS (
-  SELECT query_id, cand_id FROM ({SS.topk_ivf_det_sql(k=5, nlist=16, nprobe=4)})
-)
-SELECT e.query_id,
-       ROUND(COUNT(l.cand_id) / 5.0 + 1e-9, 4) AS lsh_recall,
-       ROUND(COUNT(i.cand_id) / 5.0 + 1e-9, 4) AS ivf_recall
-FROM exact e
-LEFT JOIN lsh l USING (query_id, cand_id)
-LEFT JOIN ivf i USING (query_id, cand_id)
-GROUP BY e.query_id
-""")
-def q_ann_recall(spark, sf_dir):
-    """Per-query recall@5 of both ANN paths against the exact
-    brute-force top-5 — deterministic numbers an independent engine
-    reproduces (VERDICT r1 §2). The recall/cost dial (bits, multiprobe,
-    nprobe) is what a user tunes at 100 TB; this query is the gauge."""
-    emb = _t(spark, sf_dir)["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
-    lsh = SS.topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=8, multiprobe=1, dim=64)
-    ivf = SS.topk_ivf_det(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
-    hit = (
-        exact.select("query_id", "cand_id")
-        .join(lsh.select("query_id", "cand_id", F.lit(1).alias("__l")),
-              ["query_id", "cand_id"], "left")
-        .join(ivf.select("query_id", "cand_id", F.lit(1).alias("__i")),
-              ["query_id", "cand_id"], "left")
-    )
-    return hit.groupBy("query_id").agg(
-        r4(F.count("__l") / F.lit(5.0)).alias("lsh_recall"),
-        r4(F.count("__i") / F.lit(5.0)).alias("ivf_recall"),
-    )
-
-
 # =====================================================================
 # §2.7 events: windowed + sessionized aggregation (batch == stream plan)
 # =====================================================================
 
 @q("q_events_window", """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+WITH halfhour AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS hh,
+         event_type, value
+  FROM events
+), sliding AS (
+  SELECT hh AS wstart, event_type, value FROM halfhour
+  UNION ALL
+  SELECT hh - INTERVAL 30 MINUTE, event_type, value FROM halfhour
+)
+SELECT 'tumbling' AS kind,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS total_value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding', strftime(wstart, '%Y-%m-%d %H:%M:%S'), event_type,
+       COUNT(*), ROUND(SUM(value) + 1e-6, 2)
+FROM sliding GROUP BY 2, 3
 """)
 def q_events_window(spark, sf_dir):
-    """Tumbling 1-hour aggregation; same plan runs under readStream
-    with a watermark (streaming/events.py)."""
+    """Tumbling 1-hour AND sliding 1-hour/30-min-hop aggregation
+    (SURVEY §2.7; streaming/events.windowed_agg) in one kind-tagged
+    result — the identical plans run under readStream with a watermark.
+    The sliding oracle expresses each event's two covering windows as a
+    shifted two-way union."""
+    from .streaming.events import windowed_agg
+
     ev = _t(spark, sf_dir)["events"]
-    return ev.groupBy(
+    tumbling = ev.groupBy(
         F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
+    sliding = windowed_agg(ev, window="1 hour", slide="30 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", r2(F.col("total_value")).alias("total_value"),
+    )
+    return (
+        tumbling.select(F.lit("tumbling").alias("kind"), "*")
+        .unionByName(sliding.select(F.lit("sliding").alias("kind"), "*"))
+    )
 
 
 @q("q_topk_orders", """
@@ -1018,35 +1045,6 @@ def q_topk_orders(spark, sf_dir):
             "o_custkey", "o_orderkey", "o_totalprice",
             F.row_number().over(w).cast("long").alias("rk"),
         ).filter(F.col("rk") <= 3)
-    )
-
-
-@q("q_events_sliding", """
-WITH halfhour AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS hh,
-         event_type, value
-  FROM events
-), exploded AS (
-  SELECT hh AS wstart, event_type, value FROM halfhour
-  UNION ALL
-  SELECT hh - INTERVAL 30 MINUTE, event_type, value FROM halfhour
-)
-SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-       COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS total_value
-FROM exploded GROUP BY 1, 2
-""")
-def q_events_sliding(spark, sf_dir):
-    """Sliding 1-hour / 30-minute-hop aggregation
-    (streaming/events.windowed_agg slide=): each event lands in its
-    two covering windows; the oracle expresses that as a shifted
-    two-way union."""
-    from .streaming.events import windowed_agg
-
-    ev = _t(spark, sf_dir)["events"]
-    out = windowed_agg(ev, window="1 hour", slide="30 minutes")
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type", "n", r2(F.col("total_value")).alias("total_value"),
     )
 
 
@@ -1143,38 +1141,6 @@ def q_agg_having(spark, sf_dir):
     )
 
 
-@q("q_window_ordg", """
-WITH numbered AS (
-  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-         CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ord
-  FROM orders WHERE o_custkey < 20
-)
-SELECT o_custkey, o_orderkey, ord,
-       CAST(MIN(ord) OVER (PARTITION BY o_custkey) AS BIGINT) AS ordg,
-       ROUND(COALESCE(NTH_VALUE(o_totalprice, 3) OVER
-             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) + 1e-6, 2) AS nth3
-FROM numbered
-""")
-def q_window_ordg(spark, sf_dir):
-    """Andl ord()/ordg()/nth(n) (sample5.andl:29-44). ord() is a TOTAL
-    order over the input — inherently single-partition, so it's
-    restricted to a filtered slice here; scalable pipelines use the
-    per-group ord of q_window_running instead (ordg = the group's first
-    ord, nth = nth value within the group so far)."""
-    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 20)
-    w_global = Window.orderBy("o_orderdate", "o_orderkey")
-    w_grp = Window.partitionBy("o_custkey")
-    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wf = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        orders.withColumn("ord", F.row_number().over(w_global).cast("long"))
-        .select(
-            "o_custkey", "o_orderkey", "ord",
-            F.min("ord").over(w_grp).cast("long").alias("ordg"),
-            r2(F.coalesce(F.nth_value("o_totalprice", 3).over(wf), F.lit(0.0))).alias("nth3"),
-        )
-    )
 
 
 @q("q_mandelbrot", """
@@ -1251,70 +1217,90 @@ def q_mandelbrot(spark, sf_dir):
     )
 
 
-@q("q_source_mixture", """
+@q("q_corpus_profile", r"""
 WITH per AS (
-  SELECT source, lang, COUNT(*) AS n_docs,
-         COUNT(DISTINCT md5(text)) AS n_unique,
-         ROUND(AVG(LENGTH(text)) + 1e-9, 4) AS avg_chars
-  FROM documents GROUP BY source, lang
-)
-SELECT source, lang, n_docs, n_unique,
-       ROUND(n_docs * 1.0 / SUM(n_docs) OVER () + 1e-9, 6) AS share,
-       ROUND(1 - n_unique * 1.0 / n_docs + 1e-9, 6) AS dup_rate,
-       avg_chars
-FROM per
-""")
-def q_source_mixture(spark, sf_dir):
-    """Training-data mixture report (pipeline/text.source_mixture):
-    per-source/lang counts, corpus share, exact-dup rate."""
-    docs = _t(spark, sf_dir)["documents"]
-    return T.source_mixture(docs)
-
-
-@q("q_window_rank", """
-SELECT o_custkey, o_orderkey,
-       CAST(RANK()       OVER w AS BIGINT) AS rnk,
-       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-       CAST(NTILE(4)     OVER w AS BIGINT) AS quartile
-FROM orders WHERE o_custkey < 20
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-""")
-def q_window_rank(spark, sf_dir):
-    """Andl rank() (Builtin.cs Rank) + the SQL rank family over a
-    grouped order — one window shuffle, all JVM-side."""
-    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 20)
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return orders.select(
-        "o_custkey", "o_orderkey",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-from .pipeline import split as SP  # noqa: E402
-
-
-@q("q_corpus_stats", r"""
-WITH t AS (
-  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n,
+  SELECT source, lang, md5(text) AS digest, LENGTH(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
          len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
            * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS lexdiv
   FROM documents
-)
-SELECT COUNT(*) AS n_docs,
-       ROUND(AVG(n) + 1e-9, 4) AS avg_tokens,
-       quantile_cont(n, 0.5)  AS p50_tokens,
-       quantile_cont(n, 0.9)  AS p90_tokens,
-       quantile_cont(n, 0.99) AS p99_tokens,
+), tot AS (SELECT COUNT(*) AS total_docs FROM documents)
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT digest) AS n_unique,
+       ROUND(COUNT(*) * 1.0 / MAX(total_docs) + 1e-9, 6) AS share,
+       ROUND(1 - COUNT(DISTINCT digest) * 1.0 / COUNT(*) + 1e-9, 6) AS dup_rate,
+       ROUND(AVG(n_chars) + 1e-9, 4) AS avg_chars,
+       ROUND(AVG(n_tok) + 1e-9, 4) AS avg_tokens,
+       quantile_cont(n_tok, 0.5)  AS p50_tokens,
+       quantile_cont(n_tok, 0.9)  AS p90_tokens,
+       quantile_cont(n_tok, 0.99) AS p99_tokens,
        ROUND(AVG(lexdiv) + 1e-9, 4) AS avg_lexdiv
-FROM t
+FROM per CROSS JOIN tot
+GROUP BY ROLLUP(source, lang)
 """)
-def q_corpus_stats(spark, sf_dir):
-    """Corpus profile (pipeline/text.corpus_stats): token-count
-    distribution + lexical diversity in one aggregation pass."""
+def q_corpus_profile(spark, sf_dir):
+    """Corpus statistics + training-mixture report at every grain in
+    one ROLLUP pass (pipeline/text.corpus_profile): per-(source, lang)
+    mixture rows, per-source subtotals, and the global profile — doc
+    counts, corpus share, exact-dup rate, mean length, token-count
+    percentiles, lexical diversity (SURVEY §2.8 rows 44 and 45)."""
     docs = _t(spark, sf_dir)["documents"]
-    return T.corpus_stats(docs, "text")
+    return T.corpus_profile(docs)
+
+
+@q("q_window_rank", """
+WITH numbered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ord
+  FROM orders WHERE o_custkey < 20
+), win AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(RANK()       OVER w AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+         CAST(NTILE(4)     OVER w AS BIGINT) AS quartile,
+         ord,
+         CAST(MIN(ord) OVER (PARTITION BY o_custkey) AS BIGINT) AS ordg,
+         ROUND(COALESCE(NTH_VALUE(o_totalprice, 3) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) + 1e-6, 2) AS nth3
+  FROM numbered
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM win ORDER BY o_custkey, o_orderkey LIMIT 100 OFFSET 10
+""")
+def q_window_rank(spark, sf_dir):
+    """Andl rank() family (Builtin.cs Rank — rank/dense_rank/ntile over
+    a grouped order) PLUS ord()/ordg()/nth(n) total-order forms
+    (sample5.andl:29-44) PLUS .skip(10).take(100) paging on the ordered
+    result (Builtin.cs Take/Skip) — SURVEY §2 rows 11c, 11d, 24b in
+    one window pass. ord() is a TOTAL order — inherently
+    single-partition, so the query restricts to a slice first;
+    scalable pipelines use per-group ord (q_window_running). Window
+    values are computed over full partitions BEFORE the paging limit,
+    so the skip/take checks real window output."""
+    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_global = Window.orderBy("o_orderdate", "o_orderkey")
+    w_grp = Window.partitionBy("o_custkey")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    windowed = (
+        orders.withColumn("ord", F.row_number().over(w_global).cast("long"))
+        .select(
+            "o_custkey", "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            "ord",
+            F.min("ord").over(w_grp).cast("long").alias("ordg"),
+            r2(F.coalesce(F.nth_value("o_totalprice", 3).over(wf), F.lit(0.0))).alias("nth3"),
+        )
+    )
+    return Relation(windowed).order_display("o_custkey", "o_orderkey").skip(10).take(100).df
+
+
+from .pipeline import split as SP  # noqa: E402
 
 
 @q("q_train_split")  # oracle assembled from split_oracle_sql below
@@ -1335,18 +1321,6 @@ ORACLE["q_train_split"] = (
     + SP.split_oracle_sql("doc_id", "documents")
     + ") GROUP BY split"
 )
-
-
-@q("q_skip_take", """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10
-""")
-def q_skip_take(spark, sf_dir):
-    """Andl .skip(n)/.take(n) over an ordered relation (Builtin.cs
-    Take/Skip) — Spark offset+limit on a total sort of a unique key."""
-    orders = _t(spark, sf_dir)["orders"]
-    rel = Relation(orders.select("o_orderkey", "o_custkey", "o_totalprice"))
-    return rel.order_display("o_orderkey").skip(10).take(5).df
 
 
 def sudoku_solve(spark: SparkSession, puzzle: str) -> DataFrame:
@@ -1583,43 +1557,6 @@ def q_colocated_pairs(spark, sf_dir):
 # =====================================================================
 # §2.8 continued: repetition filtering + n-gram profiles
 # =====================================================================
-
-@q("q_repetition_filter", r"""
-WITH bg AS (
-  SELECT lang,
-         list_transform(range(2, len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1),
-                        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i-1] || ' ' ||
-                             regexp_split_to_array(lower(trim(text)), '\s+')[i]) AS grams
-  FROM documents
-),
-scored AS (
-  SELECT lang,
-         CASE WHEN len(grams) > 0
-              THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END AS dup_frac
-  FROM bg
-)
-SELECT lang,
-       COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN dup_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       ROUND(AVG(dup_frac) + 1e-9, 4) AS avg_dup_frac
-FROM scored GROUP BY lang
-""")
-def q_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition filter (pipeline/text.repetition_stats):
-    per-doc duplicate-bigram fraction, keep docs ≤ 0.2. Reported per
-    language: total, kept, mean duplicate fraction. The signal is a
-    pure scan-side array expression — no shuffle until the tiny
-    per-lang rollup."""
-    docs = _t(spark, sf_dir)["documents"]
-    scored = T.repetition_stats(docs, "text")
-    return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.when(F.col("dup_bigram_frac") <= 0.2, 1).otherwise(0)
-        ).cast("long").alias("n_kept"),
-        r4(F.avg("dup_bigram_frac")).alias("avg_dup_frac"),
-    )
-
 
 @q("q_top_ngrams", r"""
 WITH bg AS (

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from andl_spark.session import get_spark  # noqa: E402
 from andl_spark import workload  # noqa: E402
 
+# r3 renames vs the r1/r2 bench history (BASELINE.md maps them):
+#   q_join_natural retired (its join shape is inside q3);
+#   q_repetition_filter folded into q_text_quality;
+#   q_corpus_stats + q_source_mixture merged into q_corpus_profile.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -24,10 +28,9 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
-    "q_repetition_filter",
+    "q_text_quality",
     "q_top_ngrams",
     "q_agg_fold",
-    "q_join_natural",
     "q_window_grouped",
     "q_window_running",
     "q_rdivide",
@@ -36,8 +39,7 @@ HEADLINE = [
     "q_nest_unnest",
     "q_clean_corpus",
     "q_train_split",
-    "q_corpus_stats",
-    "q_source_mixture",
+    "q_corpus_profile",
 ]
 # pipeline + events headliners (self-registered in workload).
 # *_recall entries are correctness gauges (they re-run the exact

@@ -50,7 +50,7 @@ def test_semijoin_never_materializes_right(spark):
 
 
 def test_antijoin_plan(spark):
-    df = workload.QUERIES["q_antijoin"](spark, SF_SMOKE)
+    df = workload.QUERIES["q_semi_anti_join"](spark, SF_SMOKE)
     assert "LeftAnti" in X.formatted_plan(df)
 
 
