@@ -109,10 +109,21 @@ _SHINGLE_SQL = (
 )
 
 
-def _h32_expr(s: F.Column) -> F.Column:
-    """Portable 32-bit string hash: low 4 bytes of md5, identical to
-    DuckDB's ('0x'||substr(md5(s),25,8))::BIGINT."""
-    return F.conv(F.substring(F.md5(s), 25, 8), 16, 10).cast("long")
+def _h32_expr(s: F.Column, hash_fn: str = "xxhash64") -> F.Column:
+    """32-bit non-negative string hash.
+
+    ``xxhash64`` (default) is the PRODUCTION primitive: one JVM
+    intrinsic per value, ~2-3x cheaper than the md5 path at 100 TB
+    (the r2 bench paid 4.05→5.35s on minhash for md5 alone).
+    ``md5`` is the ORACLE-PARITY primitive — bit-identical to DuckDB's
+    ('0x'||substr(md5(s),25,8))::BIGINT, so an independent engine can
+    reproduce signatures exactly; use it when a query is hash-checked
+    against a SQL mirror (workload.q_dedup_minhash)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(s), 25, 8), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 _H32_SQL = "('0x'||substr(md5({s}),25,8))::BIGINT"
@@ -125,11 +136,13 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<long>[num_perm]) as a pure JVM pipeline —
     no UDF, no Python on the scan.
 
-    Shape: explode shingles → md5-low32 → ONE hash-aggregate with
+    Shape: explode shingles → 32-bit hash (_h32_expr; xxhash64 in
+    production, md5 in oracle-parity mode) → ONE hash-aggregate with
     ``num_perm`` min() expressions (map-side partial min, single
     shuffle on id). Flat aggregate expressions stay inside whole-stage
     codegen, unlike a num_perm-deep nest of array transforms, which
@@ -142,7 +155,7 @@ def minhash_signatures(
     h = src.select(
         F.col(id_col),
         F.explode(shingle_expr(words, shingle_k)).alias("s"),
-    ).select(F.col(id_col), _h32_expr(F.col("s")).alias("h"))
+    ).select(F.col(id_col), _h32_expr(F.col("s"), hash_fn).alias("h"))
     mins = [
         F.min((F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i]))) % F.lit(_MINHASH_P)).alias(f"m{i}")
         for i in range(num_perm)
@@ -215,19 +228,25 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     num_bands: int = 16,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: signatures → LSH buckets → estimated
-    Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard).
+    hash_fn='md5' only for oracle-parity runs (see _h32_expr)."""
     # Persist + materialize signatures: they feed candidate generation
     # AND both sides of the scoring join. Eager count() matters — the
     # self-join's two scan stages run concurrently, and with a lazy
     # persist they race and each runs the Pandas UDF over the full
     # corpus before the cache lands.
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).persist()
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, hash_fn=hash_fn).persist()
     sigs.count()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands)
     scored = minhash_jaccard(sigs, pairs, id_col)
-    return scored.filter(F.col("est_jaccard") >= threshold)
+    # Materialize the (small) pair result and release the signature
+    # cache — each invocation used to leak a cached RDD (ADVICE r2).
+    out = scored.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def minhash_pairs_sql(
@@ -286,13 +305,20 @@ SELECT id_a, id_b, {out_est} AS est_jaccard FROM scored WHERE est_jaccard >= {th
 # SimHash
 # ---------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document as two 32-bit halves (sh_lo bits
     0-31, sh_hi bits 32-63), computed entirely as JVM expressions: each
-    word's md5 supplies the 64 hash bits (hi/lo 4-byte halves), the ±1
-    bit votes are summed with a single array-accumulator aggregate, and
-    the sign bits are packed. No Python anywhere; md5 is the portable
-    primitive an independent SQL engine reproduces (simhash_pairs_sql).
+    word's hash supplies the 64 bits, the ±1 bit votes are summed with
+    a single flat aggregate, and the sign bits are packed.
+
+    hash_fn='xxhash64' (default) is the production primitive — ONE JVM
+    intrinsic per word (the r2 md5 path cost 1.92→5.11s at sf0.1);
+    hash_fn='md5' is the oracle-parity primitive an independent SQL
+    engine reproduces bit-for-bit (simhash_pairs_sql, hi/lo 4-byte
+    halves of the digest) — used by the hash-checked
+    workload.q_dedup_simhash.
 
     Two halves (not one int64) keep every value inside non-negative
     32-bit range on both engines — no sign-bit / unsigned-cast hazards.
@@ -303,24 +329,50 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # explode → ONE hash-aggregate with 64 bit-vote sums + a count:
     # flat aggregates stay in codegen and combine map-side, so only
     # (id, 65 longs) reaches the shuffle regardless of document width
+    if hash_fn == "xxhash64":
+        h64 = F.xxhash64("w")
+        hi_lo = [
+            F.shiftrightunsigned(h64, 32).bitwiseAND(F.lit(0xFFFFFFFF)).alias("hi"),
+            h64.bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+        ]
+    elif hash_fn == "md5":
+        hi_lo = [
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     h = src.select(F.col(id_col), F.explode(words).alias("w")).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+        F.col(id_col), *hi_lo,
     )
+    # 32 lane-packed vote sums instead of 64 scalar ones: lane i's low
+    # 32 bits count lo-bit-i votes, its high 32 bits count hi-bit-i
+    # votes (each word contributes 0/1 low + 0/2^32 high — exact, and
+    # overflow-free below 2^31 words per document). Halving the
+    # aggregate width halves both the generated-code size (Janino
+    # compile is a measurable share of a cold run) and the per-row agg
+    # work; the unpacked counts are bit-identical to the 64-sum form,
+    # so the DuckDB mirror (simhash_pairs_sql) is unaffected.
     votes = [
         F.sum(
-            F.shiftrightunsigned(F.col("lo") if i < 32 else F.col("hi"), i % 32)
-            .bitwiseAND(F.lit(1))
-        ).alias(f"b{i}")
-        for i in range(64)
+            F.shiftrightunsigned("lo", i).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftrightunsigned("hi", i).bitwiseAND(F.lit(1)), 32)
+        ).alias(f"v{i}")
+        for i in range(32)
     ]
     agg = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
+
+    def bit_votes(i: int) -> F.Column:
+        v = F.col(f"v{i % 32}")
+        return (
+            v.bitwiseAND(F.lit(0xFFFFFFFF)) if i < 32
+            else F.shiftrightunsigned(v, 32)
+        )
 
     def pack(rng) -> F.Column:
         # sign bit i set  <=>  (#ones)*2 - n > 0
         terms = [
-            F.when(F.col(f"b{i}") * 2 - F.col("n") > 0, F.lit(1 << (i % 32))).otherwise(F.lit(0))
+            F.when(bit_votes(i) * 2 - F.col("n") > 0, F.lit(1 << (i % 32))).otherwise(F.lit(0))
             for i in rng
         ]
         out = terms[0]
@@ -387,9 +439,12 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3)
     # Materialize signatures before the self-join: its two scan stages
     # run concurrently and would each recompute the signature pipeline
     # (chunk explode from cache is cheap — cache pre-explode, 1 row
-    # instead of 10 per doc).
-    signatures = signatures.persist()
-    signatures.count()
+    # instead of 10 per doc). Respect a caller-owned cache (skip the
+    # double persist+count when the input is already cached).
+    caller_cached = signatures.is_cached
+    if not caller_cached:
+        signatures = signatures.persist()
+        signatures.count()
     e = signatures.select(id_col, "sh_lo", "sh_hi", F.explode(chunks).alias("c")).select(
         id_col, "sh_lo", "sh_hi", "c.chunk", "c.val"
     )
@@ -398,7 +453,7 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3)
         F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
         + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
     ).cast("long")
-    return (
+    out = (
         a.join(b, on=["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -409,6 +464,12 @@ def simhash_near_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3)
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    # Materialize the (small) pair result, then release the signature
+    # cache — each invocation used to leak a cached RDD (ADVICE r2).
+    out = out.localCheckpoint(eager=True)
+    if not caller_cached:
+        signatures.unpersist()
+    return out
 
 
 def simhash_pairs_sql(
@@ -468,7 +529,9 @@ def ngram_jaccard_pairs(
     JVM-side shingling: split → transform over index range → explode.
     ``max_shingle_freq`` drops shingles appearing in more than that
     many docs (stop-shingles) — the lever that keeps the self-join
-    bounded at corpus scale."""
+    bounded at corpus scale. With the cap on, the score is the exact
+    Jaccard over the RETAINED (distinctive) shingle universe: both the
+    intersection and the denominators count post-cap shingles."""
     # Materialize the split once per row; referencing the split expr
     # inside the transform lambda would re-split per shingle.
     with_words = ensure_parallelism(df.select(id_col, text_col)).select(
@@ -505,8 +568,17 @@ def ngram_jaccard_pairs(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
         freq = ex.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
+        # Denominators must count the RETAINED shingles, not the
+        # pre-cap sizes, or the score stops being the Jaccard of any
+        # well-defined set (two identical boilerplate-heavy docs could
+        # score below threshold and be missed — ADVICE r2). One extra
+        # exchange of the exploded table by id; the cap path already
+        # shuffles it twice for the frequency join.
+        ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     # shuffle_hash: same single-task broadcast-build hazard as
     # lsh_candidate_pairs — never broadcast a corpus-sized side.
     a, b = ex.alias("a"), ex.alias("b").hint("shuffle_hash")
@@ -520,11 +592,17 @@ def ngram_jaccard_pairs(
             F.first("b.n_sh").alias("sz_b"),
         )
     )
-    return common.select(
+    out = common.select(
         "id_a",
         "id_b",
         (F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+    # Materialize the (small) pair result, then release the shingle
+    # cache — without this every invocation leaked a cached RDD for the
+    # session lifetime (ADVICE r2).
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------
