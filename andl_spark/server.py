@@ -1,0 +1,224 @@
+"""REST/JSON server over AndlSession — the Andl.Server parity surface.
+
+The reference serves its catalog over REST: GET/POST/PUT/DELETE on
+`rest/<database>/<name>[/<id>]`, each routed through Gateway.JsonCall
+(Andl.Server/Controllers/RestController.cs:23-58), plus ad-hoc
+evaluation endpoints. This module re-expresses that on the Spark
+session with nothing but the standard library — `http.server` — so a
+remote client on any platform can read relvars, page them, filter
+them, mutate them (CRUD as relational assignment), and POST ad-hoc
+SQL, all as JSON over a socket.
+
+Routes (database == the Spark session; one server per session):
+    GET    /rest/<name>?col=val&limit=n   rows of a relvar/view,
+                                          equality-filtered by query
+                                          params (RestController.cs:23)
+    GET    /rest/<name>/<id>              rows whose FIRST column = id
+                                          (RestController.cs:29)
+    POST   /rest/<name>                   body = JSON list of row
+                                          objects -> insert (Andl
+                                          `update r union rel`)
+    PUT    /rest/<name>/<id>              body = {col: value} ->
+                                          update matching rows
+    DELETE /rest/<name>/<id>              delete matching rows
+    POST   /api/sql                       {"sql": "...", "limit": n}
+                                          -> ad-hoc query rows
+    GET    /api/variables                 visible relvars/views
+                                          (Builtin.cs Variables())
+    GET    /api/operators                 defined operators
+    POST   /api/call/<op>                 {"args": [...]} -> call a
+                                          stored operator
+
+Result shape: {"columns": [...], "rows": [[...], ...]} — column order
+preserved, values JSON-scalarized. Every read is bounded by `limit`
+(default 1000): a serving endpoint must never materialize an unbounded
+relation onto one process.
+
+Scale note: the server is a thin control-plane veneer — every request
+compiles to a Spark plan and the LIMIT is pushed into it (CollectLimit
+over the scan), so a GET against a 100 TB table reads only what it
+returns. Mutations write a NEW catalog version (immutable snapshot
+semantics, sources/catalog.py) rather than rewriting in place.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date, datetime
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LIMIT = 1000
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if hasattr(v, "asDict"):  # nested Row
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    return v
+
+
+def _payload(df: DataFrame, limit: int) -> dict:
+    rows = df.limit(limit).collect()
+    return {
+        "columns": list(df.columns),
+        "rows": [[_jsonable(v) for v in row] for row in rows],
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the session rides on the server object (see AndlRestServer)
+    def _session(self):
+        return self.server.andl_session  # type: ignore[attr-defined]
+
+    # ---- plumbing -----------------------------------------------------
+    def log_message(self, fmt, *args):  # quiet test output
+        pass
+
+    def _send(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
+        return json.loads(raw) if raw else None
+
+    def _route(self):
+        u = urlparse(self.path)
+        parts = [p for p in u.path.split("/") if p]
+        return parts, dict(parse_qsl(u.query))
+
+    # ---- reads --------------------------------------------------------
+    def do_GET(self):
+        try:
+            parts, q = self._route()
+            sess = self._session()
+            if parts[:1] == ["api"]:
+                if parts[1:] == ["variables"]:
+                    return self._send(200, {"variables": sess.variables()})
+                if parts[1:] == ["operators"]:
+                    return self._send(200, {"operators": sess.operators()})
+                return self._send(404, {"error": f"unknown api route {parts}"})
+            if parts[:1] != ["rest"] or len(parts) not in (2, 3):
+                return self._send(404, {"error": f"unknown route {self.path}"})
+            name = parts[1]
+            limit = int(q.pop("limit", DEFAULT_LIMIT))
+            df = sess.table(name).df
+            if len(parts) == 3:  # GET rest/<name>/<id>: key = first column
+                df = df.filter(F.col(df.columns[0]).cast("string") == parts[2])
+            for col, val in q.items():  # RestController query-pair filters
+                df = df.filter(F.col(col).cast("string") == val)
+            return self._send(200, _payload(df, limit))
+        except Exception as e:  # noqa: BLE001 — surface as HTTP 400
+            return self._send(400, {"error": str(e)})
+
+    # ---- mutations / ad-hoc -------------------------------------------
+    def do_POST(self):
+        try:
+            parts, q = self._route()
+            sess = self._session()
+            body = self._body()
+            if parts[:2] == ["api", "sql"]:
+                limit = int(body.get("limit", DEFAULT_LIMIT))
+                return self._send(200, _payload(sess.sql(body["sql"]).df, limit))
+            if parts[:2] == ["api", "call"] and len(parts) == 3:
+                args = (body or {}).get("args", [])
+                rel = sess.call(parts[2], *args)
+                limit = int((body or {}).get("limit", DEFAULT_LIMIT))
+                return self._send(200, _payload(rel.df, limit))
+            if parts[:1] == ["rest"] and len(parts) == 2:
+                name = parts[1]
+                base = sess.table(name).df
+                new = sess.spark.createDataFrame(
+                    [tuple(r[c] for c in base.columns) for r in body], base.schema
+                )
+                self._replace(name, base.unionByName(new).dropDuplicates())
+                return self._send(200, {"ok": True, "inserted": len(body)})
+            return self._send(404, {"error": f"unknown route {self.path}"})
+        except Exception as e:  # noqa: BLE001
+            return self._send(400, {"error": str(e)})
+
+    def do_PUT(self):
+        try:
+            parts, _ = self._route()
+            if parts[:1] != ["rest"] or len(parts) != 3:
+                return self._send(404, {"error": f"unknown route {self.path}"})
+            sess = self._session()
+            name, rid = parts[1], parts[2]
+            body = self._body() or {}
+            df = sess.table(name).df
+            pred = F.col(df.columns[0]).cast("string") == rid
+            assigns = {
+                c: F.when(pred, F.lit(v)).otherwise(F.col(c)) for c, v in body.items()
+            }
+            self._replace(name, df.withColumns(assigns))
+            return self._send(200, {"ok": True})
+        except Exception as e:  # noqa: BLE001
+            return self._send(400, {"error": str(e)})
+
+    def do_DELETE(self):
+        try:
+            parts, _ = self._route()
+            if parts[:1] != ["rest"] or len(parts) != 3:
+                return self._send(404, {"error": f"unknown route {self.path}"})
+            sess = self._session()
+            name, rid = parts[1], parts[2]
+            df = sess.table(name).df
+            self._replace(name, df.filter(F.col(df.columns[0]).cast("string") != rid))
+            return self._send(200, {"ok": True})
+        except Exception as e:  # noqa: BLE001
+            return self._send(400, {"error": str(e)})
+
+    def _replace(self, name: str, df: DataFrame) -> None:
+        """Relational assignment: the relvar becomes the new relation.
+        Materialize BEFORE re-registering (a lazy plan reading
+        spark.table(name) would self-reference the view it replaces);
+        with a catalog attached the new state lands as a new immutable
+        version (time-travel preserved)."""
+        sess = self._session()
+        out = df.localCheckpoint(eager=True)
+        sess.register(name, out)
+        if sess.catalog is not None and name in sess.catalog.names():
+            sess.catalog.put(name, out)
+
+
+class AndlRestServer:
+    """Threaded REST server bound to an AndlSession. Port 0 (default)
+    picks a free ephemeral port — read `.port` after start()."""
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
+        self._http = ThreadingHTTPServer((host, port), _Handler)
+        self._http.andl_session = session  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._http.server_address[1]
+
+    def start(self) -> "AndlRestServer":
+        self._thread = threading.Thread(target=self._http.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._http.shutdown()
+        self._http.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -18,7 +18,7 @@ Client side — gated in this environment: the PyPI packages `grpcio` +
 build rules forbid installing them. With them present, the client is:
 
     from pyspark.sql import SparkSession
-    remote = SparkSession.builder.remote("sc://localhost:15999").getOrCreate()
+    remote = SparkSession.builder.remote(f"sc://localhost:{PORT}").getOrCreate()
     remote.sql("SELECT * FROM suppliers").show()   # served by THIS process
 
 Run: python demos/connect_server_demo.py  → prints CONNECT_SERVER_OK.
@@ -27,10 +27,21 @@ Run: python demos/connect_server_demo.py  → prints CONNECT_SERVER_OK.
 import socket
 import sys
 import time
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-PORT = 15999
+
+def _free_port() -> int:
+    """Ephemeral port: a hard-coded one fails the run for environmental
+    reasons when busy (ADVICE r2)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+PORT = _free_port()
+REPO = str(Path(__file__).resolve().parent.parent)
 
 
 def main() -> int:
@@ -45,7 +56,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # the served surface: an andl_spark session with a registered relvar
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     from andl_spark.api import AndlSession
 
     sess = AndlSession(spark)

@@ -11,11 +11,14 @@ that has them.
 
 import subprocess
 import sys
+from pathlib import Path
+
+DEMO = Path(__file__).resolve().parent.parent / "demos" / "connect_server_demo.py"
 
 
 def test_connect_server_binds():
     proc = subprocess.run(
-        [sys.executable, "/root/repo/demos/connect_server_demo.py"],
+        [sys.executable, str(DEMO)],
         capture_output=True, text=True, timeout=180,
     )
     assert "CONNECT_SERVER_OK" in proc.stdout, proc.stdout + proc.stderr

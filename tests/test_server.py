@@ -1,0 +1,103 @@
+"""Remote-client round-trip against the REST/JSON serving surface
+(andl_spark/server.py — Andl.Server/Controllers/RestController.cs
+parity). A real HTTP client (urllib over a socket) drives every verb:
+read, keyed read, query-pair filter, paging, insert, update, delete,
+ad-hoc SQL, operator call, introspection — closing the r2 gap where
+the served API bound a port but no client ever executed a query over
+the wire."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from andl_spark.api import AndlSession
+from andl_spark.server import AndlRestServer
+
+
+def _req(port, path, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    cat = tmp_path_factory.mktemp("srvcat")
+    sess = AndlSession(spark, catalog_path=str(cat))
+    s_rows = [(1, "Smith", 20, "London"), (2, "Jones", 10, "Paris"),
+              (3, "Blake", 30, "Paris")]
+    df = spark.createDataFrame(s_rows, "sno int, sname string, status int, city string")
+    sess.catalog.put("S", df)
+    sess.register("S", sess.catalog.get("S"))
+    sess.define("by_city", lambda city: sess.sql(
+        f"SELECT sno, sname FROM S WHERE city = '{city}'").df)
+    server = AndlRestServer(sess).start()
+    yield sess, server.port
+    server.stop()
+
+
+def test_get_rows_and_paging(served):
+    _, port = served
+    out = _req(port, "/rest/S")
+    assert out["columns"] == ["sno", "sname", "status", "city"]
+    assert len(out["rows"]) == 3
+    assert len(_req(port, "/rest/S?limit=2")["rows"]) == 2
+
+
+def test_get_by_id_and_query_filter(served):
+    _, port = served
+    by_id = _req(port, "/rest/S/2")
+    assert by_id["rows"] == [[2, "Jones", 10, "Paris"]]
+    paris = _req(port, "/rest/S?city=Paris")
+    assert sorted(r[1] for r in paris["rows"]) == ["Blake", "Jones"]
+
+
+def test_adhoc_sql_over_the_wire(served):
+    _, port = served
+    out = _req(port, "/api/sql", "POST",
+               {"sql": "SELECT city, COUNT(*) AS n FROM S GROUP BY city"})
+    assert dict((r[0], r[1]) for r in out["rows"]) == {"London": 1, "Paris": 2}
+
+
+def test_operator_call_and_introspection(served):
+    _, port = served
+    assert "by_city" in _req(port, "/api/operators")["operators"]
+    assert "s" in [v.lower() for v in _req(port, "/api/variables")["variables"]]
+    out = _req(port, "/api/call/by_city", "POST", {"args": ["Paris"]})
+    assert sorted(r[1] for r in out["rows"]) == ["Blake", "Jones"]
+
+
+def test_crud_round_trip_with_catalog_versions(served):
+    sess, port = served
+    v0 = sess.catalog.current_version("S")
+    # POST: insert (update r union rel)
+    assert _req(port, "/rest/S", "POST",
+                [{"sno": 4, "sname": "Clark", "status": 20, "city": "London"}])["ok"]
+    assert len(_req(port, "/rest/S")["rows"]) == 4
+    # PUT: update by key
+    assert _req(port, "/rest/S/4", "PUT", {"status": 25})["ok"]
+    assert _req(port, "/rest/S/4")["rows"][0][2] == 25
+    # DELETE by key
+    assert _req(port, "/rest/S/4", "DELETE")["ok"]
+    assert len(_req(port, "/rest/S")["rows"]) == 3
+    # every mutation wrote a NEW immutable catalog version (time travel)
+    assert sess.catalog.current_version("S") == v0 + 3
+    assert sess.catalog.get("S", version=v0).count() == 3
+
+
+def test_errors_are_http_400(served):
+    _, port = served
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "no_such_table" in json.loads(e.read())["error"].lower()
