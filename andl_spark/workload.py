@@ -639,10 +639,50 @@ def q_nest_unnest(spark, sf_dir):
 # =====================================================================
 
 from .pipeline import dedup as D  # noqa: E402
+from .pipeline import multimodal as MM  # noqa: E402
 from .pipeline import simsearch as SS  # noqa: E402
 from .pipeline import text as T  # noqa: E402
 
 _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+
+def _mm_oracle_values() -> str:
+    """Decode the deterministic media payloads WITHOUT Spark (pure
+    Python/numpy codecs, pipeline/multimodal.py) and emit the expected
+    feature rows as SQL literals — an oracle genuinely independent of
+    the mapInPandas execution path it checks."""
+    rows = []
+    for i, kind, payload, _meta in MM.media_rows(64):
+        feats = MM.decode_payload(kind, bytes(payload))
+        vals = ", ".join(repr(round(f + 1e-9, 4)) for f in feats)
+        rows.append(f"({i}, '{kind}', {len(payload)}, {vals})")
+    return ",\n  ".join(rows)
+
+
+@q("q_multimodal_decode", f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       {", ".join(f"CAST(f{k} AS DOUBLE) AS f{k}" for k in range(MM.FEATURE_DIM))}
+FROM (VALUES
+  {_mm_oracle_values()}
+) AS t(media_id, kind, n_bytes, {", ".join(f"f{k}" for k in range(MM.FEATURE_DIM))})
+""")
+def q_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode through Spark (SURVEY §2.8 row 42): the
+    deterministic media table (BMP/PPM images, WAV audio, BMP video
+    keyframes) is decoded by the pure-Python codecs inside an Arrow
+    mapInPandas pass, features flattened to fixed columns. The oracle
+    decodes the SAME payloads driver-side with no Spark involved —
+    literal values, so the distributed decode is hash-checked."""
+    media = MM.synthesize_media(spark, 64)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        *[
+            r4(F.element_at("features", k + 1)).alias(f"f{k}")
+            for k in range(MM.FEATURE_DIM)
+        ],
+    )
 
 
 @q("q_dedup_exact", f"""

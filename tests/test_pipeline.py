@@ -88,21 +88,47 @@ def test_ivf_assignment_partitions_corpus(emb):
     assert len(counts) == 8  # every cell non-empty on trained data
 
 
-def test_multimodal_feature_plumbing(spark):
+def test_multimodal_codec_round_trips():
+    """Pure-Python codecs are exact: encode→decode is the identity for
+    BMP (incl. row padding), PPM, and WAV PCM16."""
+    import numpy as np
+
+    rgb = (np.arange(7 * 5 * 3) * 11 % 256).astype(np.uint8).reshape(7, 5, 3)
+    assert (M.decode_bmp(M.encode_bmp(rgb)) == rgb).all()  # w=5: padded rows
+    assert (M.decode_ppm(M.encode_ppm(rgb)) == rgb).all()
+    samples = (np.sin(np.arange(300) / 7.0) * 12000).astype(np.int16)
+    rate, back = M.decode_wav(M.encode_wav(samples, 8000))
+    assert rate == 8000 and (back == samples).all()
+
+
+def test_multimodal_real_decode(spark):
+    """The REAL decode path through mapInPandas: every synthesized
+    payload (BMP / PPM images, WAV audio, BMP video keyframes) decodes
+    inside Spark to the same features the driver-side codec computes."""
     media = M.synthesize_media(spark, 32)
-    feats = M.extract_features(media)
-    rows = feats.collect()
+    rows = M.extract_features(media).collect()
     assert len(rows) == 32
-    assert all(len(r["features"]) == 8 for r in rows)
-    # deterministic across runs
-    again = {r["media_id"]: r["features"] for r in M.extract_features(media).collect()}
-    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    assert all(len(r["features"]) == M.FEATURE_DIM for r in rows)
+    payloads = {r["media_id"]: (r["kind"], bytes(r["payload"]))
+                for r in media.collect()}
+    for r in rows:
+        kind, payload = payloads[r["media_id"]]
+        assert r["features"] == M.decode_payload(kind, payload)
+        if kind == "audio":
+            assert r["features"][0] == 16000.0 and r["features"][1] == 256.0
+        else:
+            assert r["features"][:2] == [8.0, 8.0]  # decoded w, h
 
 
-def test_multimodal_real_codec_is_stubbed(spark):
-    media = M.synthesize_media(spark, 4)
-    with pytest.raises(Exception, match="NotImplemented|codec"):
-        M.extract_features(media, use_stub=False).collect()
+def test_multimodal_hist_mode_deterministic(spark):
+    """The codec-free byte-histogram signature stays available for
+    dedup flows and is deterministic across runs."""
+    media = M.synthesize_media(spark, 12)
+    a = {r["media_id"]: r["features"]
+         for r in M.extract_features(media, mode="hist").collect()}
+    b = {r["media_id"]: r["features"]
+         for r in M.extract_features(media, mode="hist").collect()}
+    assert a == b and len(a) == 12
 
 
 def test_frame_sample(spark):
