@@ -1999,7 +1999,13 @@ def _to_spark_value(v):
         elem = T.StructType(
             [T.StructField(f.name, f.dataType, True) for f in v.df.schema.fields]
         )
-        rows = sorted((tuple(r) for r in v.df.collect()), key=lambda t: tuple(map(repr, t)))
+        # bounded like the driver-side where/select fallbacks: nesting a
+        # relation as an RVA VALUE materializes it on the driver — cap
+        # it rather than silently pulling an unbounded relation local
+        raw = v.df.limit(10001).collect()
+        if len(raw) > 10000:
+            raise ValueError("RVA embedding capped at 10k rows")
+        rows = sorted((tuple(r) for r in raw), key=lambda t: tuple(map(repr, t)))
         return rows, T.ArrayType(elem)
     if isinstance(v, list):  # collected RVA: list of Row/TupV
         elems = [_to_spark_value(x if isinstance(x, TupV) else _row_to_tup(x)) for x in v]

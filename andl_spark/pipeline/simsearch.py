@@ -283,7 +283,21 @@ def topk_lsh(
 # deterministic IVF (oracle-mirrorable) + full-query SQL mirrors
 # ---------------------------------------------------------------------
 
+#: Bounded FIFO cache of trained quantizers. Keyed on (applicationId,
+#: cols, nlist, semanticHash) — semanticHash is PLAN-shape based, so if
+#: the files under an identical path are rewritten within one
+#: application the entry can go stale; that is the documented
+#: invalidation assumption (at scale centroids are a catalog artifact
+#: keyed by corpus VERSION — pass them explicitly, or call
+#: clear_centroid_cache() after rewriting a corpus in place).
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+_CENTROID_CACHE_MAX = 64
+
+
+def clear_centroid_cache() -> None:
+    """Drop all cached quantizers (use after rewriting corpus files in
+    place within one application — see _CENTROID_CACHE note)."""
+    _CENTROID_CACHE.clear()
 
 
 def seed_centroids(
@@ -306,6 +320,8 @@ def seed_centroids(
     key = ("seed", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, nlist, corpus.semanticHash())
     if key not in _CENTROID_CACHE:
+        while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:  # bounded FIFO
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
         rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
         _CENTROID_CACHE[key] = [[float(x) for x in r[1]] for r in rows]
     return _CENTROID_CACHE[key]

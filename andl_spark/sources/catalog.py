@@ -117,6 +117,14 @@ class Catalog:
         tables bucketed the same way join with ZERO shuffle (Spark reads
         bucket files co-located by key) — the 100 TB answer to repeated
         fact-fact joins on the same key."""
+        # Symmetric guard to put()'s layout check (ADVICE r2): writing a
+        # metastore table into a directory that still holds v*/ version
+        # snapshots would orphan them and silently repoint the manifest.
+        if self._names.get(name, {}).get("layout", "bucketed") != "bucketed":
+            raise ValueError(
+                f"relvar {name!r} exists with versioned layout; drop() it "
+                "before re-creating as a bucketed table"
+            )
         target = os.path.join(self.path, name)
         (
             df.write.mode("overwrite")

@@ -54,3 +54,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_layout_guards_are_symmetric(spark, tmp_path):
+    """put() refuses to version a bucketed relvar AND put_bucketed()
+    refuses to bucket a versioned one (ADVICE r2): mixing layouts under
+    one name would orphan version snapshots / stale metastore paths."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    cat.put("versioned_rv", df)
+    with pytest.raises(ValueError, match="versioned"):
+        cat.put_bucketed("versioned_rv", df, ["k"], n_buckets=4)
+    try:
+        cat.put_bucketed("bucketed_rv", df, ["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="bucketed"):
+            cat.put("bucketed_rv", df)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_rv")
