@@ -103,3 +103,30 @@ def test_chinook_andl_script(spark, derby_url, album_jdbc):
     assert "(Led Zeppelin, 14)" in out
     # regex-join queries produced rows
     assert "Concert" in out or "UnitPrice" in "\n".join(sess.output)
+
+
+def test_jdbc_restriction_and_projection_pushdown(spark, album_jdbc):
+    """SqlGen parity, Spark-first: the reference compiles relational
+    ops INTO SQL executed by the backing RDBMS
+    (Andl.Runtime/SqlGen.cs:14, Andl.Postgres). Spark's JDBC source
+    does the same declaratively — the restriction becomes a pushed
+    filter in the Derby-side query and the projection prunes the
+    SELECT list, so only matching rows/columns ever cross the wire
+    (at 100 TB the database does the cheap filtering, Spark the heavy
+    relational work)."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from andl_spark.plans.explain import formatted_plan
+
+    df = album_jdbc.filter(F.col("ArtistId") == 90).select("AlbumId", "Title")
+    plan = formatted_plan(df)
+    scan = plan[plan.index("JDBCRelation"):][:400]
+    assert "EqualTo(ArtistId,90)" in scan.replace(" ", "")  # pushed filter
+    assert "Title" in scan and "Name" not in scan  # pruned column list
+    with sqlite3.connect(CHINOOK) as con:
+        want = con.execute(
+            "SELECT COUNT(*) FROM Album WHERE ArtistId = 90"
+        ).fetchone()[0]
+    assert df.count() == want > 0
