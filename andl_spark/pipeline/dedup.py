@@ -568,17 +568,29 @@ def ngram_jaccard_pairs(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-
-        freq = ex.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        ex = ex.join(freq.select("shingle"), "shingle")
+        freq = ex.groupBy("shingle").count()
+        keep = freq.filter(F.col("count") <= max_shingle_freq).select("shingle")
+        over = freq.filter(F.col("count") > max_shingle_freq).select("shingle")
         # Denominators must count the RETAINED shingles, not the
         # pre-cap sizes, or the score stops being the Jaccard of any
         # well-defined set (two identical boilerplate-heavy docs could
-        # score below threshold and be missed — ADVICE r2). One extra
-        # exchange of the exploded table by id; the cap path already
-        # shuffles it twice for the frequency join.
-        ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        # score below threshold and be missed — ADVICE r2). Rather than
+        # re-shuffling the exploded table by id (a window), derive the
+        # per-doc DELTA: stop-shingles are few by construction, so the
+        # dropped-count table is at most doc-count-sized and usually
+        # near-empty — AQE broadcasts it; n_sh_post = n_sh_pre - drops.
+        dropped = (
+            ex.join(over, "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("__n_drop"))
+        )
+        ex = (
+            ex.join(keep, "shingle")
+            .join(dropped, "id", "left")
+            .withColumn(
+                "n_sh", F.col("n_sh") - F.coalesce(F.col("__n_drop"), F.lit(0))
+            )
+            .drop("__n_drop")
+        )
     # shuffle_hash: same single-task broadcast-build hazard as
     # lsh_candidate_pairs — never broadcast a corpus-sized side.
     a, b = ex.alias("a"), ex.alias("b").hint("shuffle_hash")
