@@ -94,3 +94,32 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str | None = None,
+    push_down_aggregate: bool = True,
+    push_down_limit: bool = True,
+) -> None:
+    """Full SqlGen parity (Andl.Runtime/SqlGen.cs:14): mount a JDBC
+    database as a Spark DSv2 catalog so RELATIONAL WORK — not just
+    filters/projections — executes inside the RDBMS. With aggregate
+    pushdown on, `SELECT k, COUNT(*), SUM(v) FROM <name>.<schema>.<t>
+    GROUP BY k` ships the whole aggregation to the database and Spark
+    reads back only the aggregated rows (PushedAggregates /
+    PushedGroupByExpressions in the plan) — the reference's
+    execute-inside-Sqlite/Postgres behavior, declaratively.
+
+    Identifier note: databases that uppercase unquoted identifiers
+    (Derby, Oracle) expose tables as `<name>.SCHEMA.TABLE` uppercase.
+    """
+    prefix = f"spark.sql.catalog.{name}"
+    spark.conf.set(prefix, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(f"{prefix}.url", url)
+    if driver:
+        spark.conf.set(f"{prefix}.driver", driver)
+    spark.conf.set(f"{prefix}.pushDownAggregate", str(push_down_aggregate).lower())
+    spark.conf.set(f"{prefix}.pushDownLimit", str(push_down_limit).lower())

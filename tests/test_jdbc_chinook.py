@@ -130,3 +130,34 @@ def test_jdbc_restriction_and_projection_pushdown(spark, album_jdbc):
             "SELECT COUNT(*) FROM Album WHERE ArtistId = 90"
         ).fetchone()[0]
     assert df.count() == want > 0
+
+
+def test_jdbc_aggregate_pushdown_full_sqlgen_parity(spark, derby_url, album_jdbc):
+    """FULL SqlGen parity: the aggregation itself executes inside the
+    RDBMS. Album is mounted through a DSv2 JDBC catalog with aggregate
+    pushdown; the per-artist COUNT runs in Derby (PushedAggregates /
+    PushedGroupByExpressions in the plan) and Spark reads back only the
+    aggregated rows — the reference's execute-inside-the-database
+    behavior (Andl.Runtime/SqlGen.cs, Andl.Postgres)."""
+    import sqlite3
+
+    from andl_spark.plans.explain import formatted_plan
+    from andl_spark.sources.io import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "derbycat", derby_url, DERBY_DRIVER)
+    try:
+        # Derby uppercases unquoted identifiers: APP.ALBUM
+        df = spark.sql(
+            "SELECT ArtistId, COUNT(*) AS n FROM derbycat.APP.ALBUM GROUP BY ArtistId"
+        )
+        plan = formatted_plan(df)
+        assert "PushedAggregates: [COUNT(*)]" in plan
+        assert "PushedGroupByExpressions: [ArtistId]" in plan
+        got = {(r[0], r[1]) for r in df.collect()}
+        with sqlite3.connect(CHINOOK) as con:
+            want = set(con.execute(
+                "SELECT ArtistId, COUNT(*) FROM Album GROUP BY ArtistId"
+            ).fetchall())
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.catalog.derbycat")
