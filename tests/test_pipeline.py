@@ -265,3 +265,38 @@ def test_embed_dup_bucketed_vs_exact_recall(emb):
     assert set(a) <= set(e)  # no false positives after the verify step
     for k, v in a.items():
         assert abs(v - e[k]) < 1e-12
+
+
+def test_multimodal_codecs_property_round_trip():
+    """Property-based: encode→decode is the identity for ARBITRARY
+    image shapes (odd widths exercise BMP's 4-byte row padding) and
+    arbitrary PCM16 contents — the codecs are exact, not
+    happy-path-exact."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 23), h=st.integers(1, 17),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_round_trip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (M.decode_bmp(M.encode_bmp(rgb)) == rgb).all()
+        assert (M.decode_ppm(M.encode_ppm(rgb)) == rgb).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 1000), rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_round_trip(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        got_rate, back = M.decode_wav(M.encode_wav(samples, rate))
+        assert got_rate == rate and (back == samples).all()
+
+    image_round_trip()
+    wav_round_trip()
