@@ -119,8 +119,18 @@ def blength(col) -> Column:
 
 
 def bget(col, i: int) -> Column:
-    """Byte at 0-based index i of a binary column (Builtin.cs BinaryGet)."""
-    return F.expr(f"ascii(substring(cast({col} as string), {i + 1}, 1))")
+    """Byte at 0-based index i of a binary column (Builtin.cs BinaryGet):
+    binary-safe — slice the raw byte and read it through hex, no string
+    decode in the path."""
+    return F.conv(F.hex(F.substring(_c(col), i + 1, 1)), 16, 10).cast("long")
+
+
+def bset(col, i: int, v: int) -> Column:
+    """New binary with byte i replaced by v (Builtin.cs BinarySet —
+    value semantics: the input column is untouched)."""
+    b = _c(col)
+    byte = F.unhex(F.lpad(F.hex(F.lit(int(v) & 0xFF)), 2, "0"))
+    return F.concat(F.substring(b, 1, i), byte, F.substring(b, i + 2, 1 << 30))
 
 
 # ---- conversions (Builtin.cs: Number/Text/Bool/Time)

@@ -197,6 +197,7 @@ class AndlSession:
         self.types: dict[str, list] = {}
         self.tests: list[tuple[float, bool]] = []
         self.output: list[str] = []
+        self.inputs: list[str] = []  # read() consumes these (headless console)
         self.script_dir = Path(script_dir) if script_dir else None
         self.filename = "<script>"
         self.catalog_update = False
@@ -763,8 +764,36 @@ class AndlSession:
             return max(vals[0], vals[1])
         if name == "min":
             return min(vals[0], vals[1])
-        if name == "mod":
-            return math.fmod(_as_number(vals[0]), _as_number(vals[1]))
+        if name == "mod":  # decimal remainder, sign of dividend (like binop)
+            return _as_number(vals[0]) % _as_number(vals[1])
+        if name == "bool":  # Builtin.cs Bool conversion
+            if isinstance(v, str):
+                return v.strip().lower() == "true"
+            return _truthy(v)
+        if name == "binary":  # text → utf-8 bytes (Builtin.cs:82 Binary)
+            return v if isinstance(v, bytes) else str(v).encode()
+        if name == "blength" and isinstance(v, (bytes, bytearray)):
+            return Decimal(len(v))
+        if name == "bget" and isinstance(v, (bytes, bytearray)):
+            i = int(_as_number(vals[1]))
+            if not 0 <= i < len(v):
+                raise IndexError("Binary get index out of range")  # Builtin.cs:889
+            return Decimal(v[i])
+        if name == "bset" and isinstance(v, (bytes, bytearray)):
+            i, nv = int(_as_number(vals[1])), int(_as_number(vals[2]))
+            if not 0 <= i < len(v):
+                raise IndexError("Binary set index out of range")  # Builtin.cs:895
+            b = bytearray(v)
+            b[i] = nv & 0xFF
+            return bytes(b)
+        if name == "read":  # console input; headless: host-provided lines
+            return self.inputs.pop(0) if self.inputs else ""
+        if name == "assert":  # Assert(lineno, cond) — records like test_true
+            line, ok = _as_number(vals[0]), vals[1] is True
+            self.tests.append((float(line), ok))
+            return None
+        if name == "fail":  # Fail(code, message) → program error
+            raise RuntimeError(f"fail({vals[0]}): {vals[1]}")
         # text builtins, driver flavor (Builtin.cs:917-930 — left/right
         # PAD to the requested width when the string is shorter)
         if name == "left":

@@ -114,3 +114,48 @@ def test_lang_plans_are_declarative(spark):
     sess.run("r := S .where(STATUS > 15) .select{ CITY, total := fold(+,STATUS) }")
     plan = sess.globals["r"].df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remaining_builtins_binary_read_assert(spark):
+    """The last Builtin.cs addins outside the suites: binary
+    conversion, bget/bset/blength byte ops (value semantics —
+    Builtin.cs:883-899), console read() (headless: host-provided
+    lines), assert(), fail(), and decimal mod through the function
+    form."""
+    import pytest
+
+    sess = AndlSession(spark)
+    sess.inputs = ["first line", "second"]
+    sess.run(
+        "b := binary('AB')\n"
+        "test_true(1, bget(b, 0) = 65)\n"
+        "test_true(2, blength(b) = 2)\n"
+        "test_true(3, text(bset(b, 1, 67)) = text(binary('AC')))\n"
+        "test_true(4, read(0) = 'first line')\n"
+        "test_true(5, read(0) = 'second')\n"
+        "test_true(6, read(0) = '')\n"     # exhausted console → empty
+        "test_true(7, 7 mod 3 = 1)\n"
+        "test_true(8, bool('true'))\n"
+        "assert(9, 1 + 1 = 2)\n"
+    )
+    assert sess.failures == []
+    sess.run("assert(10, 1 = 2)")
+    assert sess.failures == [10.0]
+    with pytest.raises(RuntimeError, match="fail"):
+        sess.run("fail('E1', 'boom')")
+
+
+def test_scalar_binary_column_ops(spark):
+    """Column flavor of the byte ops (functions/scalar.py): binary-safe
+    extraction and value-semantics byte replacement, JVM-side."""
+    from andl_spark.functions import scalar as S
+
+    df = spark.createDataFrame([(bytearray(b"\xde\xad\xbe\xef"),)], "b binary")
+    row = df.select(
+        S.blength("b").alias("n"),
+        S.bget("b", 0).alias("b0"),
+        S.bget("b", 2).alias("b2"),
+        S.bset("b", 1, 0x00).alias("set1"),
+    ).first()
+    assert (row["n"], row["b0"], row["b2"]) == (4, 0xDE, 0xBE)
+    assert bytes(row["set1"]) == b"\xde\x00\xbe\xef"
