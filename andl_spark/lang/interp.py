@@ -269,6 +269,12 @@ class AndlSession:
     def failures(self) -> list[float]:
         return [line for line, ok in self.tests if not ok]
 
+    def globals_query(self, name: str):
+        """Evaluate a catalog introspection name (andl_catalog /
+        andl_variable / andl_operator / andl_member) and collect its
+        rows — the host-side accessor for the served introspection."""
+        return self._lookup(name, self.globals).df.collect()
+
     def run(self, src: str, filename: str = "<script>") -> "AndlSession":
         self.filename = filename
         src = self._preprocess(src, filename)
@@ -529,6 +535,50 @@ class AndlSession:
             return RelV(Relation(
                 self.spark.createDataFrame(rows or [("", "")], "Name string, Type string")
             ))
+        # catalog introspection relations (Catalog.cs:101-106 headings,
+        # Builtin.cs:119-121 Variables/Operators/Members addins):
+        # structured values link to andl_member rows via a generated
+        # heading name <name>:h (variables) / <name>:a (operator args).
+        if name == "andl_variable":
+            rows = [
+                (n, _andl_type_of(v) or "unknown",
+                 f"{n}:h" if isinstance(v, (RelV, TupV)) else "")
+                for n, v in self.globals.items()
+            ]
+            return RelV(Relation(self.spark.createDataFrame(
+                rows or [("", "", "")], "Name string, Type string, Members string"
+            )))
+        if name == "andl_operator":
+            rows = [
+                (fd.name, fd.rtype, "", f"{fd.name}:a" if fd.params else "")
+                for fds in self.defs.values() for fd in fds
+            ]
+            return RelV(Relation(self.spark.createDataFrame(
+                rows or [("", "", "", "")],
+                "Name string, Type string, Members string, Arguments string",
+            )))
+        if name == "andl_member":
+            rows = []
+            for n, v in self.globals.items():
+                if isinstance(v, RelV):
+                    for i, f in enumerate(v.df.schema.fields):
+                        rows.append((
+                            f"{n}:h", float(i + 1), f.name,
+                            _ANDL_TYPE.get(f.dataType.simpleString(),
+                                           f.dataType.simpleString()), "",
+                        ))
+                elif isinstance(v, TupV):
+                    for i, (k, x) in enumerate(v.items()):
+                        rows.append((f"{n}:h", float(i + 1), k,
+                                     _andl_type_of(x) or "unknown", ""))
+            for fds in self.defs.values():
+                for fd in fds:
+                    for i, (p, pt) in enumerate(fd.params):
+                        rows.append((f"{fd.name}:a", float(i + 1), p, pt, ""))
+            return RelV(Relation(self.spark.createDataFrame(
+                rows or [("", 0.0, "", "", "")],
+                "MemberOf string, Index double, Name string, Type string, Members string",
+            )))
         raise NameError(f"unknown name {name!r}")
 
     def _resolve_def(self, name, nargs, arg_types=None):

@@ -159,3 +159,34 @@ def test_scalar_binary_column_ops(spark):
     ).first()
     assert (row["n"], row["b0"], row["b2"]) == (4, 0xDE, 0xBE)
     assert bytes(row["set1"]) == b"\xde\x00\xbe\xef"
+
+
+def test_catalog_introspection_relations(spark):
+    """andl_variable / andl_operator / andl_member (Builtin.cs:119-121,
+    Catalog.cs:101-106 headings): queryable relations over the session
+    catalog, with structured values linked to member rows through
+    generated heading names — and, being relations, composable with
+    every relational operator."""
+    sess = AndlSession(spark)
+    sess.run(
+        "v1 := 42\n"
+        "r1 := {{ a:=1, b:='x' }}\n"
+        "def op2(n:0, t:'') => n\n"
+    )
+    vars_ = {r["Name"]: (r["Type"], r["Members"])
+             for r in sess.globals_query("andl_variable")}
+    assert vars_["v1"] == ("number", "")
+    assert vars_["r1"] == ("relation", "r1:h")
+    ops = {r["Name"]: (r["Type"], r["Arguments"])
+           for r in sess.globals_query("andl_operator")}
+    assert ops["op2"] == ("number", "op2:a")
+    members = {(r["MemberOf"], int(r["Index"])): (r["Name"], r["Type"])
+               for r in sess.globals_query("andl_member")}
+    assert members[("r1:h", 1)] == ("a", "number")
+    assert members[("r1:h", 2)] == ("b", "text")
+    assert members[("op2:a", 1)] == ("n", "number")
+    assert members[("op2:a", 2)] == ("t", "text")
+    # composable: restriction over the introspection relation IN Andl
+    # (andl_variable is evaluated before nrel itself is bound)
+    sess.run("nrel := (andl_variable .where(Type = 'relation')) .select{ Name }\n")
+    assert {r["Name"] for r in sess.globals["nrel"].df.collect()} == {"r1"}
