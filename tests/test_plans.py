@@ -150,3 +150,25 @@ def test_plan_report_api(spark):
     assert rep["broadcast_joins"] >= 1   # the dim join
     assert rep["pushed_filters"] >= 1    # l_quantity reached the scan
     assert rep["row_python_udf"] == 0
+
+
+def test_merged_query_plan_shapes(spark):
+    """The r3 consolidated queries keep the plan shapes their
+    standalone predecessors had: the semi/anti union carries BOTH
+    leftsemi and leftanti; the window+paging query pushes its slice
+    filter to the scan; the rollup corpus profile expands to its three
+    grains but still aggregates in one pass per grain (no join back to
+    the corpus beyond the size-1 total)."""
+    semi_anti = workload.QUERIES["q_semi_anti_join"](spark, SF_SMOKE)
+    plan = X.formatted_plan(semi_anti)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    wr = workload.QUERIES["q_window_rank"](spark, SF_SMOKE)
+    X.assert_pushed_filter(wr, "o_custkey")
+    X.assert_no_python_row_udf(wr)
+
+    prof = workload.QUERIES["q_corpus_profile"](spark, SF_SMOKE)
+    pplan = X.formatted_plan(prof)
+    assert "Expand" in pplan  # ROLLUP grains, map-side
+    assert "BroadcastNestedLoopJoin" in pplan or "BroadcastExchange" in pplan
+    X.assert_no_python_row_udf(prof)
