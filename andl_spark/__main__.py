@@ -1,0 +1,91 @@
+"""Command-line runner — the reference's Andl.Main parity.
+
+The reference ships `Andl [<input path> [<database path>]]` with
+catalog switches (Andl/Main.cs:39-50: /c use catalog, /cn new, /cu
+update, /i interactive). Spark-first equivalent:
+
+    python -m andl_spark script.andl                 # run a script
+    python -m andl_spark script.andl ./mycatalog     # with a persistent
+                                                     # catalog directory
+    python -m andl_spark -u script.andl ./mycatalog  # persist catalog
+                                                     # updates (/cu)
+    python -m andl_spark -i                          # interactive REPL
+
+Script output (write/expression displays) prints to stdout; test_true
+failures set a non-zero exit code, mirroring the reference's suite
+runner behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m andl_spark",
+        description="Run Andl scripts on Spark (Andl.Main parity).",
+    )
+    ap.add_argument("script", nargs="?", help=".andl script to run")
+    ap.add_argument("catalog", nargs="?", help="persistent catalog directory")
+    ap.add_argument("-u", "--update", action="store_true",
+                    help="persist catalog updates (/cu)")
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="interactive REPL on stdin (/i)")
+    ap.add_argument("--cpus", type=int, default=4,
+                    help="local[N] parallelism (default 4)")
+    args = ap.parse_args(argv)
+    if not args.script and not args.interactive:
+        ap.print_help()
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("andl")
+        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 4)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from .lang.interp import AndlSession
+
+    sess = AndlSession(spark, catalog_path=args.catalog)
+    if args.update:
+        sess.catalog_update = True
+
+    rc = 0
+    try:
+        if args.script:
+            shown = len(sess.output)
+            sess.run_path(args.script)
+            for line in sess.output[shown:]:
+                print(line)
+            if sess.failures:
+                print(f"FAILED test lines: {sess.failures}", file=sys.stderr)
+                rc = 1
+        if args.interactive:
+            print("andl> ", end="", flush=True)
+            for line in sys.stdin:
+                line = line.strip()
+                if line in ("exit", "quit"):
+                    break
+                if line:
+                    shown = len(sess.output)
+                    try:
+                        sess.run(line)
+                        for out in sess.output[shown:]:
+                            print(out)
+                    except Exception as e:  # noqa: BLE001 — REPL surfaces errors
+                        print(f"error: {e}", file=sys.stderr)
+                print("andl> ", end="", flush=True)
+    finally:
+        spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

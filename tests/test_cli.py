@@ -1,0 +1,64 @@
+"""The command-line runner (python -m andl_spark — Andl.Main parity):
+a reference user's `Andl script.andl database` workflow end-to-end in a
+subprocess, including catalog persistence across invocations and the
+non-zero exit on failing test_true lines."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def _run(*argv, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "andl_spark", *argv],
+        capture_output=True, text=True, timeout=300, cwd=REPO, input=stdin,
+    )
+
+
+def test_cli_runs_script_and_prints_output(tmp_path):
+    script = tmp_path / "hello.andl"
+    script.write_text(
+        "x := 6 * 7\n"
+        "write('answer=' & x)\n"
+        "r := {{ a:=1 }} .while( {{ a:=a+1 }} .where(a <= 3) )\n"
+        "r.count\n"
+    )
+    proc = _run(str(script))
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "answer=42" in proc.stdout
+    assert "3" in proc.stdout.splitlines()[-1]
+
+
+def test_cli_catalog_persists_across_invocations(tmp_path):
+    cat = tmp_path / "catdir"
+    cat.mkdir()
+    s1 = tmp_path / "def.andl"
+    s1.write_text(
+        "#catalog update\n"
+        "def triple(n:0) => n * 3\n"
+        # ^name := catalog-scope persistence (SuiteUpdateCat1.andl:11)
+        "^stored := {{ k:=1, v:='one' }} union {{ k:=2, v:='two' }}\n"
+    )
+    s2 = tmp_path / "use.andl"
+    s2.write_text(
+        "#catalog\n"
+        "write('t=' & triple(14))\n"
+        "write('n=' & ^stored.count)\n"
+    )
+    p1 = _run("-u", str(s1), str(cat))
+    assert p1.returncode == 0, p1.stderr[-800:]
+    p2 = _run(str(s2), str(cat))
+    assert p2.returncode == 0, p2.stderr[-800:]
+    assert "t=42" in p2.stdout and "n=2" in p2.stdout
+
+
+def test_cli_failing_suite_sets_exit_code(tmp_path):
+    script = tmp_path / "bad.andl"
+    script.write_text("test_true(7, 1 = 2)\n")
+    proc = _run(str(script))
+    assert proc.returncode == 1
+    assert "7" in proc.stderr  # the failing line number
