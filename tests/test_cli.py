@@ -62,3 +62,9 @@ def test_cli_failing_suite_sets_exit_code(tmp_path):
     proc = _run(str(script))
     assert proc.returncode == 1
     assert "7" in proc.stderr  # the failing line number
+
+
+def test_cli_interactive_repl():
+    proc = _run("-i", stdin="x := 2 + 21\nx * 2\nexit\n")
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert "46" in proc.stdout
