@@ -90,16 +90,24 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_expr(words: F.Column, n: int) -> F.Column:
-    """Distinct word-n-gram shingles from a materialized words array.
-    O(1) element indexing (F.get); concat_ws skips past-the-end nulls,
-    reproducing the short-document fallback of a truncated slice."""
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+    """Distinct word-n-gram shingles as n zipped array SLICES.
+
+    Why slices + zip_with, not transform-over-index: ``words`` is
+    usually the raw split() expression, and every reference inside a
+    higher-order lambda re-evaluates it PER ELEMENT — the old
+    index-transform formulation paid O(len²) splitting per document
+    (measured 25x slower at sf0.1: 7.3s vs 0.3s for the shingle pass).
+    Slicing references the words expression once per slice (n per ROW),
+    so the cost stays linear no matter how the input expression is
+    built. concat_ws skips the nulls zip_with pads past the shorter
+    slice, reproducing the short-document truncated-slice fallback."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    out = F.slice(words, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.array_distinct(out)
 
 
 _SHINGLE_SQL = (
@@ -109,8 +117,8 @@ _SHINGLE_SQL = (
 )
 
 
-def _h32_expr(s: F.Column, hash_fn: str = "xxhash64") -> F.Column:
-    """32-bit non-negative string hash.
+def _h32_sql(s: str, hash_fn: str = "xxhash64") -> str:
+    """32-bit non-negative string hash, as a SQL snippet.
 
     ``xxhash64`` (default) is the PRODUCTION primitive: one JVM
     intrinsic per value, ~2-3x cheaper than the md5 path at 100 TB
@@ -118,7 +126,22 @@ def _h32_expr(s: F.Column, hash_fn: str = "xxhash64") -> F.Column:
     ``md5`` is the ORACLE-PARITY primitive — bit-identical to DuckDB's
     ('0x'||substr(md5(s),25,8))::BIGINT, so an independent engine can
     reproduce signatures exactly; use it when a query is hash-checked
-    against a SQL mirror (workload.q_dedup_minhash)."""
+    against a SQL mirror (workload.q_dedup_minhash).
+
+    SQL snippets rather than Column compositions throughout this
+    module: building the 64-wide expression trees through py4j costs a
+    round-trip per node (~2s of pure driver time per signature plan,
+    measured), while one parsed string is ~5x faster end-to-end with a
+    bit-identical result."""
+    if hash_fn == "xxhash64":
+        return f"(xxhash64({s}) & 4294967295)"
+    if hash_fn == "md5":
+        return f"cast(conv(substring(md5({s}), 25, 8), 16, 10) as bigint)"
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def _h32_expr(s: F.Column, hash_fn: str = "xxhash64") -> F.Column:
+    """Column flavor of _h32_sql (kept for composition call sites)."""
     if hash_fn == "xxhash64":
         return F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
     if hash_fn == "md5":
@@ -155,15 +178,19 @@ def minhash_signatures(
     h = src.select(
         F.col(id_col),
         F.explode(shingle_expr(words, shingle_k)).alias("s"),
-    ).select(F.col(id_col), _h32_expr(F.col("s"), hash_fn).alias("h"))
+    ).selectExpr(f"`{id_col}`", f"{_h32_sql('s', hash_fn)} AS h")
+    # one parsed SQL string per permutation (see _h32_sql note)
     mins = [
-        F.min((F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i]))) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        F.expr(f"min(({int(a[i])} * h + {int(b[i])}) % {_MINHASH_P}) AS m{i}")
         for i in range(num_perm)
     ]
     return (
         h.groupBy(id_col)
         .agg(*mins)
-        .select(F.col(id_col), F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
+        .selectExpr(
+            f"`{id_col}`",
+            "array(" + ", ".join(f"m{i}" for i in range(num_perm)) + ") AS signature",
+        )
     )
 
 
@@ -177,19 +204,12 @@ def lsh_candidate_pairs(
     at least one band bucket. The join key is (band, band value string)
     — shuffle-partitionable, engine-portable (no Murmur3), and bucket
     sizes bound the pair fan-out."""
-    bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.slice("signature", i * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            ).alias("bucket"),
-        )
+    bands = F.expr("array(" + ", ".join(
+        f"struct({i} AS band, concat_ws('_', transform("
+        f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x AS string))) AS bucket)"
         for i in range(num_bands)
-    ])
+    ) + ")")
     exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )
@@ -326,64 +346,50 @@ def simhash_signatures(
     SimHash term weighting."""
     src = ensure_parallelism(df.select(id_col, text_col))
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # explode → ONE hash-aggregate with 64 bit-vote sums + a count:
-    # flat aggregates stay in codegen and combine map-side, so only
-    # (id, 65 longs) reaches the shuffle regardless of document width
+    # explode → ONE hash-aggregate with 32 lane-packed vote sums + a
+    # count: flat aggregates stay in codegen and combine map-side, so
+    # only (id, 33 longs) reaches the shuffle regardless of document
+    # width. Lane packing: lane i's low 32 bits count lo-bit-i votes,
+    # its high 32 bits count hi-bit-i votes (each word contributes 0/1
+    # low + 0/2^32 high — exact, overflow-free below 2^31 words per
+    # document); the unpacked counts are bit-identical to a 64-sum
+    # form, so the DuckDB mirror (simhash_pairs_sql) is unaffected.
+    # Everything is parsed SQL, not py4j composition (see _h32_sql).
     if hash_fn == "xxhash64":
-        h64 = F.xxhash64("w")
-        hi_lo = [
-            F.shiftrightunsigned(h64, 32).bitwiseAND(F.lit(0xFFFFFFFF)).alias("hi"),
-            h64.bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
-        ]
+        hi_sql = "shiftrightunsigned(xxhash64(w), 32) & 4294967295"
+        lo_sql = "xxhash64(w) & 4294967295"
     elif hash_fn == "md5":
-        hi_lo = [
-            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
-            F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
-        ]
+        hi_sql = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+        lo_sql = "cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)"
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    h = src.select(F.col(id_col), F.explode(words).alias("w")).select(
-        F.col(id_col), *hi_lo,
+    h = src.select(F.col(id_col), F.explode(words).alias("w")).selectExpr(
+        f"`{id_col}`", f"{hi_sql} AS hi", f"{lo_sql} AS lo"
     )
-    # 32 lane-packed vote sums instead of 64 scalar ones: lane i's low
-    # 32 bits count lo-bit-i votes, its high 32 bits count hi-bit-i
-    # votes (each word contributes 0/1 low + 0/2^32 high — exact, and
-    # overflow-free below 2^31 words per document). Halving the
-    # aggregate width halves both the generated-code size (Janino
-    # compile is a measurable share of a cold run) and the per-row agg
-    # work; the unpacked counts are bit-identical to the 64-sum form,
-    # so the DuckDB mirror (simhash_pairs_sql) is unaffected.
     votes = [
-        F.sum(
-            F.shiftrightunsigned("lo", i).bitwiseAND(F.lit(1))
-            + F.shiftleft(F.shiftrightunsigned("hi", i).bitwiseAND(F.lit(1)), 32)
-        ).alias(f"v{i}")
+        F.expr(
+            f"sum((shiftrightunsigned(lo, {i}) & 1)"
+            f" + shiftleft(shiftrightunsigned(hi, {i}) & 1, 32)) AS v{i}"
+        )
         for i in range(32)
     ]
-    agg = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
+    agg = h.groupBy(id_col).agg(F.expr("count(1) AS n"), *votes)
 
-    def bit_votes(i: int) -> F.Column:
-        v = F.col(f"v{i % 32}")
-        return (
-            v.bitwiseAND(F.lit(0xFFFFFFFF)) if i < 32
-            else F.shiftrightunsigned(v, 32)
-        )
-
-    def pack(rng) -> F.Column:
+    def pack_sql(rng) -> str:
         # sign bit i set  <=>  (#ones)*2 - n > 0
-        terms = [
-            F.when(bit_votes(i) * 2 - F.col("n") > 0, F.lit(1 << (i % 32))).otherwise(F.lit(0))
-            for i in rng
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out.cast("long")
+        terms = []
+        for i in rng:
+            ones = (
+                f"(v{i % 32} & 4294967295)" if i < 32
+                else f"shiftrightunsigned(v{i % 32}, 32)"
+            )
+            terms.append(f"IF({ones} * 2 - n > 0, {1 << (i % 32)}, 0)")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    return agg.select(
-        F.col(id_col),
-        pack(range(0, 32)).alias("sh_lo"),
-        pack(range(32, 64)).alias("sh_hi"),
+    return agg.selectExpr(
+        f"`{id_col}`",
+        pack_sql(range(0, 32)) + " AS sh_lo",
+        pack_sql(range(32, 64)) + " AS sh_hi",
     )
 
 
@@ -532,24 +538,15 @@ def ngram_jaccard_pairs(
     bounded at corpus scale. With the cap on, the score is the exact
     Jaccard over the RETAINED (distinctive) shingle universe: both the
     intersection and the denominators count post-cap shingles."""
-    # Materialize the split once per row; referencing the split expr
-    # inside the transform lambda would re-split per shingle.
+    # shingle_expr's zipped-slice formulation: linear even though
+    # CollapseProject inlines the split into the shingle projection
+    # (the old index-transform paid the split once PER ELEMENT inside
+    # the persist job — see shingle_expr's docstring).
     with_words = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("words"),
     )
-    words = F.col("words")
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    # O(1) element indexing (F.get) — a slice() per position would make
-    # shingling O(len²) per document (measured 15× slower at sf0.1).
-    # concat_ws skips the nulls get() yields past the end, which
-    # reproduces the short-document fallback of a truncated slice.
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
-        )
-    )
+    shingles = shingle_expr(F.col("words"), n)
     # Persist the COMPACT (id, shingle-array) table and materialize it
     # before deriving anything: it feeds both sides of the pair join
     # (lazy persist would let the two scan stages race and shingle
