@@ -114,6 +114,15 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def _lit_vec_sql(values) -> str:
+    """A double array literal as ONE parsed SQL expression. Building
+    wide literal arrays via F.lit costs a py4j round-trip per element
+    (a 16x64 centroid table = 1000+ calls ≈ 2s of driver time per plan,
+    measured); parsing a string is ~free, and cast('repr' as double)
+    yields the bit-identical double F.lit would embed."""
+    return "array(" + ", ".join(f"cast('{_flit(x)}' as double)" for x in values) + ")"
+
+
 def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int = 42) -> Column:
     """Sign-bit bucket id from ``bits`` fixed random hyperplanes,
     computed as a JVM expression (the hyperplane matrix is baked into
@@ -122,7 +131,7 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int 
     planes = _hyperplanes(dim, bits, seed)
     bucket = F.lit(0)
     for i in range(bits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        plane = F.expr(_lit_vec_sql(planes[i]))
         d = F.aggregate(
             F.zip_with(v, plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0), lambda acc, x: acc + x,
@@ -173,7 +182,7 @@ def nearest_lists(vec_col: Column | str, centroids: list[list[float]], nprobe: i
     property that makes IVF assignment embarrassingly parallel over a
     100 TB corpus."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = F.expr("array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")")
     scored = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
@@ -337,7 +346,7 @@ def nearest_lists_cosine(
     Pure literal JVM expression — shuffle-free assignment, same 100 TB
     shape as nearest_lists."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = F.expr("array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")")
     scored = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
