@@ -588,6 +588,12 @@ def ngram_jaccard_pairs(
             )
             .drop("__n_drop")
         )
+    # Materialize the (possibly capped) exploded table once: both sides
+    # of the self-join consume it, and without a cache each side re-runs
+    # the frequency/keep/dropped joins over the full explode (measured
+    # ~1s of duplicated work at sf0.1).
+    ex = ex.persist()
+    ex.count()
     # shuffle_hash: same single-task broadcast-build hazard as
     # lsh_candidate_pairs — never broadcast a corpus-sized side.
     a, b = ex.alias("a"), ex.alias("b").hint("shuffle_hash")
@@ -606,10 +612,11 @@ def ngram_jaccard_pairs(
         "id_b",
         (F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
-    # Materialize the (small) pair result, then release the shingle
-    # cache — without this every invocation leaked a cached RDD for the
+    # Materialize the (small) pair result, then release both caches —
+    # without this every invocation leaked a cached RDD for the
     # session lifetime (ADVICE r2).
     out = out.localCheckpoint(eager=True)
+    ex.unpersist()
     base.unpersist()
     return out
 
