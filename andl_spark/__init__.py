@@ -6,10 +6,19 @@ multimodal columns).
 
 Public surface:
     from andl_spark import Relation, get_spark, load_tables
+    from andl_spark import AndlSession        # catalog + operators + sql()
+    from andl_spark import AndlRestServer     # REST/JSON serving
+    from andl_spark.lang import run_file      # run .andl scripts
+    python -m andl_spark script.andl          # CLI (Andl.Main parity)
 """
 
+from .api import AndlSession
 from .relation import Relation
+from .server import AndlRestServer
 from .session import BROADCAST_DIMS, TABLES, get_spark, load_tables
 
-__all__ = ["Relation", "get_spark", "load_tables", "TABLES", "BROADCAST_DIMS"]
+__all__ = [
+    "AndlRestServer", "AndlSession", "Relation",
+    "get_spark", "load_tables", "TABLES", "BROADCAST_DIMS",
+]
 __version__ = "0.1.0"
