@@ -10,6 +10,8 @@ update, /i interactive). Spark-first equivalent:
     python -m andl_spark -u script.andl ./mycatalog  # persist catalog
                                                      # updates (/cu)
     python -m andl_spark -i                          # interactive REPL
+    python -m andl_spark                             # runs ./test.andl if
+                                                     # present (Main.cs:32)
 
 Script output (write/expression displays) prints to stdout; test_true
 failures set a non-zero exit code, mirroring the reference's suite
@@ -19,6 +21,7 @@ runner behavior.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -37,8 +40,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="local[N] parallelism (default 4)")
     args = ap.parse_args(argv)
     if not args.script and not args.interactive:
-        ap.print_help()
-        return 2
+        # Andl/Main.cs:32,108 — with no input path the reference falls
+        # back to ./test.andl ("is automatically loaded and run if no
+        # other file is specified", Sample/test.andl:1).
+        if os.path.exists("test.andl"):
+            args.script = "test.andl"
+        else:
+            ap.print_help()
+            return 2
 
     from pyspark.sql import SparkSession
 
@@ -53,7 +62,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from .lang.interp import AndlSession
 
-    sess = AndlSession(spark, catalog_path=args.catalog)
+    # Main.cs's second positional is "database name or path" — a
+    # .sqlite/.sqandl FILE attaches as the SQL database behind
+    # `var X(db)` (setup-chinook.andl workflow); a directory is the
+    # persistent catalog.
+    catalog_path, db_path = args.catalog, None
+    if catalog_path and os.path.isfile(catalog_path):
+        catalog_path, db_path = None, args.catalog
+    sess = AndlSession(spark, catalog_path=catalog_path, db_path=db_path)
     if args.update:
         sess.catalog_update = True
 

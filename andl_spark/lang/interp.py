@@ -189,8 +189,12 @@ class AndlSession:
         script_dir: str | Path | None = None,
         ignore_stop: bool = False,
         catalog_path: str | Path | None = None,
+        db_path: str | Path | None = None,
     ):
         self.spark = spark
+        # SQL database behind `var X(db)` (setup-chinook.andl:9-10; the
+        # reference's second CLI positional names a .sqandl database)
+        self.db_path = str(db_path) if db_path else None
         self.ignore_stop = ignore_stop
         self.globals: dict[str, object] = {}
         self.defs: dict[str, list[FuncDef]] = {}  # name → overload set
@@ -356,10 +360,26 @@ class AndlSession:
             _, name, heading, source, _line = stmt
             if source == "csv":
                 self.load_csv(name, heading)
+            elif source in ("db", "sql"):
+                # import a table from the attached SQL database
+                # (setup-chinook.andl:9; DataSourceSql.cs)
+                if self.db_path is None:
+                    raise ValueError(
+                        f"var {name}(db): no database attached "
+                        "(pass db_path= / a .sqlite CLI positional)")
+                from ..sources.sqlite_src import read_sqlite
+
+                self.globals[name] = RelV(
+                    Relation(read_sqlite(self.spark, self.db_path, name)))
             elif heading is not None:  # typed empty relvar
                 self.globals[name] = self._empty_rel(heading)
             else:
                 raise ValueError(f"var {name!r}: unknown source {source!r}")
+            # Under `#catalog [new] update` the reference adds declared
+            # relvars to the persistent catalog (Catalog.cs LoadFlag/
+            # SaveFlag; setup-workbench.andl declares S/P/SP this way
+            # and workbench.andl then reads them from the catalog).
+            self._persist("value", name, self.globals[name])
             return
         if kind == "def":
             _, name, params, body, _line, rtype = stmt
@@ -1722,7 +1742,11 @@ class AndlSession:
         if op == "<>":
             return l != r
         if op == "=~":
-            return l.rlike(rast[1] if rast[0] == "str" else "")
+            if rast[0] == "str":  # literal pattern stays a plan constant
+                return l.rlike(rast[1])
+            # dynamic pattern (e.g. a def parameter —
+            # setup-workbench.andl suppliersbyname): column-form rlike
+            return F.rlike(l, r)
         if op == "<":
             return l < r
         if op == ">":

@@ -257,7 +257,15 @@ class Parser:
         if self.accept("("):  # var orgchart(csv) — heading inferred
             source = self.next().text
             self.expect(")")
-            return ("var_decl", name, None, source, line)
+            decls = [("var_decl", name, None, source, line)]
+            while self.accept(","):
+                # var Album(db), Employee(db), ... (setup-chinook.andl:9)
+                nm = self.next().text
+                self.expect("(")
+                src = self.next().text
+                self.expect(")")
+                decls.append(("var_decl", nm, None, src, line))
+            return decls[0] if len(decls) == 1 else ("block", decls, line)
         self.expect(":")
         dbl = self.accept("{{")
         if not dbl:
@@ -318,6 +326,10 @@ class Parser:
                 break
         self.expect(")")
         self.expect("=>")
+        if self.peek().text == "update" and self.peek(1).kind == "ident":
+            # statement-bodied def: `def addsuppliers(adds:S) =>
+            # update S union adds` (setup-workbench.andl:11)
+            return params, ("do", [self.parse_statement()])
         if self.peek().kind == "kw" and self.peek().text == "do":
             self.next()
             self.expect("{")
@@ -344,6 +356,12 @@ class Parser:
                         self.next()
                         self.parse_def_tail()
                         ftype = "func"
+                    elif self.at("{{"):
+                        # relation-typed component: r:{{a:text,b:text}}
+                        # (setup-workbench.andl:17 type utx)
+                        self.next()
+                        self.parse_relation_literal()
+                        ftype = "relation"
                     else:
                         ftype = _type_name(self.next())
                 fields.append((fname, ftype))

@@ -5,6 +5,7 @@ non-zero exit on failing test_true lines."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -54,6 +55,21 @@ def test_cli_catalog_persists_across_invocations(tmp_path):
     p2 = _run(str(s2), str(cat))
     assert p2.returncode == 0, p2.stderr[-800:]
     assert "t=42" in p2.stdout and "n=2" in p2.stdout
+
+
+def test_cli_default_input_is_test_andl(tmp_path):
+    """With no input path the reference runs ./test.andl
+    (Andl/Main.cs:32,108; Sample/test.andl is that default script)."""
+    (tmp_path / "test.andl").write_text(
+        "v1 := 'Hello world!'\nv1\nv1.length\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "andl_spark"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "Hello world!" in proc.stdout and "12" in proc.stdout
 
 
 def test_cli_failing_suite_sets_exit_code(tmp_path):

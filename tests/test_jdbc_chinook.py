@@ -83,6 +83,26 @@ CHINOOK_TABLES = [
 ]
 
 
+def test_setup_chinook_workflow(spark, tmp_path):
+    """The reference's documented two-step workflow, verbatim
+    (setup-chinook.andl:3-4): `Andl setup-Chinook.andl <db>` imports
+    the 11 tables into the catalog via `var X(db), Y(db), ...`, then
+    `Andl Chinook.andl <db>` queries them from the catalog in a fresh
+    session — no manual table binding anywhere."""
+    sample = "/root/reference/Sample"
+    cat = tmp_path / "chinook_cat"
+
+    s1 = AndlSession(spark, sample, catalog_path=cat, db_path=CHINOOK)
+    s1.run_path(f"{sample}/setup-chinook.andl")
+    listing = next(o for o in s1.output if o.startswith("{{Name, Type}}"))
+    assert listing.count("relation") == 11 and "PlaylistTrack" in listing
+
+    s2 = AndlSession(spark, sample, catalog_path=cat)
+    s2.run_path(f"{sample}/chinook.andl")
+    out = "\n".join(s2.output)
+    assert "(AlbumId, number)" in out and "(Iron Maiden, 21)" in out
+
+
 def test_chinook_andl_script(spark, derby_url, album_jdbc):
     """Runs the reference's actual Sample/chinook.andl through the
     language front-end, Album arriving via the JDBC path and the other

@@ -35,6 +35,35 @@ def test_suite_update_cat_roundtrip(spark, tmp_path):
     assert len(s2.tests) == _asserts(REF / "SuiteUpdateCat2.andl") == 13
 
 
+def test_workbench_roundtrip(spark, tmp_path):
+    """Sample/setup-workbench.andl → Sample/workbench.andl verbatim:
+    the Workbench pair (run.bat F7-reload workflow). setup-workbench
+    persists S/P/SP csv relvars, three operators (incl. the
+    statement-bodied `def addsuppliers(adds:S) => update S union adds`
+    and recursive fib), a UDT with a relation-typed component
+    (type utx ... r:{{a,b}}) and a tuple value; workbench.andl reads it
+    all back in a brand-new session (setup-workbench.andl:6-19,
+    workbench.andl:11-20)."""
+    sample = Path("/root/reference/Sample")
+    cat = tmp_path / "wbcat"
+
+    s1 = AndlSession(spark, sample, catalog_path=cat)
+    s1.catalog_update = True  # the CLI's -u (/cu) switch
+    s1.run_path(sample / "setup-workbench.andl")
+    assert s1.failures == []
+
+    s2 = AndlSession(spark, sample, catalog_path=cat)
+    assert {"suppliersbyname", "addsuppliers", "fib"} <= set(s2.defs)
+    s2.run_path(sample / "workbench.andl")
+    out = "\n".join(s2.output)
+    assert "Hello world!" in out and "Yes!" in out
+    assert "610" in out                      # fib(15), stored recursive def
+    # suppliersbyname('a') — dynamic regex param: exactly Blake/Clark/Adams
+    m = next(o for o in s2.output if "Sid" in o)
+    assert m.count("(") == 3 and "Blake" in m and "Smith" not in m
+    assert "91" in s2.output[-1]             # fold(+,WEIGHT) total
+
+
 def test_operator_roundtrip_minimal(spark, tmp_path):
     """An operator defined under #catalog update survives a new session
     and still drives Spark plans (not just scalar evaluation)."""

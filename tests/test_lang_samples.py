@@ -63,11 +63,38 @@ def test_100doors_andl(spark):
 
 
 def test_family_tree_andl(spark):
+    """family_tree.andl: recursive relation-typed function `tranclo`
+    (do-block + if + self-call) over the CSV family tree. The paternal
+    closure joins out to exactly 9 (child, male ancestor) name pairs
+    and the maternal closure to 6 — checked by content, not just
+    shape (Sample/family_tree.andl:13-30, family_tree.csv)."""
     sess = run_file(spark, SAMPLE / "family_tree.andl")
-    out = "\n".join(sess.output)
-    # transitive-closure ancestor pairs render child / ancestor names
-    assert "child" in out and "ancestor" in out
-    assert sess.output  # every display statement executed
+    male = next(o for o in sess.output
+                if "male ancestor" in o and "female" not in o)
+    female = next(o for o in sess.output if "female ancestor" in o)
+    # one "(" per tuple in the pp format: 9 paternal / 6 maternal pairs
+    assert male.count("(") == 9, male
+    assert female.count("(") == 6, female
+    # spot values: Chess Miller descends from Karl (3 generations up)
+    # paternally and from Deborah Brown maternally
+    assert "Chess" in male and "Karl" in male
+    assert "Deborah" in female and "Emily" in female
+    # schema display rendered the declared heading
+    assert any("year_of_birth" in o and "number" in o for o in sess.output)
+
+
+def test_supplier_data_andl(spark):
+    """Sample/SupplierData.andl verbatim — the Date & Darwen dataset as
+    positional tuple-list relation literals (`{{heading} (v,...), ...}`,
+    the #include-able data file). With this, every .andl script in the
+    reference's Sample/ and Test/ trees executes through the front-end."""
+    sess = run_file(spark, SAMPLE / "SupplierData.andl")
+    g = sess.globals
+    assert {r["S#"] for r in g["S"].df.collect()} == {"S1", "S2", "S3", "S4", "S5"}
+    assert g["P"].df.count() == 6 and g["J"].df.count() == 7
+    assert g["SP"].df.count() == 12 and g["SPJ"].df.count() == 24
+    qty = {(r["S#"], r["P#"], r["J#"]): r["QTY"] for r in g["SPJ"].df.collect()}
+    assert qty[("S5", "P6", "J4")] == 500 and qty[("S1", "P1", "J4")] == 700
 
 
 def test_setup_andl(setup_session):
