@@ -1,0 +1,86 @@
+"""Point-in-time (as-of) join — an operator Spark's DataFrame API lacks.
+
+For each left ("probe") row, find the most recent right ("state") row
+whose timestamp is <= the probe's, within the same key group — the
+trades/quotes and feature-store lookup pattern. The reference engine
+has no streaming/temporal surface at all (its tables are static
+relations, Andl.Runtime/DataTableLocal.cs), so this is part of the
+Spark-first upgrade alongside §2.7 streaming.
+
+Scale shape — the union-and-running-window formulation:
+
+    probe(k, ts, ...) ∪ state(k, ts, v...)  →  one shuffle on k
+    last(v ignoring nulls) over (partition k order ts, side) → asof v
+    filter side = probe
+
+A single Exchange on the key, linear work per group, no range-join
+candidate explosion (the naive formulation — join on k with
+``l.ts >= r.ts`` then argmax — materializes |probe|×|state| rows per
+key before pruning; at 100 TB that is the difference between a plan
+that runs and one that doesn't). Ties (state row at exactly the probe
+ts) resolve to the state row: state sorts before probe at equal ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    on: list[str],
+    ts: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """As-of join: probe rows gain ``asof_<c>`` for each value column.
+
+    ``probe`` and ``state`` must share the ``on`` key columns and the
+    ``ts`` column (numeric or timestamp; align units beforehand).
+    ``value_cols`` are state columns carried onto the matching probe
+    row (null when no state row precedes the probe). ``tie_col``
+    breaks ties between state rows with identical ``ts``
+    deterministically (the greatest wins). ``tolerance`` (same unit as
+    ``ts``) nulls out matches staler than the given distance.
+    """
+    probe_cols = probe.columns
+    clash = set(value_cols) & set(probe_cols)
+    if clash:
+        raise ValueError(f"value_cols {sorted(clash)} already exist in probe; alias them first")
+
+    keep = list(dict.fromkeys(on + [ts] + value_cols + ([tie_col] if tie_col else [])))
+    union = (
+        probe.withColumn(_SIDE, F.lit(1))
+        .unionByName(state.select(*keep).withColumn(_SIDE, F.lit(0)),
+                     allowMissingColumns=True)
+    )
+    order = [F.col(ts), F.col(_SIDE)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    state_val = {
+        f"asof_{c}": F.last(
+            F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True
+        ).over(w)
+        for c in value_cols
+    }
+    out = union.withColumns(state_val).filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        asof_ts = F.last(
+            F.when(F.col(_SIDE) == 0, F.col(ts)), ignorenulls=True
+        ).over(w)
+        out = union.withColumns(state_val | {"__asof_ts": asof_ts}).filter(
+            F.col(_SIDE) == 1
+        )
+        stale = F.col(ts) - F.col("__asof_ts") > F.lit(tolerance)
+        out = out.withColumns(
+            {c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in state_val}
+        ).drop("__asof_ts")
+    return out.select(*probe_cols, *state_val.keys())

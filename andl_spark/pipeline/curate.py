@@ -1,0 +1,109 @@
+"""Training-corpus curation operators: benchmark decontamination and
+PII scrubbing — first-class pipeline ops alongside dedup/simsearch
+(the reference has no corpus tooling; these extend SURVEY §2.8).
+
+Both are scan-side JVM expression pipelines — no Python UDFs, no
+driver collects — so they ride whole-stage codegen and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_expr
+from ..util import ensure_parallelism
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pred: Column,
+    n: int = 8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Flag training documents that share any word-``n``-gram with the
+    evaluation split — the benchmark-decontamination pass every
+    training pipeline runs before a model sees the corpus (the eval
+    set must not leak into training data).
+
+    ``eval_pred`` partitions ``docs`` into eval (true) and train
+    (false). Returns ``(id, n_shared)`` — train docs sharing >= 1
+    distinct shingle with the eval set, with the count of distinct
+    shared shingles.
+
+    Scale shape: the candidate generator is a semi-equi-join of train
+    shingles against the DISTINCT eval shingle set. The eval side is
+    benchmarks — thousands of documents, not billions — so its
+    distinct-shingle relation broadcasts, so the train side pays one
+    scan, a map-side join, and a single aggregation shuffle by doc id.
+    ``max_shingle_freq`` additionally drops train-side stop-shingles
+    (boilerplate present in >N docs) the way ngram_jaccard_pairs does;
+    production uses n in 8..13 where natural-language n-grams are
+    near-unique.
+    """
+    base = ensure_parallelism(docs.select(id_col, text_col, eval_pred.alias("__is_eval")))
+    sh = base.select(
+        F.col(id_col).alias("id"),
+        "__is_eval",
+        F.explode(
+            shingle_expr(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), n)
+        ).alias("shingle"),
+    )
+    train = sh.filter(~F.col("__is_eval")).select("id", "shingle")
+    if max_shingle_freq is not None:
+        keep = (
+            train.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        train = train.join(keep, "shingle")
+    eval_sh = sh.filter(F.col("__is_eval")).select("shingle").distinct()
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+#: PII patterns — the common Java-regex/RE2 subset so the DuckDB oracle
+#: applies the byte-identical expressions (no lookaround, ASCII \b).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Detect and redact PII-shaped spans (emails, phone numbers,
+    IPv4 addresses) — the privacy pass of a training-data pipeline.
+
+    Returns ``(id, n_emails, n_phones, n_ips, scrubbed, scrub_len)``
+    where ``scrubbed`` replaces each span class with a typed tag.
+    Pure scan-side regexp expressions (regexp_extract_all /
+    regexp_replace) — no data-dependent shuffle, embarrassingly
+    parallel at any corpus size (the only Exchange ever in the plan is
+    ensure_parallelism's round-robin fan-out of an under-split local
+    input, a no-op on real many-file corpora). Redaction order is fixed
+    email → phone → ip so nested-ish matches resolve identically
+    everywhere.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IPV4_RE, "<IP>")
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+    )

@@ -220,38 +220,99 @@ def q_rename_extend(spark, sf_dir):
 
 
 @q("q_agg_fold", """
-SELECT c_nationkey,
-       COUNT(*)                 AS n_cust,
-       ROUND(SUM(c_acctbal) + 1e-6, 2) AS total_bal,
-       ROUND(MIN(c_acctbal) + 1e-6, 2) AS min_bal,
-       ROUND(MAX(c_acctbal) + 1e-6, 2) AS max_bal,
-       ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
-FROM customer
-GROUP BY c_nationkey
+SELECT * FROM (
+  SELECT c_nationkey,
+         COUNT(*)                 AS n_cust,
+         ROUND(SUM(c_acctbal) + 1e-6, 2) AS total_bal,
+         ROUND(MIN(c_acctbal) + 1e-6, 2) AS min_bal,
+         ROUND(MAX(c_acctbal) + 1e-6, 2) AS max_bal,
+         ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
+  FROM customer
+  GROUP BY c_nationkey
+)
+WHERE n_cust * 25 >= (SELECT COUNT(*) FROM customer)
 """)
 def q_agg_fold(spark, sf_dir):
-    """Andl fold(+|min|max) aggregated projection (sample2.andl:97)."""
+    """Andl fold(+|min|max) aggregated projection (sample2.andl:97)
+    PLUS the HAVING-style restriction on the aggregate
+    (.select{...}.where(...), SURVEY §2 row 11e — formerly the
+    separate q_agg_having): keep the nations whose customer count is
+    at least the 25-nation average, a threshold that filters real rows
+    at every SF. The scalar total rides a 25-row unpartitioned window
+    — no second scan, no driver collect."""
     cust = _t(spark, sf_dir)["customer"]
-    return Relation(cust).aggregate(
+    agg = Relation(cust).aggregate(
         ["c_nationkey"],
         n_cust=F.count(F.lit(1)),
         total_bal=r2(F.sum("c_acctbal")),
         min_bal=r2(F.min("c_acctbal")),
         max_bal=r2(F.max("c_acctbal")),
         avg_bal=r4(F.avg("c_acctbal")),
-    ).df
-
-
-@q("q_seq_gen", """
-SELECT range AS n, range * range AS sq, range % 2 = 0 AS is_even
-FROM range(1000)
-""")
-def q_seq_gen(spark, sf_dir):
-    """Andl seq(n) generator + extension (Builtin.cs Sequence)."""
+    )
+    total = F.sum("n_cust").over(Window.partitionBy())
     return (
-        Relation.seq(spark, 1000, "n")
-        .extend(sq=F.col("n") * F.col("n"), is_even=F.col("n") % 2 == 0)
-        .df
+        agg.df.withColumn("__total", total)
+        .filter(F.col("n_cust") * 25 >= F.col("__total"))
+        .drop("__total")
+    )
+
+
+@q("q_asof_join", """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id
+            FROM events WHERE user_id < 20),
+t0 AS (SELECT user_id, MIN(us) AS t0us FROM ev GROUP BY user_id),
+grid AS (SELECT user_id, CAST(r.range AS BIGINT) AS tick_idx,
+                t0us + r.range * 3600000000 AS tick_us
+         FROM t0 CROSS JOIN range(24) r),
+matched AS (SELECT g.user_id, g.tick_idx, g.tick_us, e.us AS asof_us
+            FROM grid g ASOF JOIN ev e
+            ON g.user_id = e.user_id AND g.tick_us >= e.us)
+SELECT user_id, tick_idx, asof_us,
+       (tick_us - asof_us) // 60000000 AS stale_min
+FROM matched
+""")
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join — an operator Spark's API lacks,
+    built as operators/asof.asof_join's union+running-window plan (one
+    shuffle on the key, no range-join explosion; see that module's
+    docstring for the 100 TB argument). The probe side is an hourly
+    tick grid generated by Andl's seq(n) (Builtin.cs Sequence —
+    SURVEY §2 row 9's representative, formerly the standalone
+    q_seq_gen) crossed with each user's first-event origin; every tick
+    finds the most recent event at-or-before it. The oracle is
+    DuckDB's native ASOF JOIN, so the operator is checked against an
+    independent built-in implementation of the same semantics."""
+    from .operators.asof import asof_join
+
+    ev = (
+        _t(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+            "event_id",
+        )
+    )
+    t0 = ev.groupBy("user_id").agg(F.min("us").alias("t0us"))
+    grid = (
+        t0.crossJoin(Relation.seq(spark, 24, "tick_idx").df)
+        .select(
+            "user_id",
+            F.col("tick_idx").cast("long").alias("tick_idx"),
+            (F.col("t0us") + F.col("tick_idx") * 3600000000).alias("us"),
+        )
+    )
+    out = asof_join(
+        grid,
+        ev.select("user_id", "us", F.col("us").alias("ev_us"), "event_id"),
+        on=["user_id"], ts="us", value_cols=["ev_us"], tie_col="event_id",
+    )
+    return out.select(
+        "user_id", "tick_idx",
+        F.col("asof_ev_us").alias("asof_us"),
+        F.expr("(us - asof_ev_us) div 60000000").alias("stale_min"),
     )
 
 
@@ -530,24 +591,10 @@ def q_window_running(spark, sf_dir):
     )
 
 
-@q("q_window_grouped", """
-SELECT o_custkey, o_orderkey, o_totalprice,
-       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-FROM orders
-QUALIFY rn <= 3
-""")
-def q_window_grouped(spark, sf_dir):
-    """Top-3 orders per customer — grouped ordering, deterministic ties."""
-    orders = _t(spark, sf_dir)["orders"]
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+# (grouped-ordering top-k — formerly q_window_grouped — was an exact
+# duplicate of the §2.9 flagship q_topk_orders and was retired to free
+# a correctness-budget slot; grouped windows stay driver-checked
+# through q_topk_orders and q_window_running.)
 
 
 # =====================================================================
@@ -638,6 +685,7 @@ def q_nest_unnest(spark, sf_dir):
 # §2.8 LLM-data-pipeline operators (documents / embeddings)
 # =====================================================================
 
+from .pipeline import curate as CU  # noqa: E402
 from .pipeline import dedup as D  # noqa: E402
 from .pipeline import multimodal as MM  # noqa: E402
 from .pipeline import simsearch as SS  # noqa: E402
@@ -853,6 +901,111 @@ def q_ngram_jaccard(spark, sf_dir):
         docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=50
     )
     return pairs.select("id_a", "id_b", r4(F.col("jaccard")).alias("jaccard"))
+
+
+@q("q_decontaminate", r"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id % 19 = 0 AS is_eval, list_distinct(list_transform(
+    range(GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3, 1)),
+    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+4], ' '))) AS sh
+  FROM documents),
+ex AS (SELECT id, is_eval, unnest(sh) AS shingle FROM base),
+ev AS (SELECT DISTINCT shingle FROM ex WHERE is_eval)
+SELECT id, COUNT(*) AS n_shared
+FROM ex JOIN ev USING (shingle)
+WHERE NOT is_eval
+GROUP BY id
+""")
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (pipeline/curate.decontaminate):
+    training documents sharing any word-4-gram with the held-out eval
+    split (doc_id % 19 = 0 plays the benchmark set). The eval
+    distinct-shingle relation is explicitly broadcast — at corpus
+    scale the train side pays one scan + a map-side join + one
+    aggregation shuffle, never an all-pairs or eval-sized shuffle.
+    4-grams suit this synthetic word-soup corpus; production text uses
+    n in 8..13 plus the max_shingle_freq stop-shingle cap
+    (tests/test_pipeline.py exercises both knobs)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return CU.decontaminate(
+        docs, "doc_id", "text", eval_pred=F.col("doc_id") % 19 == 0, n=4
+    )
+
+
+def _pii_augmented(docs):
+    """documents with a deterministic PII-bearing suffix derived from
+    doc_id — the corpus itself is PII-free word soup, so the scrub
+    target is constructed identically on both engines (the operator
+    under test is the detection/redaction, not the synthesis)."""
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 != 0,
+                   F.concat(F.lit(" reach me at user"), did, F.lit("@example.com")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 1,
+                   F.concat(F.lit(" cc admin"), did, F.lit("@mail.test")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 != 0,
+                   F.concat(F.lit(" call +1-555-"),
+                            (F.lit(1000) + F.col("doc_id") % 9000).cast("string")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 != 0,
+                   F.concat(F.lit(" from 10."),
+                            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")))
+             .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_AUG_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 3 <> 0
+     THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 3 = 1
+     THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@mail.test' ELSE '' END
+  || CASE WHEN doc_id % 4 <> 0
+     THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 5 <> 0
+     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+@q("q_pii_scrub", f"""
+WITH aug AS ({_PII_AUG_SQL}),
+scrub AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '{CU.EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{CU.PHONE_RE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(text, '{CU.IPV4_RE}')) AS BIGINT)  AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{CU.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{CU.PHONE_RE}', '<PHONE>', 'g'),
+             '{CU.IPV4_RE}', '<IP>', 'g') AS scrubbed
+  FROM aug)
+SELECT id, n_emails, n_phones, n_ips,
+       md5(scrubbed) AS scrub_md5, CAST(len(scrubbed) AS BIGINT) AS scrub_len
+FROM scrub
+""")
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (pipeline/curate.pii_scrub): detect + redact
+    emails / phone numbers / IPv4 addresses over a deterministically
+    PII-augmented corpus (counts vary 0..2 per class by doc_id
+    residue). The redacted text is verified byte-for-byte via md5 —
+    the patterns live in the Java-regex/RE2 common subset so both
+    engines replace identical spans. Scan-side regexp expressions
+    only: zero shuffles at any scale."""
+    docs = _t(spark, sf_dir)["documents"]
+    out = CU.pii_scrub(_pii_augmented(docs), "doc_id", "text")
+    return out.select(
+        "id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+        F.col("scrub_len"),
+    )
 
 
 _COS_SQL = (
@@ -1188,26 +1341,9 @@ def q6_forecast_revenue(spark, sf_dir):
     )
 
 
-@q("q_agg_having", """
-SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
-FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
-""")
-def q_agg_having(spark, sf_dir):
-    """Andl aggregate + restriction on the aggregate (.select{...}
-    .where(...)) — HAVING; the filter runs post-agg, pre-result."""
-    orders = _t(spark, sf_dir)["orders"]
-    return (
-        Relation(orders)
-        .aggregate(
-            ["o_custkey"],
-            n_orders=F.count(F.lit(1)),
-            total=r2(F.sum("o_totalprice")),
-        )
-        .where(F.col("n_orders") >= 15)
-        .df
-    )
-
-
+# (aggregate + HAVING — formerly q_agg_having — is folded into
+# q_agg_fold's above-average-nations restriction; §2 row 11e keeps a
+# driver row there.)
 
 
 @q("q_mandelbrot", """

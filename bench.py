@@ -31,7 +31,7 @@ HEADLINE = [
     "q_text_quality",
     "q_top_ngrams",
     "q_agg_fold",
-    "q_window_grouped",
+    "q_topk_orders",  # formerly timed as q_window_grouped (same plan)
     "q_window_running",
     "q_rdivide",
     "q_image_agg",
@@ -40,6 +40,10 @@ HEADLINE = [
     "q_clean_corpus",
     "q_train_split",
     "q_corpus_profile",
+    # new in r3 — no r1 anchor in BASELINE.md (noted there):
+    "q_asof_join",
+    "q_decontaminate",
+    "q_pii_scrub",
 ]
 # pipeline + events headliners (self-registered in workload).
 # Excluded from timing: q_recall_gauges (a correctness gauge that

@@ -1,0 +1,126 @@
+"""As-of join semantics/plan shape and corpus-curation operators
+(decontamination, PII scrub) — the r3 additions to SURVEY §2.8."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark.operators.asof import asof_join
+from andl_spark.pipeline import curate as C
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    # (key, ts, price, seq): two keys, out-of-order inserts, a tie at ts=20
+    rows = [
+        ("a", 10, 1.0, 1), ("a", 20, 2.0, 2), ("a", 20, 3.0, 3), ("a", 40, 4.0, 4),
+        ("b", 15, 9.0, 5),
+    ]
+    return spark.createDataFrame(rows, "k string, ts long, price double, seq long")
+
+
+@pytest.fixture(scope="module")
+def probe(spark):
+    rows = [("a", 5), ("a", 20), ("a", 25), ("a", 99), ("b", 14), ("b", 16)]
+    return spark.createDataFrame(rows, "k string, ts long")
+
+
+def test_asof_join_semantics(probe, state):
+    out = asof_join(probe, state, on=["k"], ts="ts", value_cols=["price"], tie_col="seq")
+    got = {(r["k"], r["ts"]): r["asof_price"] for r in out.collect()}
+    assert got == {
+        ("a", 5): None,     # before any state row
+        ("a", 20): 3.0,     # tie at ts=20 → greatest seq wins, deterministic
+        ("a", 25): 3.0,
+        ("a", 99): 4.0,
+        ("b", 14): None,
+        ("b", 16): 9.0,
+    }
+    assert out.count() == probe.count()  # every probe row survives
+
+
+def test_asof_join_tolerance(probe, state):
+    out = asof_join(probe, state, on=["k"], ts="ts",
+                    value_cols=["price"], tie_col="seq", tolerance=10)
+    got = {(r["k"], r["ts"]): r["asof_price"] for r in out.collect()}
+    # ("a", 99)'s match at ts=40 is 59 ticks stale → nulled
+    assert got[("a", 99)] is None and got[("a", 25)] == 3.0
+
+
+def test_asof_join_plan_single_key_shuffle(probe, state):
+    """The union+window formulation: no join node at all (so no
+    range-join explosion is even possible) — the only exchanges are
+    hash partitioning on the key."""
+    plan = asof_join(
+        probe, state, on=["k"], ts="ts", value_cols=["price"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_value_col_clash_rejected(probe, state):
+    with pytest.raises(ValueError, match="alias"):
+        asof_join(probe, state.withColumnRenamed("price", "ts2"),
+                  on=["k"], ts="ts", value_cols=["ts"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """4 train docs, 2 eval docs; train doc 10 copies eval text, train
+    doc 11 shares a 4-word boilerplate run with eval, 12/13 clean."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", True),
+        (1, "one two three four five six seven", True),
+        (10, "alpha beta gamma delta epsilon zeta", False),   # full copy
+        (11, "xx one two three four yy zz ww", False),         # one shared 4-gram
+        (12, "totally different words here entirely", False),
+        (13, "nothing in common with anything else", False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_eval boolean")
+
+
+def test_decontaminate_flags_leaks(corpus):
+    out = C.decontaminate(corpus, "doc_id", "text", F.col("is_eval"), n=4)
+    got = {r["id"]: r["n_shared"] for r in out.collect()}
+    # doc 10: 3 distinct 4-grams of a 6-word text, all shared
+    assert got == {10: 3, 11: 1}
+
+
+def test_decontaminate_stop_shingle_cap(corpus, spark):
+    """A boilerplate shingle present in > max_shingle_freq train docs
+    is dropped from the candidate join (the fan-out lever)."""
+    boiler = [(100 + i, "one two three four boiler " + str(i), False) for i in range(5)]
+    big = corpus.union(spark.createDataFrame(
+        boiler, "doc_id long, text string, is_eval boolean"))
+    uncapped = C.decontaminate(big, "doc_id", "text", F.col("is_eval"), n=4)
+    capped = C.decontaminate(big, "doc_id", "text", F.col("is_eval"), n=4,
+                             max_shingle_freq=3)
+    assert uncapped.count() == 2 + 5          # the 5 boilerplate docs all flagged
+    flagged = {r["id"] for r in capped.collect()}
+    # capped: 'one two three four' sits in 6 > 3 train docs → dropped,
+    # which also clears doc 11 (its only overlap WAS that boilerplate)
+    assert flagged == {10}
+
+
+def test_pii_scrub_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call +1-555-0142 from 192.168.0.1 ok"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in C.pii_scrub(df, "doc_id", "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "no pii here at all"
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op (tags match no
+    pattern) — safe to re-run the pass over a partially-clean corpus."""
+    df = spark.createDataFrame([(1, "x a@b.co y +1-555-1234 z 10.0.0.1")],
+                               "doc_id long, text string")
+    once = C.pii_scrub(df, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("scrubbed").alias("text"))
+    twice = C.pii_scrub(once, "doc_id", "text").collect()[0]
+    assert twice["scrubbed"] == once.collect()[0]["text"]
+    assert (twice["n_emails"], twice["n_phones"], twice["n_ips"]) == (0, 0, 0)
