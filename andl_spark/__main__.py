@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="interactive REPL on stdin (/i)")
     ap.add_argument("--cpus", type=int, default=4,
                     help="local[N] parallelism (default 4)")
+    ap.add_argument("--db", metavar="PATH",
+                    help="SQL database behind `var X(db)` — lets a script "
+                         "attach a database AND a catalog directory at once "
+                         "(the reference's single path serves as both, "
+                         "Andl/Main.cs:41)")
     args = ap.parse_args(argv)
     if not args.script and not args.interactive:
         # Andl/Main.cs:32,108 — with no input path the reference falls
@@ -65,12 +70,22 @@ def main(argv: list[str] | None = None) -> int:
     # Main.cs's second positional is "database name or path" — a
     # .sqlite/.sqandl FILE attaches as the SQL database behind
     # `var X(db)` (setup-chinook.andl workflow); a directory is the
-    # persistent catalog.
-    catalog_path, db_path = args.catalog, None
+    # persistent catalog. `--db` supplies the database explicitly so
+    # both can be attached at once (the reference's single path plays
+    # both roles because its catalog lives inside the database).
+    catalog_path, db_path = args.catalog, args.db
     if catalog_path and os.path.isfile(catalog_path):
+        if db_path:
+            print(f"error: two databases given ({catalog_path} and --db)",
+                  file=sys.stderr)
+            return 2
         catalog_path, db_path = None, args.catalog
     sess = AndlSession(spark, catalog_path=catalog_path, db_path=db_path)
     if args.update:
+        if catalog_path is None:
+            print("warning: -u has no catalog directory to persist into "
+                  "(pass one, e.g. `script.andl ./catdir --db data.sqlite`)",
+                  file=sys.stderr)
         sess.catalog_update = True
 
     rc = 0

@@ -43,17 +43,27 @@ def asof_join(
     ``probe`` and ``state`` must share the ``on`` key columns and the
     ``ts`` column (numeric or timestamp; align units beforehand).
     ``value_cols`` are state columns carried onto the matching probe
-    row (null when no state row precedes the probe). ``tie_col``
-    breaks ties between state rows with identical ``ts``
-    deterministically (the greatest wins). ``tolerance`` (same unit as
-    ``ts``) nulls out matches staler than the given distance.
+    row (all null when no state row precedes the probe). The matching
+    state row travels as ONE unit — a probe row's ``asof_*`` values
+    always come from the same state row, and a NULL value in the
+    matching row stays NULL (it is not back-filled from an older row).
+    ``tie_col`` breaks ties between state rows with identical ``ts``
+    deterministically (the greatest wins). ``tolerance`` nulls out
+    matches staler than the given distance — in ``ts``'s own units for
+    numeric ``ts``, in SECONDS for timestamp ``ts``.
     """
     probe_cols = probe.columns
-    clash = set(value_cols) & set(probe_cols)
+    reserved = {f"asof_{c}" for c in value_cols} | {_SIDE, "__asof_row"}
+    clash = (set(value_cols) | reserved) & (set(probe_cols) - {ts})
     if clash:
-        raise ValueError(f"value_cols {sorted(clash)} already exist in probe; alias them first")
+        raise ValueError(
+            f"columns {sorted(clash)} clash with probe columns; alias them first")
 
     keep = list(dict.fromkeys(on + [ts] + value_cols + ([tie_col] if tie_col else [])))
+    # the whole candidate state row rides in one struct so every
+    # asof_<c> (and the staleness check) reads the SAME matched row
+    row_struct = F.struct(F.col(ts).alias("__ts"),
+                          *[F.col(c).alias(c) for c in value_cols])
     union = (
         probe.withColumn(_SIDE, F.lit(1))
         .unionByName(state.select(*keep).withColumn(_SIDE, F.lit(0)),
@@ -65,22 +75,22 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    state_val = {
-        f"asof_{c}": F.last(
-            F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True
-        ).over(w)
-        for c in value_cols
-    }
-    out = union.withColumns(state_val).filter(F.col(_SIDE) == 1)
+    matched = F.last(
+        F.when(F.col(_SIDE) == 0, row_struct), ignorenulls=True
+    ).over(w)
+    out = (
+        union.withColumn("__asof_row", matched)
+        .filter(F.col(_SIDE) == 1)
+    )
     if tolerance is not None:
-        asof_ts = F.last(
-            F.when(F.col(_SIDE) == 0, F.col(ts)), ignorenulls=True
-        ).over(w)
-        out = union.withColumns(state_val | {"__asof_ts": asof_ts}).filter(
-            F.col(_SIDE) == 1
+        gap = F.col(ts) - F.col("__asof_row.__ts")
+        if "timestamp" in dict(union.dtypes)[ts]:
+            gap = F.col(ts).cast("double") - F.col("__asof_row.__ts").cast("double")
+        out = out.withColumn(
+            "__asof_row",
+            F.when(gap > F.lit(tolerance), F.lit(None)).otherwise(F.col("__asof_row")),
         )
-        stale = F.col(ts) - F.col("__asof_ts") > F.lit(tolerance)
-        out = out.withColumns(
-            {c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in state_val}
-        ).drop("__asof_ts")
-    return out.select(*probe_cols, *state_val.keys())
+    return out.select(
+        *probe_cols,
+        *[F.col(f"__asof_row.{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -22,6 +22,7 @@ def decontaminate(
     eval_pred: Column,
     n: int = 8,
     max_shingle_freq: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Flag training documents that share any word-``n``-gram with the
     evaluation split — the benchmark-decontamination pass every
@@ -41,9 +42,15 @@ def decontaminate(
     ``max_shingle_freq`` additionally drops train-side stop-shingles
     (boilerplate present in >N docs) the way ngram_jaccard_pairs does;
     production uses n in 8..13 where natural-language n-grams are
-    near-unique.
+    near-unique. ``eager=False`` skips the shingle-table persist and
+    the result checkpoint (plan inspection / composition into a larger
+    cached pipeline).
     """
     base = ensure_parallelism(docs.select(id_col, text_col, eval_pred.alias("__is_eval")))
+    # Materialize the exploded shingle table ONCE: the train side, the
+    # eval side, and (with the cap) the frequency aggregation are three
+    # DAG branches that would otherwise each re-scan and re-shingle the
+    # full corpus (the same fix ngram_jaccard_pairs carries).
     sh = base.select(
         F.col(id_col).alias("id"),
         "__is_eval",
@@ -51,6 +58,9 @@ def decontaminate(
             shingle_expr(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), n)
         ).alias("shingle"),
     )
+    if eager:
+        sh = sh.persist()
+        sh.count()
     train = sh.filter(~F.col("__is_eval")).select("id", "shingle")
     if max_shingle_freq is not None:
         keep = (
@@ -61,11 +71,16 @@ def decontaminate(
         )
         train = train.join(keep, "shingle")
     eval_sh = sh.filter(F.col("__is_eval")).select("shingle").distinct()
-    return (
+    out = (
         train.join(F.broadcast(eval_sh), "shingle")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    if eager:
+        # doc-count-bounded result: materialize it, release the cache
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 
 #: PII patterns — the common Java-regex/RE2 subset so the DuckDB oracle

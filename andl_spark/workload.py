@@ -241,19 +241,21 @@ def q_agg_fold(spark, sf_dir):
     at every SF. The scalar total rides a 25-row unpartitioned window
     — no second scan, no driver collect."""
     cust = _t(spark, sf_dir)["customer"]
-    agg = Relation(cust).aggregate(
-        ["c_nationkey"],
-        n_cust=F.count(F.lit(1)),
-        total_bal=r2(F.sum("c_acctbal")),
-        min_bal=r2(F.min("c_acctbal")),
-        max_bal=r2(F.max("c_acctbal")),
-        avg_bal=r4(F.avg("c_acctbal")),
-    )
-    total = F.sum("n_cust").over(Window.partitionBy())
+    cols = ["c_nationkey", "n_cust", "total_bal", "min_bal", "max_bal", "avg_bal"]
     return (
-        agg.df.withColumn("__total", total)
-        .filter(F.col("n_cust") * 25 >= F.col("__total"))
-        .drop("__total")
+        Relation(cust)
+        .aggregate(
+            ["c_nationkey"],
+            n_cust=F.count(F.lit(1)),
+            total_bal=r2(F.sum("c_acctbal")),
+            min_bal=r2(F.min("c_acctbal")),
+            max_bal=r2(F.max("c_acctbal")),
+            avg_bal=r4(F.avg("c_acctbal")),
+        )
+        .extend(__total=F.sum("n_cust").over(Window.partitionBy()))
+        .where(F.col("n_cust") * 25 >= F.col("__total"))
+        .project(*cols, distinct=False)
+        .df
     )
 
 
@@ -925,7 +927,7 @@ def q_decontaminate(spark, sf_dir):
     aggregation shuffle, never an all-pairs or eval-sized shuffle.
     4-grams suit this synthetic word-soup corpus; production text uses
     n in 8..13 plus the max_shingle_freq stop-shingle cap
-    (tests/test_pipeline.py exercises both knobs)."""
+    (tests/test_curate_asof.py exercises both knobs)."""
     docs = _t(spark, sf_dir)["documents"]
     return CU.decontaminate(
         docs, "doc_id", "text", eval_pred=F.col("doc_id") % 19 == 0, n=4

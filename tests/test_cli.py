@@ -72,6 +72,33 @@ def test_cli_default_input_is_test_andl(tmp_path):
     assert "Hello world!" in proc.stdout and "12" in proc.stdout
 
 
+def test_cli_db_and_catalog_together(tmp_path):
+    """The reference workflow `Andl setup-Chinook.andl <db>` then
+    `Andl Chinook.andl <db>` (setup-chinook.andl:3-4): with --db the
+    CLI attaches the SQL database AND a catalog directory at once, so
+    the import step really persists and the query step reads it back."""
+    cat = tmp_path / "cat"
+    cat.mkdir()
+    s1 = tmp_path / "imp.andl"
+    s1.write_text("#catalog new update\nvar Album(db), Artist(db)\nandl_catalog\n")
+    s2 = tmp_path / "use.andl"
+    s2.write_text("#catalog\nwrite('n=' & Album.count)\n")
+    db = "/root/reference/Sample/Chinook.sqlite"
+    p1 = _run("-u", str(s1), str(cat), "--db", db)
+    assert p1.returncode == 0, p1.stderr[-800:]
+    p2 = _run(str(s2), str(cat))
+    assert p2.returncode == 0, p2.stderr[-800:]
+    assert "n=347" in p2.stdout
+
+
+def test_cli_update_without_catalog_warns(tmp_path):
+    script = tmp_path / "s.andl"
+    script.write_text("x := 1\nx\n")
+    proc = _run("-u", str(script))
+    assert proc.returncode == 0
+    assert "no catalog directory" in proc.stderr
+
+
 def test_cli_failing_suite_sets_exit_code(tmp_path):
     script = tmp_path / "bad.andl"
     script.write_text("test_true(7, 1 = 2)\n")

@@ -60,8 +60,44 @@ def test_asof_join_plan_single_key_shuffle(probe, state):
 
 def test_asof_value_col_clash_rejected(probe, state):
     with pytest.raises(ValueError, match="alias"):
-        asof_join(probe, state.withColumnRenamed("price", "ts2"),
-                  on=["k"], ts="ts", value_cols=["ts"])
+        # 'price' as a probe column would be silently merged by the union
+        asof_join(probe.withColumn("price", F.lit(0.0)), state,
+                  on=["k"], ts="ts", value_cols=["price"])
+
+
+def test_asof_null_values_not_backfilled(spark):
+    """A NULL value in the MATCHING state row stays NULL — it must not
+    be back-filled from an older row — and multiple value columns all
+    come from the same matched row (never a mix of rows)."""
+    state = spark.createDataFrame(
+        [("k", 10, 1.0, 7.0), ("k", 30, None, 8.0)],
+        "k string, ts long, price double, qty double")
+    probe = spark.createDataFrame([("k", 35)], "k string, ts long")
+    row = asof_join(probe, state, on=["k"], ts="ts",
+                    value_cols=["price", "qty"]).collect()[0]
+    # matching row is ts=30: price NULL (not 1.0 from ts=10), qty 8.0
+    assert row["asof_price"] is None and row["asof_qty"] == 8.0
+
+
+def test_asof_chaining_clash_rejected(probe, state):
+    """Chained enrichment must not silently overwrite a prior asof_<c>."""
+    first = asof_join(probe, state, on=["k"], ts="ts", value_cols=["price"])
+    with pytest.raises(ValueError, match="alias"):
+        asof_join(first, state, on=["k"], ts="ts", value_cols=["price"])
+
+
+def test_asof_tolerance_on_timestamps(spark):
+    """tolerance works for timestamp ts columns (unit: seconds)."""
+    state = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0)],
+        "k string, ts string, price double").withColumn("ts", F.col("ts").cast("timestamp"))
+    probe = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:30"), ("k", "2024-01-01 00:02:00")],
+        "k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(probe, state, on=["k"], ts="ts",
+                    value_cols=["price"], tolerance=60)
+    got = sorted((str(r["ts"]), r["asof_price"]) for r in out.collect())
+    assert got[0][1] == 1.0 and got[1][1] is None  # 30s fresh, 120s stale
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +136,17 @@ def test_decontaminate_stop_shingle_cap(corpus, spark):
     # capped: 'one two three four' sits in 6 > 3 train docs → dropped,
     # which also clears doc 11 (its only overlap WAS that boilerplate)
     assert flagged == {10}
+
+
+def test_decontaminate_plan_broadcasts_eval_side(corpus):
+    """The eval distinct-shingle relation must arrive at the train side
+    as a broadcast (map-side) join — a shuffled join here would move
+    the full train shingle table at corpus scale."""
+    plan = C.decontaminate(
+        corpus, "doc_id", "text", F.col("is_eval"), n=4, eager=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_pii_scrub_exact(spark):
