@@ -103,6 +103,48 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str, how: str = "left
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    state: DataFrame,
+    on: list[str],
+    ts: str,
+    value_cols: list[str],
+    out_path: str,
+    checkpoint: str,
+    tie_col: str | None = None,
+    tolerance: int | None = None,
+):
+    """Streaming point-in-time enrichment: each event picks up the
+    state row in force AT ITS OWN timestamp (feature-store /
+    slowly-changing-dimension lookup) — the streaming twin of
+    operators/asof.asof_join.
+
+    Runs the batch as-of join per micro-batch via ``foreachBatch``
+    against the static state snapshot. Because each probe row's match
+    depends only on that row and the static state, micro-batch
+    boundaries are invisible: the streamed result equals the one-shot
+    batch as-of join row for row (asserted in tests/test_streaming.py).
+    State stays a broadcast-or-shuffle-sized static side — no
+    streaming state store at all, so throughput scales like the
+    stateless enrichment above. Returns the started query
+    (availableNow trigger; caller awaits termination).
+    """
+    from ..operators.asof import asof_join
+
+    def _enrich(batch_df: DataFrame, _batch_id: int) -> None:
+        asof_join(
+            batch_df, state, on=on, ts=ts, value_cols=value_cols,
+            tie_col=tie_col, tolerance=tolerance,
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
     """Drive a streaming query to completion against the finite file
     source (test harness helper): complete mode into a memory sink."""

@@ -115,3 +115,44 @@ def test_sliding_window_stream_matches_batch(spark, events_batch):
     assert _as_sorted_rows(got, cols) == _as_sorted_rows(want, cols)
     n_events = events_batch.count()
     assert got.agg(F.sum("n")).first()[0] == 2 * n_events
+
+
+def test_asof_enrichment_stream_matches_batch(spark, events_batch, tmp_path):
+    """Streaming point-in-time enrichment: every event picks up the
+    state row in force at its own timestamp; the per-micro-batch
+    foreachBatch result equals the one-shot batch as-of join exactly
+    (micro-batch boundaries are invisible against static state)."""
+    from andl_spark.operators.asof import asof_join
+    from andl_spark.streaming.events import asof_enrich_stream
+
+    # synthetic slowly-changing state: each user upgrades bronze→silver
+    # 12h after their first event (derived in batch, purely static)
+    ev = events_batch.filter(F.col("user_id") < 30).select(
+        "event_id", "user_id", "ts", "value")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("ts"))
+    state = (
+        t0.withColumn("tier", F.lit("bronze"))
+        .union(
+            t0.select(
+                "user_id",
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"),
+            ).withColumn("tier", F.lit("silver")))
+        .select("user_id", "ts", "tier")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, SF_SMOKE).filter(F.col("user_id") < 30).select(
+        "event_id", "user_id", "ts", "value")
+    q = asof_enrich_stream(
+        stream, state, on=["user_id"], ts="ts", value_cols=["tier"],
+        out_path=out_dir, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = asof_join(ev, state, on=["user_id"], ts="ts", value_cols=["tier"])
+    cols = ["event_id", "user_id", "asof_tier"]
+    assert got.count() == ev.count()
+    assert _as_sorted_rows(got, cols) == _as_sorted_rows(want, cols)
+    # every user's first event is already bronze (state starts at min ts)
+    assert got.filter(F.col("asof_tier").isNull()).count() == 0
+    assert {r[0] for r in got.select("asof_tier").distinct().collect()} == {
+        "bronze", "silver"}
