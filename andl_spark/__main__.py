@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="interactive REPL on stdin (/i)")
     ap.add_argument("--cpus", type=int, default=4,
                     help="local[N] parallelism (default 4)")
+    ap.add_argument("-t", "--thrift", action="store_true",
+                    help="write <script>.thrift IDL for the catalog "
+                         "surface after the run (Main.cs /t)")
     ap.add_argument("--db", metavar="PATH",
                     help="SQL database behind `var X(db)` — lets a script "
                          "attach a database AND a catalog directory at once "
@@ -98,6 +101,20 @@ def main(argv: list[str] | None = None) -> int:
             if sess.failures:
                 print(f"FAILED test lines: {sess.failures}", file=sys.stderr)
                 rc = 1
+            if args.thrift:
+                from .lang.idl import thrift_idl
+
+                base = os.path.splitext(os.path.basename(args.script))[0]
+                out = os.path.splitext(args.script)[0] + ".thrift"
+                try:
+                    with open(out, "w") as fh:
+                        fh.write(thrift_idl(sess, base))
+                    print(f"*** Writing: {out}", file=sys.stderr)
+                except OSError:  # read-only script dir — fall back to cwd
+                    out = base + ".thrift"
+                    with open(out, "w") as fh:
+                        fh.write(thrift_idl(sess, base))
+                    print(f"*** Writing: {out}", file=sys.stderr)
         if args.interactive:
             print("andl> ", end="", flush=True)
             for line in sys.stdin:

@@ -107,6 +107,26 @@ def test_cli_failing_suite_sets_exit_code(tmp_path):
     assert "7" in proc.stderr  # the failing line number
 
 
+def test_cli_thrift_idl_output(tmp_path):
+    """The /t switch (Andl/Main.cs:44,151): after the run, write a
+    <script>.thrift IDL with the Andl typedefs, a struct per relation/
+    type, and a service entry per operator (ThriftGen.cs layout)."""
+    script = tmp_path / "svc.andl"
+    script.write_text(
+        "S := {{ nm:text, bal:number }} union {{ nm:='x', bal:=1 }}\n"
+        "type pt(x:number, y:number)\n"
+        "def scale(n:number) => n * 10\n"
+    )
+    proc = _run("-t", str(script))
+    assert proc.returncode == 0, proc.stderr[-800:]
+    idl = (tmp_path / "svc.thrift").read_text()
+    assert "typedef string text" in idl and "typedef double number" in idl
+    assert "struct S {" in idl and "1: text nm;" in idl and "2: number bal;" in idl
+    assert "struct pt {" in idl
+    assert "service svcService {" in idl
+    assert "number scale(" in idl and "1: number n;" in idl
+
+
 def test_cli_interactive_repl():
     proc = _run("-i", stdin="x := 2 + 21\nx * 2\nexit\n")
     assert proc.returncode == 0, proc.stderr[-500:]
