@@ -347,6 +347,31 @@ class AndlSession:
                 # `#catalog update` / `#catalog new update`: subsequent
                 # ^-prefixed assignments, defs and types persist
                 self.catalog_update = "update" in words
+            if words[0] in ("#include", "#source"):
+                # IncludeDirective / SourceDirective
+                # (Andl.Peg/Andl.grammar.peg:44,49, PegParser.cs:200,213):
+                # inline another script / point CSV loads elsewhere
+                import re as _re
+
+                m = _re.search(r"""['"]([^'"]+)['"]""", stmt[1])
+                if not m:
+                    raise ValueError(f"{words[0]}: expected a quoted path")
+                path = Path(m.group(1))
+                if not path.is_absolute() and self.script_dir is not None:
+                    path = self.script_dir / path
+                if words[0] == "#source":
+                    self.script_dir = path
+                else:
+                    if not path.exists():
+                        raise ValueError(f"cannot include '{m.group(1)}'")
+                    prev = self.filename
+                    src = self._preprocess(path.read_text(), path.name)
+                    self.filename = path.name
+                    try:
+                        for s in parse(src):
+                            self._exec(s, env)
+                    finally:
+                        self.filename = prev
             return
         if kind == "assign":
             v = self.eval(stmt[2], env)

@@ -97,6 +97,22 @@ def test_supplier_data_andl(spark):
     assert qty[("S5", "P6", "J4")] == 500 and qty[("S1", "P1", "J4")] == 700
 
 
+def test_include_and_source_directives(spark):
+    """#include inlines another script at the directive site and
+    #source repoints CSV loads (Andl.grammar.peg:44,49;
+    PegParser.cs:200,213) — SupplierData.andl's documented
+    '#include'-able role (SupplierData.andl:3) exercised for real."""
+    sess = AndlSession(spark, SAMPLE)
+    sess.run("#include 'SupplierData.andl'\nwrite('n=' & SPJ.count)")
+    assert sess.output[-1] == "n=24"
+    s2 = AndlSession(spark, Path("/tmp"))
+    s2.run("#source '/root/reference/Test'\n"
+           "var S:{S#,SNAME,STATUS:number,CITY}(csv)\nwrite(S.count)")
+    assert s2.output[-1] == "5"
+    with pytest.raises(ValueError, match="cannot include"):
+        AndlSession(spark, SAMPLE).run("#include 'no_such.andl'")
+
+
 def test_setup_andl(setup_session):
     """setup.andl builds the supplier catalog: 5 relvars + the
     andl_catalog listing at the end."""
