@@ -100,6 +100,46 @@ def test_asof_tolerance_on_timestamps(spark):
     assert got[0][1] == 1.0 and got[1][1] is None  # 30s fresh, 120s stale
 
 
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _probe_rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=10)
+    _state_rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50),
+                  st.one_of(st.none(), st.integers(0, 9))),
+        min_size=0, max_size=10)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(p=_probe_rows, s=_state_rows)
+    def test_asof_join_matches_bruteforce(spark, p, s):
+        """Property: for random keys/ts/NULLs the distributed as-of
+        join equals the obvious per-row brute force (max-ts state row
+        at-or-before the probe, greatest seq on ties, its value even
+        when NULL)."""
+        s = [(k, ts, v, i) for i, (k, ts, v) in enumerate(s)]
+        probe = spark.createDataFrame(p, "k int, ts int") if p else \
+            spark.createDataFrame([], "k int, ts int")
+        state = spark.createDataFrame(s, "k int, ts int, v int, seq int") if s else \
+            spark.createDataFrame([], "k int, ts int, v int, seq int")
+        got = sorted(
+            (r["k"], r["ts"], r["asof_v"])
+            for r in asof_join(probe, state, on=["k"], ts="ts",
+                               value_cols=["v"], tie_col="seq").collect()
+        )
+        def brute(k, ts):
+            cand = [r for r in s if r[0] == k and r[1] <= ts]
+            if not cand:
+                return None
+            return max(cand, key=lambda r: (r[1], r[3]))[2]
+        want = sorted((k, ts, brute(k, ts)) for k, ts in p)
+        assert got == want
+except ImportError:  # hypothesis is expected in this container
+    pass
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     """4 train docs, 2 eval docs; train doc 10 copies eval text, train
