@@ -28,6 +28,11 @@ Routes (database == the Spark session; one server per session):
     GET    /api/operators                 defined operators
     POST   /api/call/<op>                 {"args": [...]} -> call a
                                           stored operator
+    POST   /api/andl                      {"src": "..."} -> execute
+                                          Andl-language source in a
+                                          server-held session; returns
+                                          display output + failures
+                                          (the Gateway/Workbench loop)
 
 Result shape: {"columns": [...], "rows": [[...], ...]} — column order
 preserved, values JSON-scalarized. Every read is bounded by `limit`
@@ -88,7 +93,13 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, obj) -> None:
-        body = json.dumps(obj).encode()
+        # interpreter values (Decimal line numbers, timestamps) must
+        # never turn a valid result into a 400; str() is the last resort
+        def _default(v):
+            out = _jsonable(v)
+            return out if out is not v else str(v)
+
+        body = json.dumps(obj, default=_default).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -138,6 +149,22 @@ class _Handler(BaseHTTPRequestHandler):
             if parts[:2] == ["api", "sql"]:
                 limit = int(body.get("limit", DEFAULT_LIMIT))
                 return self._send(200, _payload(sess.sql(body["sql"]).df, limit))
+            if parts[:2] == ["api", "andl"]:
+                # execute Andl-language source server-side — the
+                # reference Gateway's code path (the Workbench posts
+                # Andl programs to the server and renders the output)
+                lang = getattr(self.server, "lang_session", None)
+                if lang is None:
+                    from .lang.interp import AndlSession as _Lang
+
+                    lang = _Lang(sess.spark)
+                    self.server.lang_session = lang  # type: ignore[attr-defined]
+                shown = len(lang.output)
+                lang.run(body["src"])
+                return self._send(200, {
+                    "output": lang.output[shown:],
+                    "failures": lang.failures,
+                })
             if parts[:2] == ["api", "call"] and len(parts) == 3:
                 args = (body or {}).get("args", [])
                 rel = sess.call(parts[2], *args)

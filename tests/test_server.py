@@ -92,6 +92,25 @@ def test_crud_round_trip_with_catalog_versions(served):
     assert sess.catalog.get("S", version=v0).count() == 3
 
 
+def test_andl_source_over_the_wire(served):
+    """POST /api/andl: a remote client sends Andl-language programs and
+    reads the rendered output — the reference Gateway/Workbench loop
+    (Andl.Server's execute path) over plain JSON. State persists
+    between posts within the server-held session."""
+    _, port = served
+    out = _req(port, "/api/andl", "POST",
+               {"src": "v := {{ a:=1 }, { a:=2 }, { a:=3 }}\n"
+                       "v .select{ fold(+,a) }"})
+    assert out["failures"] == []
+    assert any("6" in line for line in out["output"])
+    # session state survives into the next request
+    out2 = _req(port, "/api/andl", "POST", {"src": "write('n=' & v.count)"})
+    assert out2["output"] == ["n=3"]
+    # test_true failures surface in the response
+    out3 = _req(port, "/api/andl", "POST", {"src": "test_true(9, 1 = 2)"})
+    assert out3["failures"] == [9]
+
+
 def test_errors_are_http_400(served):
     _, port = served
     req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
