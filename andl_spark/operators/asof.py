@@ -37,6 +37,7 @@ def asof_join(
     value_cols: list[str],
     tie_col: str | None = None,
     tolerance: int | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """As-of join: probe rows gain ``asof_<c>`` for each value column.
 
@@ -51,9 +52,19 @@ def asof_join(
     deterministically (the greatest wins). ``tolerance`` nulls out
     matches staler than the given distance — in ``ts``'s own units for
     numeric ``ts``, in SECONDS for timestamp ``ts``.
+
+    ``bucket_width`` (numeric ``ts`` only) switches to the SKEW-PROOF
+    two-pass plan: windows partition on (key, floor(ts/width)) so a
+    hot key — one user with billions of rows — never serializes into a
+    single window partition. Pass 1 computes the bucket-local as-of;
+    pass 2 forward-fills each bucket's carry-in (the last state row of
+    any earlier bucket, one row per key×bucket — tiny) and coalesces.
+    Identical results to the single-window plan (property-tested);
+    choose width so one key×bucket fits an executor partition.
     """
     probe_cols = probe.columns
-    reserved = {f"asof_{c}" for c in value_cols} | {_SIDE, "__asof_row"}
+    reserved = {f"asof_{c}" for c in value_cols} | {
+        _SIDE, "__asof_row", "__bkt", "__local", "__carry", "__carry_in"}
     clash = (set(value_cols) | reserved) & (set(probe_cols) - {ts})
     if clash:
         raise ValueError(
@@ -70,18 +81,52 @@ def asof_join(
                      allowMissingColumns=True)
     )
     order = [F.col(ts), F.col(_SIDE)] + ([F.col(tie_col)] if tie_col else [])
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(
-        F.when(F.col(_SIDE) == 0, row_struct), ignorenulls=True
-    ).over(w)
-    out = (
-        union.withColumn("__asof_row", matched)
-        .filter(F.col(_SIDE) == 1)
-    )
+    state_row = F.when(F.col(_SIDE) == 0, row_struct)
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            union.withColumn("__asof_row", F.last(state_row, ignorenulls=True).over(w))
+            .filter(F.col(_SIDE) == 1)
+        )
+    else:
+        if "timestamp" in dict(union.dtypes)[ts]:
+            raise ValueError("bucket_width needs a numeric ts; convert "
+                             "timestamps to epoch units first")
+        u = union.withColumn("__bkt", F.floor(F.col(ts) / F.lit(bucket_width)))
+        wl = (
+            Window.partitionBy(*on, "__bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = u.withColumn("__local", F.last(state_row, ignorenulls=True).over(wl))
+        ordk = F.struct(F.col(ts), *([F.col(tie_col)] if tie_col else []))
+        carries = (
+            u.filter(F.col(_SIDE) == 0)
+            .groupBy(*on, "__bkt")
+            .agg(F.max_by(row_struct, ordk).alias("__carry"))
+        )
+        # forward-fill: each key×bucket's carry-in = the newest state
+        # row from any EARLIER bucket (one row per key×bucket)
+        buckets = u.select(*on, "__bkt").distinct()
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = (
+            buckets.join(carries, on + ["__bkt"], "left")
+            .withColumn("__carry_in", F.last("__carry", ignorenulls=True).over(wb))
+            .select(*on, "__bkt", "__carry_in")
+        )
+        out = (
+            local.filter(F.col(_SIDE) == 1)
+            .join(carry_in, on + ["__bkt"])
+            .withColumn("__asof_row", F.coalesce(F.col("__local"), F.col("__carry_in")))
+        )
     if tolerance is not None:
         gap = F.col(ts) - F.col("__asof_row.__ts")
         if "timestamp" in dict(union.dtypes)[ts]:

@@ -58,6 +58,24 @@ def test_asof_join_plan_single_key_shuffle(probe, state):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_bucketed_matches_single_window(probe, state):
+    """bucket_width's two-pass plan (bucket-local window + carry-in
+    forward fill) returns exactly the single-window answer, and its
+    windows partition on (key, bucket) so a hot key can never
+    serialize into one partition."""
+    plain = asof_join(probe, state, on=["k"], ts="ts",
+                      value_cols=["price"], tie_col="seq")
+    for width in (1, 8, 1000):  # incl. width larger than the ts range
+        bucketed = asof_join(probe, state, on=["k"], ts="ts",
+                             value_cols=["price"], tie_col="seq",
+                             bucket_width=width)
+        assert sorted(map(tuple, bucketed.collect())) == \
+            sorted(map(tuple, plain.collect())), f"width={width}"
+    plan = asof_join(probe, state, on=["k"], ts="ts", value_cols=["price"],
+                     bucket_width=8)._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan and "CartesianProduct" not in plan
+
+
 def test_asof_value_col_clash_rejected(probe, state):
     with pytest.raises(ValueError, match="alias"):
         # 'price' as a probe column would be silently merged by the union
@@ -136,6 +154,14 @@ try:
             return max(cand, key=lambda r: (r[1], r[3]))[2]
         want = sorted((k, ts, brute(k, ts)) for k, ts in p)
         assert got == want
+        # the skew-proof bucketed plan must give identical results
+        got_b = sorted(
+            (r["k"], r["ts"], r["asof_v"])
+            for r in asof_join(probe, state, on=["k"], ts="ts",
+                               value_cols=["v"], tie_col="seq",
+                               bucket_width=7).collect()
+        )
+        assert got_b == want
 except ImportError:  # hypothesis is expected in this container
     pass
 
