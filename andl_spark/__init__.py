@@ -13,12 +13,13 @@ Public surface:
 """
 
 from .api import AndlSession
+from .operators.asof import asof_join
 from .relation import Relation
 from .server import AndlRestServer
 from .session import BROADCAST_DIMS, TABLES, get_spark, load_tables
 
 __all__ = [
-    "AndlRestServer", "AndlSession", "Relation",
+    "AndlRestServer", "AndlSession", "Relation", "asof_join",
     "get_spark", "load_tables", "TABLES", "BROADCAST_DIMS",
 ]
 __version__ = "0.1.0"

@@ -205,6 +205,7 @@ class AndlSession:
         self.script_dir = Path(script_dir) if script_dir else None
         self.filename = "<script>"
         self.catalog_update = False
+        self.noisy = 1  # #noisy N display verbosity (0 = quiet)
         self._catalog = None
         # catalog-resident helpers the suites rely on (SetupSuite.andl:28-29)
         self.run("def fold_sum(n:0) => fold(+,n)\ndef fold_ave(n:0) => fold(+,n)/fold(+,1)")
@@ -347,6 +348,11 @@ class AndlSession:
                 # `#catalog update` / `#catalog new update`: subsequent
                 # ^-prefixed assignments, defs and types persist
                 self.catalog_update = "update" in words
+            if words[0] == "#noisy" and len(words) > 1:
+                # NoisyDirective (PegParser.cs:206 — Logger verbosity):
+                # level 0 silences expression displays; write() and
+                # test_true still report
+                self.noisy = int(words[1])
             if words[0] in ("#include", "#source"):
                 # IncludeDirective / SourceDirective
                 # (Andl.Peg/Andl.grammar.peg:44,49, PegParser.cs:200,213):
@@ -474,7 +480,7 @@ class AndlSession:
         return andl_text(v)
 
     def _display(self, v):
-        if v is not None:
+        if v is not None and self.noisy > 0:
             self.output.append(self._format(v))
 
     # -- driver-level evaluation ---------------------------------------
@@ -922,7 +928,10 @@ class AndlSession:
         if name == "pp":  # pretty-print → text value (Builtin.cs PrettyPrint)
             return self._format(v)
         if name == "write":  # console sink: emit once, yield nothing so the
-            self._display(v)  # enclosing expr statement doesn't re-display
+            # enclosing expr statement doesn't re-display; writes always
+            # reach the console regardless of #noisy level
+            if v is not None:
+                self.output.append(self._format(v))
             return None
         if name == "type":  # type-name addin (Builtin.cs:80 Type)
             return _andl_type_of(v) or "unknown"

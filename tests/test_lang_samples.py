@@ -324,3 +324,14 @@ def test_dbix_cd_sample_andl(setup_session):
     assert sess.globals["track"].df.count() == 7
     # get_tracks_by_cd('Bad') query results went to output
     assert "Dirty Diana" in out and "Smooth Criminal" in out
+
+
+def test_noisy_directive(spark):
+    """#noisy 0 silences expression displays; write() and test_true
+    keep reporting (PegParser.cs:206 NoisyDirective semantics)."""
+    sess = AndlSession(spark)
+    sess.run("#noisy 0\n1 + 1\nwrite('still here')\ntest_true(3, 1 = 1)")
+    assert sess.output == ["still here"]
+    assert sess.tests == [(3, True)]
+    sess.run("#noisy 1\n2 + 2")
+    assert sess.output[-1] == "4"
