@@ -46,21 +46,23 @@ def decontaminate(
     the result checkpoint (plan inspection / composition into a larger
     cached pipeline).
     """
-    base = ensure_parallelism(docs.select(id_col, text_col, eval_pred.alias("__is_eval")))
-    # Materialize the exploded shingle table ONCE: the train side, the
-    # eval side, and (with the cap) the frequency aggregation are three
-    # DAG branches that would otherwise each re-scan and re-shingle the
-    # full corpus (the same fix ngram_jaccard_pairs carries).
-    sh = base.select(
+    # Materialize the COMPACT (id, is_eval, shingle-array) table ONCE:
+    # the train side, the eval side, and (with the cap) the frequency
+    # aggregation are three DAG branches that would otherwise each
+    # re-scan and re-shingle the full corpus. Caching pre-explode
+    # stores each shingle once, not once per exploded row — the same
+    # design ngram_jaccard_pairs carries.
+    base = ensure_parallelism(
+        docs.select(id_col, text_col, eval_pred.alias("__is_eval"))
+    ).select(
         F.col(id_col).alias("id"),
         "__is_eval",
-        F.explode(
-            shingle_expr(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), n)
-        ).alias("shingle"),
+        shingle_expr(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), n).alias("sh"),
     )
     if eager:
-        sh = sh.persist()
-        sh.count()
+        base = base.persist()
+        base.count()
+    sh = base.select("id", "__is_eval", F.explode("sh").alias("shingle"))
     train = sh.filter(~F.col("__is_eval")).select("id", "shingle")
     if max_shingle_freq is not None:
         keep = (
@@ -79,7 +81,7 @@ def decontaminate(
     if eager:
         # doc-count-bounded result: materialize it, release the cache
         out = out.localCheckpoint(eager=True)
-        sh.unpersist()
+        base.unpersist()
     return out
 
 

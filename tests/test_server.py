@@ -111,6 +111,29 @@ def test_andl_source_over_the_wire(served):
     assert out3["failures"] == [9]
 
 
+def test_concurrent_clients(served):
+    """The threaded server handles parallel clients against one Spark
+    session (SparkSession actions are thread-safe): 12 simultaneous
+    mixed GET/SQL requests all succeed with correct results."""
+    import concurrent.futures
+
+    _, port = served
+
+    def hit(i):
+        if i % 2:
+            return _req(port, "/rest/S?limit=3")["rows"]
+        return _req(port, "/api/sql", "POST",
+                    {"sql": f"SELECT {i} AS i, COUNT(*) AS n FROM S"})["rows"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+        results = list(ex.map(hit, range(12)))
+    for i, rows in enumerate(results):
+        if i % 2:
+            assert len(rows) == 3
+        else:
+            assert rows[0][0] == i and rows[0][1] >= 3
+
+
 def test_errors_are_http_400(served):
     _, port = served
     req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
