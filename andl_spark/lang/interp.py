@@ -370,13 +370,26 @@ class AndlSession:
                 else:
                     if not path.exists():
                         raise ValueError(f"cannot include '{m.group(1)}'")
+                    # cycle guard: a script including itself (directly
+                    # or mutually) must fail with a diagnostic, not
+                    # recurse to RecursionError
+                    rp = str(path.resolve())
+                    active = getattr(self, "_include_stack", None)
+                    if active is None:
+                        active = self._include_stack = []
+                    if rp in active:
+                        chain = " -> ".join(
+                            Path(p).name for p in active + [rp])
+                        raise ValueError(f"circular #include: {chain}")
                     prev = self.filename
                     src = self._preprocess(path.read_text(), path.name)
                     self.filename = path.name
+                    active.append(rp)
                     try:
                         for s in parse(src):
                             self._exec(s, env)
                     finally:
+                        active.pop()
                         self.filename = prev
             return
         if kind == "assign":
@@ -1051,7 +1064,11 @@ class AndlSession:
         if isinstance(a, RelV) or isinstance(b, RelV):
             rel, other = (a, b) if isinstance(a, RelV) else (b, a)
             if isinstance(other, list):  # lifted RVA vs relation
-                return _norm_rows(rel.df.collect()) == _norm_rows(other)
+                # the literal side bounds the driver materialization:
+                # one extra distinct row is enough to prove inequality
+                rows = rel.df.distinct().limit(len(other) + 1).collect()
+                return len(rows) <= len(other) and \
+                    _norm_rows(rows) == _norm_rows(other)
             return self._deep_eq(self._scalarize(rel), other)
         if isinstance(a, TupV) and isinstance(b, TupV):
             return set(a) == set(b) and all(self._deep_eq(a[k], b[k]) for k in a)

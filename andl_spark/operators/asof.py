@@ -23,10 +23,15 @@ ts) resolve to the state row: state sorts before probe at equal ts.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
+# bucket id for NULL-ts rows: sorts before every real floor(ts/width)
+_NULL_BKT = -(2 ** 63)
 
 
 def asof_join(
@@ -96,14 +101,32 @@ def asof_join(
         if "timestamp" in dict(union.dtypes)[ts]:
             raise ValueError("bucket_width needs a numeric ts; convert "
                              "timestamps to epoch units first")
-        u = union.withColumn("__bkt", F.floor(F.col(ts) / F.lit(bucket_width)))
+        # NULL ts sorts before every real bucket (mirroring the single
+        # window's nulls-first order); NULL keys never survive the
+        # equi-joins below, so those groups — degenerate, not the skew
+        # target — take the single-window plan and union back in.
+        u = union.withColumn(
+            "__bkt",
+            F.when(F.col(ts).isNull(), F.lit(_NULL_BKT))
+            .otherwise(F.floor(F.col(ts) / F.lit(bucket_width))),
+        )
+        fallback = None
+        if on:
+            null_key = functools.reduce(
+                operator.or_, [F.col(k).isNull() for k in on])
+            fallback = u.filter(null_key)
+            u = u.filter(~null_key)
         wl = (
             Window.partitionBy(*on, "__bkt")
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         local = u.withColumn("__local", F.last(state_row, ignorenulls=True).over(wl))
-        ordk = F.struct(F.col(ts), *([F.col(tie_col)] if tie_col else []))
+        # null-safe ordering key: a non-null leading field keeps NULL-ts
+        # state rows visible to max_by (they lose to any real ts)
+        ordk = F.struct(F.col(ts).isNotNull().alias("__n"),
+                        F.col(ts).alias("__t"),
+                        *([F.col(tie_col)] if tie_col else []))
         carries = (
             u.filter(F.col(_SIDE) == 0)
             .groupBy(*on, "__bkt")
@@ -126,7 +149,21 @@ def asof_join(
             local.filter(F.col(_SIDE) == 1)
             .join(carry_in, on + ["__bkt"])
             .withColumn("__asof_row", F.coalesce(F.col("__local"), F.col("__carry_in")))
+            .select(*probe_cols, "__asof_row")
         )
+        if fallback is not None:
+            wf = (
+                Window.partitionBy(*on)
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out = out.unionByName(
+                fallback
+                .withColumn("__asof_row",
+                            F.last(state_row, ignorenulls=True).over(wf))
+                .filter(F.col(_SIDE) == 1)
+                .select(*probe_cols, "__asof_row")
+            )
     if tolerance is not None:
         gap = F.col(ts) - F.col("__asof_row.__ts")
         if "timestamp" in dict(union.dtypes)[ts]:

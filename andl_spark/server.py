@@ -152,19 +152,24 @@ class _Handler(BaseHTTPRequestHandler):
             if parts[:2] == ["api", "andl"]:
                 # execute Andl-language source server-side — the
                 # reference Gateway's code path (the Workbench posts
-                # Andl programs to the server and renders the output)
-                lang = getattr(self.server, "lang_session", None)
-                if lang is None:
-                    from .lang.interp import AndlSession as _Lang
+                # Andl programs to the server and renders the output).
+                # One interpreter state shared by all clients: the lock
+                # makes create+run+slice atomic so concurrent posts
+                # can't double-create the session or interleave output.
+                with self.server.andl_lock:  # type: ignore[attr-defined]
+                    lang = getattr(self.server, "lang_session", None)
+                    if lang is None:
+                        from .lang.interp import AndlSession as _Lang
 
-                    lang = _Lang(sess.spark)
-                    self.server.lang_session = lang  # type: ignore[attr-defined]
-                shown = len(lang.output)
-                lang.run(body["src"])
-                return self._send(200, {
-                    "output": lang.output[shown:],
-                    "failures": lang.failures,
-                })
+                        lang = _Lang(sess.spark)
+                        self.server.lang_session = lang  # type: ignore[attr-defined]
+                    shown, failed = len(lang.output), len(lang.failures)
+                    lang.run(body["src"])
+                    return self._send(200, {
+                        "output": lang.output[shown:],
+                        # THIS request's failures, not session-lifetime ones
+                        "failures": lang.failures[failed:],
+                    })
             if parts[:2] == ["api", "call"] and len(parts) == 3:
                 args = (body or {}).get("args", [])
                 rel = sess.call(parts[2], *args)
@@ -172,11 +177,12 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, _payload(rel.df, limit))
             if parts[:1] == ["rest"] and len(parts) == 2:
                 name = parts[1]
-                base = sess.table(name).df
-                new = sess.spark.createDataFrame(
-                    [tuple(r[c] for c in base.columns) for r in body], base.schema
-                )
-                self._replace(name, base.unionByName(new).dropDuplicates())
+                with self.server.andl_lock:  # type: ignore[attr-defined]
+                    base = sess.table(name).df
+                    new = sess.spark.createDataFrame(
+                        [tuple(r[c] for c in base.columns) for r in body], base.schema
+                    )
+                    self._replace(name, base.unionByName(new).dropDuplicates())
                 return self._send(200, {"ok": True, "inserted": len(body)})
             return self._send(404, {"error": f"unknown route {self.path}"})
         except Exception as e:  # noqa: BLE001
@@ -190,12 +196,14 @@ class _Handler(BaseHTTPRequestHandler):
             sess = self._session()
             name, rid = parts[1], parts[2]
             body = self._body() or {}
-            df = sess.table(name).df
-            pred = F.col(df.columns[0]).cast("string") == rid
-            assigns = {
-                c: F.when(pred, F.lit(v)).otherwise(F.col(c)) for c, v in body.items()
-            }
-            self._replace(name, df.withColumns(assigns))
+            with self.server.andl_lock:  # type: ignore[attr-defined]
+                df = sess.table(name).df
+                pred = F.col(df.columns[0]).cast("string") == rid
+                assigns = {
+                    c: F.when(pred, F.lit(v)).otherwise(F.col(c))
+                    for c, v in body.items()
+                }
+                self._replace(name, df.withColumns(assigns))
             return self._send(200, {"ok": True})
         except Exception as e:  # noqa: BLE001
             return self._send(400, {"error": str(e)})
@@ -207,8 +215,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404, {"error": f"unknown route {self.path}"})
             sess = self._session()
             name, rid = parts[1], parts[2]
-            df = sess.table(name).df
-            self._replace(name, df.filter(F.col(df.columns[0]).cast("string") != rid))
+            with self.server.andl_lock:  # type: ignore[attr-defined]
+                df = sess.table(name).df
+                self._replace(
+                    name, df.filter(F.col(df.columns[0]).cast("string") != rid))
             return self._send(200, {"ok": True})
         except Exception as e:  # noqa: BLE001
             return self._send(400, {"error": str(e)})
@@ -218,12 +228,15 @@ class _Handler(BaseHTTPRequestHandler):
         Materialize BEFORE re-registering (a lazy plan reading
         spark.table(name) would self-reference the view it replaces);
         with a catalog attached the new state lands as a new immutable
-        version (time-travel preserved)."""
+        version (time-travel preserved). Callers hold the server RLock
+        across their read-modify-write; re-acquiring here keeps direct
+        calls safe too."""
         sess = self._session()
-        out = df.localCheckpoint(eager=True)
-        sess.register(name, out)
-        if sess.catalog is not None and name in sess.catalog.names():
-            sess.catalog.put(name, out)
+        with self.server.andl_lock:  # type: ignore[attr-defined]
+            out = df.localCheckpoint(eager=True)
+            sess.register(name, out)
+            if sess.catalog is not None and name in sess.catalog.names():
+                sess.catalog.put(name, out)
 
 
 class AndlRestServer:
@@ -233,6 +246,9 @@ class AndlRestServer:
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
         self._http = ThreadingHTTPServer((host, port), _Handler)
         self._http.andl_session = session  # type: ignore[attr-defined]
+        # serializes stateful surfaces across handler threads: the
+        # shared language session and relvar read-modify-write updates
+        self._http.andl_lock = threading.RLock()  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

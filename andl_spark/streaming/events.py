@@ -128,14 +128,27 @@ def asof_enrich_stream(
     streaming state store at all, so throughput scales like the
     stateless enrichment above. Returns the started query
     (availableNow trigger; caller awaits termination).
+
+    foreachBatch is at-least-once, so the sink write must be
+    idempotent: output is partitioned by ``_batch_id`` with dynamic
+    partition overwrite — a replayed micro-batch rewrites exactly its
+    own partition instead of appending duplicates. Readers that don't
+    want the lineage column just drop ``_batch_id``.
     """
     from ..operators.asof import asof_join
 
-    def _enrich(batch_df: DataFrame, _batch_id: int) -> None:
-        asof_join(
-            batch_df, state, on=on, ts=ts, value_cols=value_cols,
-            tie_col=tie_col, tolerance=tolerance,
-        ).write.mode("append").parquet(out_path)
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            asof_join(
+                batch_df, state, on=on, ts=ts, value_cols=value_cols,
+                tie_col=tie_col, tolerance=tolerance,
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_enrich)

@@ -116,6 +116,8 @@ def test_cli_thrift_idl_output(tmp_path):
         "S := {{ nm:text, bal:number }} union {{ nm:='x', bal:=1 }}\n"
         "type pt(x:number, y:number)\n"
         "def scale(n:number) => n * 10\n"
+        "def scale(s:text) => s & '0'\n"           # Andl overload set
+        "tv := {flag := true, when := t'31/12/2015'}\n"
     )
     proc = _run("-t", str(script))
     assert proc.returncode == 0, proc.stderr[-800:]
@@ -125,6 +127,11 @@ def test_cli_thrift_idl_output(tmp_path):
     assert "struct pt {" in idl
     assert "service svcService {" in idl
     assert "number scale(" in idl and "1: number n;" in idl
+    # Thrift has no overloading: the second signature is name-mangled,
+    # so the file survives `thrift --gen` (no duplicate identifiers)
+    assert "text scale_2(" in idl and "1: text s;" in idl
+    # tuple fields carry their real wire types, not a text fallback
+    assert "1: bool flag;" in idl and "2: time when;" in idl
 
 
 def test_cli_interactive_repl():

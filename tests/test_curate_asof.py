@@ -97,6 +97,25 @@ def test_asof_null_values_not_backfilled(spark):
     assert row["asof_price"] is None and row["asof_qty"] == 8.0
 
 
+def test_asof_bucketed_keeps_null_key_and_ts_rows(spark):
+    """Regression: bucketed mode must not lose probe rows with a NULL
+    key or NULL ts to its inner equi-joins — they take the
+    single-window fallback / sentinel bucket and match plain mode."""
+    state = spark.createDataFrame(
+        [(None, 10, 1.0), (1, None, 2.0), (1, 20, 3.0)],
+        "k int, ts int, price double")
+    probe = spark.createDataFrame(
+        [(None, 15), (1, None), (1, 5), (1, 25), (None, None)],
+        "k int, ts int")
+    plain = asof_join(probe, state, on=["k"], ts="ts", value_cols=["price"])
+    bucketed = asof_join(probe, state, on=["k"], ts="ts",
+                         value_cols=["price"], bucket_width=8)
+    key = lambda r: [(x is not None, x or 0) for x in r]
+    assert bucketed.count() == probe.count()
+    assert sorted(map(tuple, bucketed.collect()), key=key) == \
+        sorted(map(tuple, plain.collect()), key=key)
+
+
 def test_asof_chaining_clash_rejected(probe, state):
     """Chained enrichment must not silently overwrite a prior asof_<c>."""
     first = asof_join(probe, state, on=["k"], ts="ts", value_cols=["price"])
@@ -121,20 +140,26 @@ def test_asof_tolerance_on_timestamps(spark):
 try:
     from hypothesis import HealthCheck, given, settings, strategies as st
 
-    _probe_rows = st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=10)
+    _key = st.one_of(st.none(), st.integers(0, 2))
+    _ts = st.one_of(st.none(), st.integers(0, 50))
+    _probe_rows = st.lists(st.tuples(_key, _ts), min_size=0, max_size=10)
     _state_rows = st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 50),
-                  st.one_of(st.none(), st.integers(0, 9))),
+        st.tuples(_key, _ts, st.one_of(st.none(), st.integers(0, 9))),
         min_size=0, max_size=10)
+
+    def _nsort(rows):
+        # sortable despite NULL keys/ts/values (None < any int)
+        return sorted(rows, key=lambda t: [(x is not None, x or 0) for x in t])
 
     @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture,
                                      HealthCheck.too_slow])
     @given(p=_probe_rows, s=_state_rows)
     def test_asof_join_matches_bruteforce(spark, p, s):
-        """Property: for random keys/ts/NULLs the distributed as-of
-        join equals the obvious per-row brute force (max-ts state row
+        """Property: for random keys/ts/NULLs — including NULL keys
+        (their own group, as Window.partitionBy groups them) and NULL
+        ts (sorts before every real ts) — the distributed as-of join
+        equals the obvious per-row brute force (max-ts state row
         at-or-before the probe, greatest seq on ties, its value even
         when NULL)."""
         s = [(k, ts, v, i) for i, (k, ts, v) in enumerate(s)]
@@ -142,20 +167,24 @@ try:
             spark.createDataFrame([], "k int, ts int")
         state = spark.createDataFrame(s, "k int, ts int, v int, seq int") if s else \
             spark.createDataFrame([], "k int, ts int, v int, seq int")
-        got = sorted(
+        got = _nsort(
             (r["k"], r["ts"], r["asof_v"])
             for r in asof_join(probe, state, on=["k"], ts="ts",
                                value_cols=["v"], tie_col="seq").collect()
         )
         def brute(k, ts):
-            cand = [r for r in s if r[0] == k and r[1] <= ts]
+            # NULL state ts precedes everything; a NULL probe ts only
+            # sees NULL-ts state rows (state sorts first on the tie)
+            cand = [r for r in s if r[0] == k and
+                    (r[1] is None or (ts is not None and r[1] <= ts))]
             if not cand:
                 return None
-            return max(cand, key=lambda r: (r[1], r[3]))[2]
-        want = sorted((k, ts, brute(k, ts)) for k, ts in p)
+            return max(cand, key=lambda r: (r[1] is not None, r[1] or 0, r[3]))[2]
+        want = _nsort((k, ts, brute(k, ts)) for k, ts in p)
         assert got == want
-        # the skew-proof bucketed plan must give identical results
-        got_b = sorted(
+        # the skew-proof bucketed plan must give identical results —
+        # NULL keys route through its single-window fallback branch
+        got_b = _nsort(
             (r["k"], r["ts"], r["asof_v"])
             for r in asof_join(probe, state, on=["k"], ts="ts",
                                value_cols=["v"], tie_col="seq",

@@ -113,6 +113,15 @@ def test_include_and_source_directives(spark):
         AndlSession(spark, SAMPLE).run("#include 'no_such.andl'")
 
 
+def test_include_cycle_is_a_diagnostic(spark, tmp_path):
+    """A self- or mutually-including script fails with a 'circular
+    #include' diagnostic naming the chain, not a RecursionError."""
+    (tmp_path / "a.andl").write_text("#include 'b.andl'\n")
+    (tmp_path / "b.andl").write_text("#include 'a.andl'\n")
+    with pytest.raises(ValueError, match="circular #include.*a.andl"):
+        AndlSession(spark, tmp_path).run("#include 'a.andl'")
+
+
 def test_setup_andl(setup_session):
     """setup.andl builds the supplier catalog: 5 relvars + the
     andl_catalog listing at the end."""

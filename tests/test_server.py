@@ -109,6 +109,35 @@ def test_andl_source_over_the_wire(served):
     # test_true failures surface in the response
     out3 = _req(port, "/api/andl", "POST", {"src": "test_true(9, 1 = 2)"})
     assert out3["failures"] == [9]
+    # failures are per-REQUEST: a later passing program must not
+    # re-report the earlier client's failure
+    out4 = _req(port, "/api/andl", "POST", {"src": "test_true(5, 1 = 1)"})
+    assert out4["failures"] == []
+
+
+def test_concurrent_andl_clients(served):
+    """Parallel POST /api/andl: the server lock serializes the shared
+    interpreter session, so each client gets exactly its own display
+    lines (never an interleaved slice of another client's output) and
+    all definitions land in the shared state."""
+    import concurrent.futures
+
+    _, port = served
+
+    def hit(i):
+        return _req(port, "/api/andl", "POST",
+                    {"src": f"ac{i} := {i} * 10\nwrite('ac{i}=' & ac{i})"})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, range(8)))
+    for i, out in enumerate(results):
+        assert out["output"] == [f"ac{i}={i * 10}"], out
+        assert out["failures"] == []
+    # every client's definition persists in the one shared session
+    tail = _req(port, "/api/andl", "POST",
+                {"src": "write('sum=' & (" +
+                        " + ".join(f"ac{i}" for i in range(8)) + "))"})
+    assert tail["output"] == [f"sum={sum(i * 10 for i in range(8))}"]
 
 
 def test_concurrent_clients(served):

@@ -156,3 +156,14 @@ def test_asof_enrichment_stream_matches_batch(spark, events_batch, tmp_path):
     assert got.filter(F.col("asof_tier").isNull()).count() == 0
     assert {r[0] for r in got.select("asof_tier").distinct().collect()} == {
         "bronze", "silver"}
+
+    # replay idempotence: foreachBatch is at-least-once, so re-running
+    # the same input against the SAME sink (fresh checkpoint = every
+    # batch replays) must overwrite per-batch partitions, not append
+    q2 = asof_enrich_stream(
+        stream, state, on=["user_id"], ts="ts", value_cols=["tier"],
+        out_path=out_dir, checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out_dir)
+    assert again.count() == ev.count()  # no duplicate rows after replay
+    assert _as_sorted_rows(again, cols) == _as_sorted_rows(want, cols)
