@@ -714,8 +714,14 @@ class AndlSession:
         if op == "**":
             try:
                 return a ** b
-            except Exception:  # e.g. negative base, fractional exponent
-                return Decimal(str(float(a) ** float(b)))
+            except Exception:  # Decimal can't: fall back to double pow
+                try:
+                    # math.pow, not float**float: the latter returns a
+                    # COMPLEX number for negative base ** fractional
+                    # exponent, which Decimal(str(...)) cannot parse
+                    return Decimal(str(math.pow(float(a), float(b))))
+                except (ValueError, OverflowError) as e:
+                    raise ValueError(f"invalid power: {a} ** {b}") from e
         if op == "mod":
             return a % b  # Decimal remainder: sign of dividend, like C#
         if op == "div":  # truncating integer division (Builtin.cs:693)

@@ -75,6 +75,13 @@ def _jsonable(v):
     return v
 
 
+def _typed_eq(df: DataFrame, col: str, val: str):
+    """Equality against a URL/query string in the COLUMN's own type:
+    a double key must match id '1' as 1.0 — comparing cast-to-string
+    would test '1.0' == '1' and silently miss every row."""
+    return F.col(col) == F.lit(val).cast(df.schema[col].dataType)
+
+
 def _payload(df: DataFrame, limit: int) -> dict:
     rows = df.limit(limit).collect()
     return {
@@ -133,9 +140,9 @@ class _Handler(BaseHTTPRequestHandler):
             limit = int(q.pop("limit", DEFAULT_LIMIT))
             df = sess.table(name).df
             if len(parts) == 3:  # GET rest/<name>/<id>: key = first column
-                df = df.filter(F.col(df.columns[0]).cast("string") == parts[2])
+                df = df.filter(_typed_eq(df, df.columns[0], parts[2]))
             for col, val in q.items():  # RestController query-pair filters
-                df = df.filter(F.col(col).cast("string") == val)
+                df = df.filter(_typed_eq(df, col, val))
             return self._send(200, _payload(df, limit))
         except Exception as e:  # noqa: BLE001 — surface as HTTP 400
             return self._send(400, {"error": str(e)})
@@ -198,7 +205,7 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body() or {}
             with self.server.andl_lock:  # type: ignore[attr-defined]
                 df = sess.table(name).df
-                pred = F.col(df.columns[0]).cast("string") == rid
+                pred = _typed_eq(df, df.columns[0], rid)
                 assigns = {
                     c: F.when(pred, F.lit(v)).otherwise(F.col(c))
                     for c, v in body.items()
@@ -217,8 +224,9 @@ class _Handler(BaseHTTPRequestHandler):
             name, rid = parts[1], parts[2]
             with self.server.andl_lock:  # type: ignore[attr-defined]
                 df = sess.table(name).df
-                self._replace(
-                    name, df.filter(F.col(df.columns[0]).cast("string") != rid))
+                # keep NULL-key rows: deleting by id must not sweep them
+                self._replace(name, df.filter(F.coalesce(
+                    ~_typed_eq(df, df.columns[0], rid), F.lit(True))))
             return self._send(200, {"ok": True})
         except Exception as e:  # noqa: BLE001
             return self._send(400, {"error": str(e)})

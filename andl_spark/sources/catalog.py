@@ -120,9 +120,13 @@ class Catalog:
         # Symmetric guard to put()'s layout check (ADVICE r2): writing a
         # metastore table into a directory that still holds v*/ version
         # snapshots would orphan them and silently repoint the manifest.
-        if self._names.get(name, {}).get("layout", "bucketed") != "bucketed":
+        # No default here: a legacy entry with no 'layout' key is a flat
+        # parquet table, which this overwrite would clobber just as badly.
+        entry = self._names.get(name)
+        if entry is not None and entry.get("layout") != "bucketed":
             raise ValueError(
-                f"relvar {name!r} exists with versioned layout; drop() it "
+                f"relvar {name!r} exists with "
+                f"{entry.get('layout', 'flat')!r} layout; drop() it "
                 "before re-creating as a bucketed table"
             )
         target = os.path.join(self.path, name)

@@ -145,6 +145,24 @@ def test_remaining_builtins_binary_read_assert(spark):
         sess.run("fail('E1', 'boom')")
 
 
+def test_power_decimal_fallback(spark):
+    """`**` falls back to double pow where Decimal can't (fractional
+    exponents); a domain error — negative base ** fractional exponent,
+    where float**float would yield a COMPLEX number — is a clear
+    diagnostic, not a decimal parse crash (reference is Math.Pow on
+    doubles, Builtin.cs:700)."""
+    import pytest
+
+    sess = AndlSession(spark)
+    sess.run("test_true(1, 2 ** 10 = 1024)\n"
+             "x := 2 ** 0.5\n"
+             "test_true(2, x > 1.41421 and x < 1.41422)\n"
+             "test_true(3, 8 ** (1/3) > 1.9999)\n")
+    assert sess.failures == []
+    with pytest.raises(ValueError, match="invalid power"):
+        sess.run("y := (0 - 8) ** 0.5")
+
+
 def test_scalar_binary_column_ops(spark):
     """Column flavor of the byte ops (functions/scalar.py): binary-safe
     extraction and value-semantics byte replacement, JVM-side."""

@@ -163,6 +163,27 @@ def test_concurrent_clients(served):
             assert rows[0][0] == i and rows[0][1] >= 3
 
 
+def test_keyed_routes_match_in_column_type(served):
+    """Keyed/filtered routes compare the URL id in the COLUMN's own
+    type: a double-typed key (every Andl-front-end number is a double)
+    must match /rest/D/1 — a string compare would test '1.0' == '1'
+    and silently hit nothing while still returning 200 ok."""
+    sess, port = served
+    df = sess.spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (None, "z")], "k double, v string")
+    sess.register("D", df)
+    assert _req(port, "/rest/D/1")["rows"] == [[1.0, "a"]]
+    assert _req(port, "/rest/D?k=2")["rows"] == [[2.0, "b"]]
+    _req(port, "/rest/D/2", "PUT", {"v": "B"})
+    got = {r[0]: r[1] for r in _req(port, "/rest/D")["rows"]}
+    assert got[2.0] == "B"
+    out = _req(port, "/rest/D/1", "DELETE")
+    assert out["ok"] is True
+    rows = _req(port, "/rest/D")["rows"]
+    # row 1 gone; the NULL-key row survives a keyed delete
+    assert sorted(r[1] for r in rows) == ["B", "z"]
+
+
 def test_errors_are_http_400(served):
     _, port = served
     req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
