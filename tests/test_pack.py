@@ -1,0 +1,119 @@
+"""Sequence packing (pipeline/pack.py): the concatenate-and-chunk
+layout against an exact DuckDB window oracle, and first-fit-decreasing
+whole-document packing against its invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark.pipeline.pack import chunk_sequences, pack_greedy
+from andl_spark.session import load_tables
+from conftest import SF_SMOKE
+
+BLOCK = 512
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """documents with a deterministic whitespace token count."""
+    d = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("toks"),
+    )
+
+
+def test_chunk_sequences_matches_sql_oracle(docs, duck):
+    """The distributed two-pass prefix sum equals DuckDB's single
+    global window, row for row — same start offsets, same block
+    spans."""
+    got = {
+        r["doc_id"]: (r["start_tok"], r["first_block"], r["last_block"],
+                      r["n_blocks"], r["block_off"])
+        for r in chunk_sequences(docs, "doc_id", "toks", BLOCK).collect()
+    }
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks,
+                 SUM(toks) OVER (ORDER BY doc_id) AS endt
+          FROM t
+        )
+        SELECT doc_id, endt - toks AS start_tok,
+               (endt - toks) // {BLOCK} AS first_block,
+               (endt - 1) // {BLOCK} AS last_block,
+               CASE WHEN toks = 0 THEN 0
+                    ELSE (endt - 1) // {BLOCK} - (endt - toks) // {BLOCK} + 1
+               END AS n_blocks,
+               (endt - toks) % {BLOCK} AS block_off
+        FROM c
+    """).fetchall()
+    assert len(got) == len(want) > 0
+    for doc_id, *vals in want:
+        assert got[doc_id] == tuple(vals), doc_id
+
+
+def test_chunk_sequences_no_global_window(docs):
+    """The plan must not collapse into a single window partition: every
+    Window node partitions on the range-partition id (the 100 TB shape;
+    a bare Window.orderBy would serialize the whole corpus)."""
+    plan = chunk_sequences(docs, "doc_id", "toks", BLOCK) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan
+    import re
+    for frag in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in frag  # partition spec present, never empty
+    assert "BroadcastHashJoin" in plan  # offsets arrive map-side
+
+
+def test_chunk_sequences_stream_is_gapless(docs):
+    """Offsets tile the concatenated stream exactly: sorted by id,
+    each doc starts where the previous ended, and the total equals the
+    token sum."""
+    rows = sorted(
+        (r["doc_id"], r["start_tok"], r["toks"])
+        for r in chunk_sequences(docs, "doc_id", "toks", BLOCK).collect())
+    pos = 0
+    for _, start, toks in rows:
+        assert start == pos
+        pos += toks
+    assert pos == sum(t for _, _, t in rows)
+
+
+def test_pack_greedy_invariants(docs):
+    """Every doc lands in exactly one sequence; no sequence exceeds the
+    budget (oversized docs get singleton sequences); determinism across
+    runs; and packing is tight: every group needs at least
+    ceil(group_tokens / budget) sequences and FFD stays within 2x."""
+    budget = 2048
+    out = pack_greedy(docs, "doc_id", "toks", budget, n_groups=16).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+
+    per_seq = out.groupBy("seq_id").agg(
+        F.sum("toks").alias("t"), F.count("*").alias("n")).collect()
+    for r in per_seq:
+        assert r["t"] <= budget or r["n"] == 1  # oversized → singleton
+
+    # tightness per group (seq_id encodes group in the high bits)
+    stats = (
+        out.withColumn("grp", (F.col("seq_id") / (1 << 32)).cast("long"))
+        .groupBy("grp")
+        .agg(F.sum("toks").alias("toks"),
+             F.countDistinct("seq_id").alias("seqs"))
+        .collect()
+    )
+    for r in stats:
+        lower = -(-r["toks"] // budget)  # ceil
+        assert lower <= r["seqs"] <= 2 * lower + 1, r
+
+    # determinism: a second run assigns identical sequences
+    again = pack_greedy(docs, "doc_id", "toks", budget, n_groups=16)
+    assert out.join(again, "doc_id") \
+        .filter(out["seq_id"] != again["seq_id"]).count() == 0
+    out.unpersist()
