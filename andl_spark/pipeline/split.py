@@ -51,6 +51,91 @@ def assign_split(
     return df.withColumn("split", expr.otherwise(F.lit(list(fractions)[0])))
 
 
+def sample_by_budget(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    epoch: int = 0,
+) -> DataFrame:
+    """Build a training mixture: deterministically sample each source
+    down to a TOKEN budget (the "mix 40% web, 30% code, ..." step,
+    expressed in absolute tokens per source).
+
+    Whole hash buckets of ``key`` are kept in bucket order until the
+    next bucket would exceed the source's budget — granularity is one
+    bucket (~0.01% of a source), and the budget is never exceeded. A
+    source without a budget entry is dropped. ``epoch`` salts the hash
+    so successive epochs draw different (still deterministic) subsets
+    — re-runs and backfills always reproduce the same mixture.
+
+    Scale: one partial-agg shuffle to (source, bucket) token sums
+    (≤ N_BUCKETS rows per source), a window over that TINY relation to
+    pick cutoffs, then a broadcast semi-join back onto the scan. The
+    full corpus is never shuffled and nothing is collected to the
+    driver. The whole rule is pure SQL — sample_by_budget_oracle_sql
+    emits the DuckDB mirror for the correctness gate.
+    """
+    b = hash_bucket(
+        F.concat_ws(":", F.col(key).cast("string"), F.lit(str(epoch))))
+    tagged = df.withColumn("__bucket", b)
+    budget_df = F.broadcast(tagged.sparkSession.createDataFrame(
+        list(budgets.items()), f"{source_col} string, __budget long"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col).orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = (
+        tagged.groupBy(source_col, "__bucket")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
+        .withColumn("__cum", F.sum("__t").over(w))
+        .join(budget_df, source_col)
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .select(source_col, "__bucket")
+    )
+    return (
+        tagged.join(F.broadcast(keep), [source_col, "__bucket"], "left_semi")
+        .drop("__bucket")
+    )
+
+
+def sample_by_budget_oracle_sql(
+    key: str,
+    tokens_col: str,
+    source_col: str,
+    table: str,
+    budgets: dict[str, int],
+    epoch: int = 0,
+) -> str:
+    """DuckDB mirror of sample_by_budget (same buckets, same cutoff
+    rule), for oracle-parity tests."""
+    bucket = (
+        f"(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{epoch}'), 1, 8))"
+        f"::BIGINT % {N_BUCKETS})"
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(n)}" for s, n in budgets.items())
+    return f"""
+        WITH tagged AS (
+          SELECT *, {bucket} AS b,
+                 CASE {source_col} {cases} ELSE NULL END AS budget
+          FROM {table}
+        ), cum AS (
+          SELECT {source_col} AS s, b,
+                 SUM(SUM(CAST({tokens_col} AS BIGINT)))
+                   OVER (PARTITION BY {source_col} ORDER BY b) AS c,
+                 ANY_VALUE(budget) AS budget
+          FROM tagged GROUP BY {source_col}, b
+        )
+        SELECT tagged.* EXCLUDE (b, budget)
+        FROM tagged JOIN cum ON tagged.{source_col} = cum.s AND tagged.b = cum.b
+        WHERE cum.c <= cum.budget
+    """
+
+
 def split_oracle_sql(key: str, table: str, fractions: dict[str, float] | None = None) -> str:
     """The DuckDB-equivalent split assignment (drives the correctness
     gate; also documents the portable definition of the split)."""

@@ -84,6 +84,53 @@ def test_chunk_sequences_stream_is_gapless(docs):
     assert pos == sum(t for _, _, t in rows)
 
 
+def test_sample_by_budget_matches_sql_oracle(spark, duck):
+    """Token-budget mixture sampling (pipeline/split.sample_by_budget)
+    equals its DuckDB mirror doc for doc, never exceeds a budget, and
+    different epochs draw different deterministic subsets."""
+    from andl_spark.pipeline.split import (
+        sample_by_budget, sample_by_budget_oracle_sql)
+
+    d = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    budgets = {"src0": 3000, "src1": 5000, "src2": 100}
+    got = sample_by_budget(d, "doc_id", "n_chars", "source", budgets)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want = {r[0] for r in duck.execute(
+        "SELECT doc_id FROM (" + sample_by_budget_oracle_sql(
+            "doc_id", "n_chars", "source", "documents", budgets) + ")"
+    ).fetchall()}
+    assert ids == want and ids  # non-empty, exact doc-level agreement
+    # budgets are hard caps per source
+    used = {r["source"]: r["t"] for r in got.groupBy("source")
+            .agg(F.sum("n_chars").alias("t")).collect()}
+    assert set(used) <= set(budgets)
+    for s, t in used.items():
+        assert t <= budgets[s], (s, t)
+    # epoch salting: a different epoch keeps the caps but moves the set
+    e1 = {r["doc_id"] for r in sample_by_budget(
+        d, "doc_id", "n_chars", "source", budgets, epoch=1)
+        .select("doc_id").collect()}
+    assert e1 != ids
+    # deterministic: same call, same set
+    again = {r["doc_id"] for r in sample_by_budget(
+        d, "doc_id", "n_chars", "source", budgets).select("doc_id").collect()}
+    assert again == ids
+
+
+def test_sample_by_budget_plan_broadcasts_cutoffs(spark):
+    """The corpus-side keep filter must arrive as a broadcast SEMI
+    join (the cutoff relation is ≤ N_BUCKETS rows/source); the full
+    corpus is never sort-merge-shuffled."""
+    from andl_spark.pipeline.split import sample_by_budget
+
+    d = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    plan = sample_by_budget(
+        d, "doc_id", "n_chars", "source", {"src0": 1000}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_pack_greedy_invariants(docs):
     """Every doc lands in exactly one sequence; no sequence exceeds the
     budget (oversized docs get singleton sequences); determinism across
