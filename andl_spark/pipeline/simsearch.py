@@ -484,3 +484,53 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM cand)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------
+# int8 quantization — the memory/IO lever for 100 TB ANN
+# ---------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``
+    (1.0 for the zero vector), ``q_i = round(x_i/scale + 1e-9)`` —
+    values land in [-127, 127] with no clamp needed, stored as
+    ``array<tinyint>`` (4x smaller than float32 on disk and over the
+    shuffle — at corpus scale the difference between an ANN index that
+    fits executor memory and one that spills).
+
+    COSINE over quantized vectors needs no dequantization: the scales
+    cancel in dot/(|a||b|), so the existing top-k operators run
+    directly on ``q_col`` (tests measure recall vs the exact ranking).
+    Pure JVM higher-order expressions; quantize_sql is the DuckDB
+    mirror (same epsilon-nudged HALF-UP rounding → exact parity).
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0), lambda a, b: F.greatest(a, b),
+    )
+    scale = F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    d = df.withColumn(scale_col, scale)
+    return d.withColumn(
+        q_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col(scale_col) + F.lit(1e-9))
+            .cast("tinyint"),
+        ),
+    )
+
+
+def quantize_sql(vec: str, q: str = "q_vec", scale: str = "q_scale") -> str:
+    """DuckDB mirror of quantize_embeddings: SELECT-list fragments
+    computing the identical scale and int8 codes."""
+    amax = f"list_aggregate(list_transform({vec}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    s = f"(CASE WHEN {amax} = 0.0 THEN 1.0 ELSE {amax} / 127.0 END)"
+    codes = (f"list_transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / {s} "
+             f"+ 1e-9) AS TINYINT))")
+    return f"{s} AS {scale}, {codes} AS {q}"

@@ -300,3 +300,33 @@ def test_multimodal_codecs_property_round_trip():
 
     image_round_trip()
     wav_round_trip()
+
+
+def test_quantize_embeddings_matches_sql_oracle(emb, duck):
+    """int8 quantization parity: Spark's scale + codes equal the DuckDB
+    mirror element for element, and every code is in [-127, 127]."""
+    got = {r["vec_id"]: (r["q_scale"], list(r["q_vec"]))
+           for r in SS.quantize_embeddings(emb, "embedding").collect()}
+    frag = SS.quantize_sql("embedding")
+    want = duck.execute(
+        f"SELECT vec_id, {frag} FROM embeddings").fetchall()
+    assert len(got) == len(want) > 0
+    for vec_id, scale, codes in want:
+        gs, gc = got[vec_id]
+        assert abs(gs - scale) < 1e-12 and gc == list(codes), vec_id
+    assert all(-127 <= c <= 127 for _, codes in got.values() for c in codes)
+
+
+def test_quantized_topk_recall(emb):
+    """Scales cancel in cosine, so the exact top-k operator runs
+    directly on the int8 codes; int8 rounding noise must barely move
+    the ranking (recall >= 0.9 of the float top-5)."""
+    qz = SS.quantize_embeddings(emb, "embedding").select(
+        "vec_id", F.col("q_vec").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, k=5)
+    quant = SS.topk_bruteforce(qz, qz.filter(F.col("vec_id") < 10), k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in quant.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"int8 top-5 recall {recall}"
