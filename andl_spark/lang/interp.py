@@ -1071,8 +1071,18 @@ class AndlSession:
             rel, other = (a, b) if isinstance(a, RelV) else (b, a)
             if isinstance(other, list):  # lifted RVA vs relation
                 # the literal side bounds the driver materialization:
-                # one extra distinct row is enough to prove inequality
-                rows = rel.df.distinct().limit(len(other) + 1).collect()
+                # one extra distinct row is enough to prove inequality.
+                # Round floats engine-side FIRST so sub-1e-9 noise
+                # collapses before distinct (matching _norm_rows'
+                # tolerance), then _norm_rows re-rounds both sides.
+                norm = [
+                    F.round(F.col(f.name), 9).alias(f.name)
+                    if f.dataType.simpleString() in ("double", "float")
+                    else F.col(f.name)
+                    for f in rel.df.schema.fields
+                ]
+                rows = (rel.df.select(*norm).distinct()
+                        .limit(len(other) + 1).collect())
                 return len(rows) <= len(other) and \
                     _norm_rows(rows) == _norm_rows(other)
             return self._deep_eq(self._scalarize(rel), other)

@@ -58,28 +58,32 @@ def chunk_sequences(
     Zero-token docs occupy no stream space: they sit at their offset
     with ``n_blocks = 0`` and ``last_block < first_block``.
 
-    Scale: two-pass prefix sum — no global window. The per-partition
-    sums (one row each) are the only driver-side materialization.
+    Scale: two-pass prefix sum — no global window. The range bucket
+    ``__pid`` is a PURE FUNCTION of the id (approxQuantile boundaries
+    collected once as literals), never ``spark_partition_id()``: the
+    physical range partitioner samples with job-dependent seeds, so two
+    jobs over the same lineage may not agree on its boundaries — a
+    partition-id-based formulation silently corrupts offsets exactly
+    when sampling is partial (i.e. at scale). With data-derived
+    buckets, pass 1 (bucket totals, one tiny row each — the only
+    driver-side materialization) and pass 2 (bucket-local cumsum
+    window) agree by construction. Boundary skew only unbalances
+    bucket sizes, never correctness.
 
-    ``id_col`` must be unique. Pass 1 and pass 2 are separate jobs
-    over the same lineage; that is sound because Spark's range
-    partitioner samples with deterministic per-partition seeds and the
-    explicit ``n_parts`` keeps AQE from re-coalescing — both jobs see
-    identical partition boundaries (the gapless-stream test would
-    fail otherwise).
+    ``id_col`` must be unique and numeric (it defines both the global
+    order and the quantile-derived bucketing).
     """
     d = docs.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).cast("long").alias("toks"),
     )
-    part = (
-        d.repartitionByRange(n_parts, "id")
-        .sortWithinPartitions("id")
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # pass 1: per-partition totals + min id — tiny (one row/partition).
-    # Offsets are ordered by min id, NOT pid: range partition ids are
-    # assigned by physical task order, which AQE may renumber.
+    qs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(d.stat.approxQuantile("id", qs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("id") > F.lit(b), 1).otherwise(0)
+    part = d.withColumn("__pid", pid)
+    # pass 1: per-bucket totals + min id — tiny (one row per bucket)
     sums = (
         part.groupBy("__pid")
         .agg(F.sum("toks").alias("t"), F.min("id").alias("lo"))
@@ -91,7 +95,7 @@ def chunk_sequences(
         acc += r["t"] or 0
     off_df = part.sparkSession.createDataFrame(
         [(p, o) for p, o in off.items()], "__pid int, __off long")
-    # pass 2: partition-local running sum + broadcast offset
+    # pass 2: bucket-local running sum + broadcast offset
     from pyspark.sql import Window
 
     w = (
@@ -138,15 +142,17 @@ def pack_greedy(
     unaffected once groups hold >> budget tokens.
     """
     import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    spark = docs.sparkSession
     d = docs.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).cast("long").alias("toks"),
         (hash_bucket(F.col(id_col)) % n_groups).alias("__grp"),
     )
-
-    out_schema = "id long, toks long, __grp long, seq_id long"
+    # output schema mirrors the input id's own type (string ids are as
+    # common as numeric ones; a hardcoded long would die in Arrow)
+    out_schema = StructType(list(d.schema.fields)
+                            + [StructField("seq_id", LongType())])
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -157,12 +163,15 @@ def pack_greedy(
         for t in pdf["toks"]:
             t = int(t)
             for i, cap in enumerate(bins):
-                if t <= cap:
+                if t <= cap and cap > 0:
                     bins[i] = cap - t
                     assign.append(i)
                     break
             else:
-                bins.append(max(budget - t, 0))
+                # an oversized doc's bin keeps NEGATIVE capacity: it is
+                # closed — even a zero-token doc must not join it, or
+                # the budget-or-singleton invariant breaks
+                bins.append(budget - t)
                 assign.append(len(bins) - 1)
         pdf["seq_id"] = [grp * (1 << 32) + a for a in assign]
         return pdf

@@ -530,7 +530,12 @@ def quantize_sql(vec: str, q: str = "q_vec", scale: str = "q_scale") -> str:
     """DuckDB mirror of quantize_embeddings: SELECT-list fragments
     computing the identical scale and int8 codes."""
     amax = f"list_aggregate(list_transform({vec}, x -> abs(CAST(x AS DOUBLE))), 'max')"
-    s = f"(CASE WHEN {amax} = 0.0 THEN 1.0 ELSE {amax} / 127.0 END)"
+    # COALESCE: DuckDB's list max of an EMPTY list is NULL where
+    # Spark's aggregate returns the 0.0 initializer — both must land
+    # on scale 1.0 for empty vectors
+    s = (f"(CASE WHEN {vec} IS NULL THEN NULL "
+         f"WHEN COALESCE({amax}, 0.0) = 0.0 THEN 1.0 "
+         f"ELSE {amax} / 127.0 END)")
     codes = (f"list_transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / {s} "
              f"+ 1e-9) AS TINYINT))")
     return f"{s} AS {scale}, {codes} AS {q}"

@@ -68,7 +68,9 @@ def sample_by_budget(
     bucket (~0.01% of a source), and the budget is never exceeded. A
     source without a budget entry is dropped. ``epoch`` salts the hash
     so successive epochs draw different (still deterministic) subsets
-    — re-runs and backfills always reproduce the same mixture.
+    — re-runs and backfills always reproduce the same mixture. Rows
+    with a NULL key are EXCLUDED (their bucket is NULL on both
+    engines); a corpus with null ids should be repaired upstream.
 
     Scale: one partial-agg shuffle to (source, bucket) token sums
     (≤ N_BUCKETS rows per source), a window over that TINY relation to
@@ -77,8 +79,11 @@ def sample_by_budget(
     driver. The whole rule is pure SQL — sample_by_budget_oracle_sql
     emits the DuckDB mirror for the correctness gate.
     """
+    # F.concat (NOT concat_ws, which skips NULL args): a NULL key must
+    # produce a NULL bucket so Spark drops the row exactly like the
+    # oracle's `CAST(key AS VARCHAR) || ':e'` does
     b = hash_bucket(
-        F.concat_ws(":", F.col(key).cast("string"), F.lit(str(epoch))))
+        F.concat(F.col(key).cast("string"), F.lit(f":{epoch}")))
     tagged = df.withColumn("__bucket", b)
     budget_df = F.broadcast(tagged.sparkSession.createDataFrame(
         list(budgets.items()), f"{source_col} string, __budget long"))
@@ -89,7 +94,10 @@ def sample_by_budget(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     keep = (
-        tagged.groupBy(source_col, "__bucket")
+        # NULL buckets (NULL keys) are out of the mixture entirely —
+        # they must not shift the cumulative sums of real buckets
+        tagged.filter(F.col("__bucket").isNotNull())
+        .groupBy(source_col, "__bucket")
         .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
         .withColumn("__cum", F.sum("__t").over(w))
         .join(budget_df, source_col)
@@ -128,7 +136,7 @@ def sample_by_budget_oracle_sql(
                  SUM(SUM(CAST({tokens_col} AS BIGINT)))
                    OVER (PARTITION BY {source_col} ORDER BY b) AS c,
                  ANY_VALUE(budget) AS budget
-          FROM tagged GROUP BY {source_col}, b
+          FROM tagged WHERE b IS NOT NULL GROUP BY {source_col}, b
         )
         SELECT tagged.* EXCLUDE (b, budget)
         FROM tagged JOIN cum ON tagged.{source_col} = cum.s AND tagged.b = cum.b

@@ -172,11 +172,14 @@ class _Handler(BaseHTTPRequestHandler):
                         self.server.lang_session = lang  # type: ignore[attr-defined]
                     shown, failed = len(lang.output), len(lang.failures)
                     lang.run(body["src"])
-                    return self._send(200, {
+                    payload = {
                         "output": lang.output[shown:],
                         # THIS request's failures, not session-lifetime ones
                         "failures": lang.failures[failed:],
-                    })
+                    }
+                # socket write happens OUTSIDE the lock: a slow-reading
+                # client must not stall every other stateful request
+                return self._send(200, payload)
             if parts[:2] == ["api", "call"] and len(parts) == 3:
                 args = (body or {}).get("args", [])
                 rel = sess.call(parts[2], *args)

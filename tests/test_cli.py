@@ -117,6 +117,7 @@ def test_cli_thrift_idl_output(tmp_path):
         "type pt(x:number, y:number)\n"
         "def scale(n:number) => n * 10\n"
         "def scale(s:text) => s & '0'\n"           # Andl overload set
+        "def scale_2(z:number) => z\n"  # collides with naive mangling
         "tv := {flag := true, when := t'31/12/2015'}\n"
     )
     proc = _run("-t", str(script))
@@ -128,8 +129,12 @@ def test_cli_thrift_idl_output(tmp_path):
     assert "service svcService {" in idl
     assert "number scale(" in idl and "1: number n;" in idl
     # Thrift has no overloading: the second signature is name-mangled,
-    # so the file survives `thrift --gen` (no duplicate identifiers)
-    assert "text scale_2(" in idl and "1: text s;" in idl
+    # so the file survives `thrift --gen` (no duplicate identifiers) —
+    # and the mangling skips suffixes taken by REAL operators, so the
+    # genuine scale_2 keeps its name and the overload becomes scale_3
+    assert "number scale_2(" in idl and "1: number z;" in idl
+    assert "text scale_3(" in idl and "1: text s;" in idl
+    assert idl.count(" scale_2(") == 1
     # tuple fields carry their real wire types, not a text fallback
     assert "1: bool flag;" in idl and "2: time when;" in idl
 

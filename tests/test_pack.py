@@ -92,6 +92,9 @@ def test_sample_by_budget_matches_sql_oracle(spark, duck):
         sample_by_budget, sample_by_budget_oracle_sql)
 
     d = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    # a NULL-key row must be excluded by BOTH engines (NULL bucket)
+    d = d.unionByName(spark.createDataFrame(
+        [(None, "x", "en", "src0", 10)], d.schema))
     budgets = {"src0": 3000, "src1": 5000, "src2": 100}
     got = sample_by_budget(d, "doc_id", "n_chars", "source", budgets)
     ids = {r["doc_id"] for r in got.select("doc_id").collect()}
@@ -164,3 +167,24 @@ def test_pack_greedy_invariants(docs):
     assert out.join(again, "doc_id") \
         .filter(out["seq_id"] != again["seq_id"]).count() == 0
     out.unpersist()
+
+
+def test_pack_greedy_string_ids_and_oversized_bins(spark):
+    """Regression pair: (a) a non-numeric id column must flow through
+    the Arrow schema unchanged; (b) an oversized doc's sequence is
+    CLOSED — even a zero-token doc must not join it (the
+    budget-or-singleton invariant)."""
+    d = spark.createDataFrame(
+        [("big", 500), ("tiny", 0), ("a", 40), ("b", 50)],
+        "doc_id string, toks long")
+    out = pack_greedy(d, "doc_id", "toks", budget=100, n_groups=1)
+    rows = {r["doc_id"]: r["seq_id"] for r in out.collect()}
+    assert set(rows) == {"big", "tiny", "a", "b"}
+    by_seq = {}
+    for doc, seq in rows.items():
+        by_seq.setdefault(seq, []).append(doc)
+    over = [docs for docs in by_seq.values() if "big" in docs]
+    assert over == [["big"]]  # oversized doc rides alone
+    for docs in by_seq.values():
+        assert sum({"big": 500, "tiny": 0, "a": 40, "b": 50}[x]
+                   for x in docs) <= 100 or docs == ["big"]

@@ -304,7 +304,9 @@ def test_multimodal_codecs_property_round_trip():
 
 def test_quantize_embeddings_matches_sql_oracle(emb, duck):
     """int8 quantization parity: Spark's scale + codes equal the DuckDB
-    mirror element for element, and every code is in [-127, 127]."""
+    mirror element for element (including the empty-vector edge, where
+    DuckDB's list max is NULL but Spark's fold is 0.0 — both must land
+    on scale 1.0), and every code is in [-127, 127]."""
     got = {r["vec_id"]: (r["q_scale"], list(r["q_vec"]))
            for r in SS.quantize_embeddings(emb, "embedding").collect()}
     frag = SS.quantize_sql("embedding")
@@ -315,6 +317,17 @@ def test_quantize_embeddings_matches_sql_oracle(emb, duck):
         gs, gc = got[vec_id]
         assert abs(gs - scale) < 1e-12 and gc == list(codes), vec_id
     assert all(-127 <= c <= 127 for _, codes in got.values() for c in codes)
+    # empty and zero vectors: scale 1.0 on BOTH engines
+    edge = emb.sparkSession.createDataFrame(
+        [(1, []), (2, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    srows = {r["vec_id"]: (r["q_scale"], list(r["q_vec"]))
+             for r in SS.quantize_embeddings(edge, "embedding").collect()}
+    drows = duck.execute(
+        f"SELECT vec_id, {frag} FROM (VALUES (1, []), (2, [0.0, 0.0]))"
+        " t(vec_id, embedding)").fetchall()
+    assert srows[1] == (1.0, []) and srows[2] == (1.0, [0, 0])
+    for vec_id, scale, codes in drows:
+        assert srows[vec_id] == (scale, list(codes)), vec_id
 
 
 def test_quantized_topk_recall(emb):
