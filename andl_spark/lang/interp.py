@@ -941,6 +941,11 @@ class AndlSession:
         if name == "after":
             s, sep = str(v), str(vals[1])
             return s.split(sep, 1)[1] if sep in s else ""
+        if name in ("andl_catalog", "andl_variable", "andl_operator",
+                    "andl_member"):
+            # call form `andl_operator()` — same introspection relation
+            # as the bare name (Andl.Client/WebSpApiSetup.andl:57)
+            return self._lookup(name, self.globals)
         raise NameError(f"unknown function {name!r}")
 
     def _driver_dot(self, v, name):

@@ -794,6 +794,11 @@ def _type_name(t: Tok) -> str:
         return "text"
     if t.text in ("number", "text", "time", "bool", "binary"):
         return t.text
+    if t.kind == "ident":
+        # a relvar / user-type name (`s:Supplier`) — preserved so the
+        # Thrift IDL can emit list<Supplier> (ThriftGen parity); the
+        # interpreter's dynamic typing ignores it at call time
+        return t.text
     return "text"
 
 

@@ -344,3 +344,80 @@ def test_noisy_directive(spark):
     assert sess.tests == [(3, True)]
     sess.run("#noisy 1\n2 + 2")
     assert sess.output[-1] == "4"
+
+
+CLIENT = Path("/root/reference/Andl.Client")
+THRIFTSP = Path("/root/reference/ThriftSupplierPart")
+
+
+def test_thriftsupplierpart_andl_verbatim(spark):
+    """ThriftSupplierPart/thriftsupplierpart.andl — the catalog the
+    reference serves over Thrift — runs verbatim: relation-typed
+    operator params (`s:Supplier`), `update` of a global relvar inside
+    def bodies, the `name => expr` shorthand, and a relation-literal
+    call. The CRUD operators it defines then work against session
+    state exactly as the reference's Thrift clients drive them
+    (ThriftSupplierPart/Client.cs)."""
+    sess = AndlSession(spark, THRIFTSP)
+    sess.run_path(THRIFTSP / "thriftsupplierpart.andl")
+    out = "\n".join(sess.output)
+    # findsome_part({{Key:='PNAME', Value:='S.*'}}) printed the screws
+    assert "Screw" in out and "P3" in out and "P4" in out
+    sess.run("create_supplier({{ Sid:='S9', SNAME:='Nine', STATUS:=99,"
+             " CITY:='Oslo' }})\n"
+             "write('n=' & findall_supplier().count)")
+    assert sess.output[-1] == "n=6"
+    sess.run("update_supplier('S9', {{ Sid:='S9', SNAME:='Neuf',"
+             " STATUS:=9, CITY:='Paris' }})\n"
+             "write('city=' & find_supplier('S9').select{ (CITY) })")
+    assert sess.output[-1] == "city=Paris"
+    sess.run("delete_supplier('S9')\n"
+             "write('n=' & findall_supplier().count)")
+    assert sess.output[-1] == "n=5"
+
+
+def test_webspapi_setup_andl_verbatim(spark):
+    """Andl.Client/WebSpApiSetup.andl (the Web-API CRUD catalog) runs
+    verbatim, including the tquery-relation-parameter operator and the
+    closing andl_operator() listing."""
+    sess = AndlSession(spark, CLIENT)
+    sess.run_path(CLIENT / "WebSpApiSetup.andl")
+    ops = sess.output[-1]
+    for op in ("find_supplier", "create_supplier", "delete_supplier",
+               "update_supplier", "findsome_part", "findall_supplies"):
+        assert op in ops
+    sess.run("write('hit=' & findsome_part({{ Key:='PNAME',"
+             " Value:='S.*' }}).count)")
+    assert sess.output[-1] == "hit=2"
+
+
+def test_supplier_setup_andl_verbatim(spark):
+    """Andl.Client/SupplierSetup.andl: CSV loads + andl_catalog, then
+    the #stop directive ends the script."""
+    sess = AndlSession(spark, CLIENT)
+    sess.run_path(CLIENT / "SupplierSetup.andl")
+    assert "S, relation" in sess.output[-1]
+    assert sess.globals["SP"].df.count() == 12
+
+
+def test_thriftsupplierpart_idl_matches_reference(spark, tmp_path):
+    """CLI -t over thriftsupplierpart.andl reproduces the reference's
+    OWN generated IDL surface (ThriftSupplierPart.thrift): every
+    service function, with relation-typed params/returns as
+    list<Struct> — `list<Supplier> s` for create_supplier."""
+    from andl_spark.lang.idl import thrift_idl
+
+    sess = AndlSession(spark, THRIFTSP)
+    sess.run_path(THRIFTSP / "thriftsupplierpart.andl")
+    idl = thrift_idl(sess, "sp")
+    ref = Path(
+        "/root/reference/ThriftSupplierPart/ThriftSupplierPart.thrift"
+    ).read_text()
+    import re
+    ref_funcs = set(re.findall(r"^\s+(?:void|list<\w+>)\s+(\w+)\(",
+                               ref, re.M))
+    assert ref_funcs  # the reference file really lists the service
+    mine = set(re.findall(r"^\s+\S+\s+(\w+)\(", idl, re.M))
+    assert ref_funcs <= mine
+    assert "struct Supplier {" in idl and "struct Part {" in idl
+    assert "list<Supplier> s;" in idl  # relation-typed param
