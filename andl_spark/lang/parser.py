@@ -46,7 +46,7 @@ _KEYWORDS = {
 
 _TOKEN_RE = re.compile(
     r"""
-      (?P<ws>[ \t\r]+)
+      (?P<ws>[ \t\r﻿]+)
     | (?P<comment>//[^\n]*)
     | (?P<nl>\n)
     | (?P<directive>\#[A-Za-z]\w*[^\n]*)

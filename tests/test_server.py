@@ -184,6 +184,37 @@ def test_keyed_routes_match_in_column_type(served):
     assert sorted(r[1] for r in rows) == ["B", "z"]
 
 
+def test_webspapi_crud_over_the_wire(served):
+    """The reference's Andl.Client workflow end-to-end over HTTP
+    (Andl.Client/Program.cs drives the WebSpApiSetup.andl CRUD
+    operators via the Web API): load the setup script through
+    POST /api/andl, then create/read/update/delete suppliers by
+    calling the ANDL-DEFINED operators over the wire."""
+    _, port = served
+    src = __import__("pathlib").Path(
+        "/root/reference/Andl.Client/WebSpApiSetup.andl").read_text()
+    # run from the client dir so the CSV loads resolve
+    out = _req(port, "/api/andl", "POST",
+               {"src": "#source '/root/reference/Andl.Client'\n" + src})
+    assert out["failures"] == []
+    calls = [
+        "write('n0=' & findall_supplier().count)",
+        "create_supplier({{ Sid:='S9', SNAME:='Nine', STATUS:=99,"
+        " CITY:='Oslo' }})",
+        "write('n1=' & findall_supplier().count)",
+        "write('got=' & find_supplier('S9').select{ (SNAME) })",
+        "update_supplier('S9', {{ Sid:='S9', SNAME:='Neuf', STATUS:=9,"
+        " CITY:='Paris' }})",
+        "write('upd=' & find_supplier('S9').select{ (CITY) })",
+        "delete_supplier('S9')",
+        "write('n2=' & findall_supplier().count)",
+    ]
+    outs = [_req(port, "/api/andl", "POST", {"src": c})["output"]
+            for c in calls]
+    flat = [line for o in outs for line in o]
+    assert flat == ["n0=5", "n1=6", "got=Nine", "upd=Paris", "n2=5"]
+
+
 def test_errors_are_http_400(served):
     _, port = served
     req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
