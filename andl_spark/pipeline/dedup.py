@@ -765,3 +765,95 @@ def dedup_against_index(
         .filter(F.col(id_col) == F.col("__min"))
         .drop("__fp", "__min")
     )
+
+
+# ---------------------------------------------------------------------
+# pair graph → duplicate clusters (connected components)
+# ---------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    node gets ``cluster_id`` = the MINIMUM id reachable from it, so
+    each duplicate cluster is named by its canonical (smallest-id)
+    member. This is the missing last step between pairwise candidates
+    (minhash/simhash/jaccard/embedding *_pairs) and an actual dedup
+    decision — transitively linked docs A~B~C land in ONE cluster even
+    though (A, C) was never emitted as a pair.
+
+    Min-label propagation: each round joins current labels across the
+    (undirected) edge set and keeps the per-node minimum; iteration
+    stops when no label changes. Rounds needed = the graph diameter —
+    near-dup clusters are star-like (tiny diameter), so this converges
+    in a handful of one-shuffle rounds at any corpus size. Each round
+    is localCheckpoint'ed (the whileop.py pattern) so lineage stays
+    flat. The DuckDB mirror is a recursive CTE computing the same
+    min-reachable label (tests/test_pipeline.py).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for a = its neighbours' current labels
+        cand = edges.join(
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "lbl")
+        new = (
+            labels.union(cand)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)")
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Dedup decision: keep each cluster's canonical (minimum-id)
+    member plus every doc that appears in no pair. One broadcast-able
+    join against the (tiny relative to the corpus) cluster labels."""
+    clusters = dup_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col))
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of dup_clusters: min reachable id per node over
+    the undirected closure of ``pairs_sql`` (columns id_a, id_b)."""
+    return f"""
+WITH RECURSIVE und AS (
+  SELECT id_a AS a, id_b AS b FROM ({pairs_sql})
+  UNION
+  SELECT id_b, id_a FROM ({pairs_sql})
+), reach(n, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.a, reach.m FROM und JOIN reach ON und.b = reach.n
+)
+SELECT n AS id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""

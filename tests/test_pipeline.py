@@ -343,3 +343,40 @@ def test_quantized_topk_recall(emb):
     a = {(r["query_id"], r["cand_id"]) for r in quant.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"int8 top-5 recall {recall}"
+
+
+def test_dup_clusters_transitive_and_canonical(spark):
+    """Pairs (1,2),(2,3) collapse transitively into one cluster named
+    by the minimum id, disjoint (5,6) stays separate, and
+    keep_canonical retains exactly one doc per cluster plus all
+    unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in D.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6, 9)],
+        "doc_id long, text string")
+    kept = {r["doc_id"]
+            for r in D.keep_canonical(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 4, 5, 9}
+
+
+def test_dup_clusters_matches_recursive_cte_oracle(spark, duck):
+    """Min-label propagation equals DuckDB's recursive-CTE
+    min-reachable labels on a deterministic synthetic pair graph over
+    the documents table (same-source, same doc_id mod 7)."""
+    pairs_sql = ("SELECT d1.doc_id AS id_a, d2.doc_id AS id_b "
+                 "FROM documents d1 JOIN documents d2 "
+                 "ON d1.source = d2.source AND d1.doc_id < d2.doc_id "
+                 "AND d1.doc_id % 7 = d2.doc_id % 7")
+    from andl_spark.session import load_tables
+    from conftest import SF_SMOKE
+    d = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    d.createOrReplaceTempView("documents")
+    pairs = spark.sql(pairs_sql)
+    got = sorted(map(tuple, D.dup_clusters(pairs).collect()))
+    want = sorted(map(tuple, duck.execute(
+        D.dup_clusters_sql(pairs_sql)).fetchall()))
+    assert got == want and len(got) > 50
