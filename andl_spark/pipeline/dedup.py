@@ -832,14 +832,19 @@ def dup_clusters(
 def keep_canonical(
     docs: DataFrame, pairs: DataFrame, id_col: str,
     id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 50,
 ) -> DataFrame:
     """Dedup decision: keep each cluster's canonical (minimum-id)
-    member plus every doc that appears in no pair. One broadcast-able
-    join against the (tiny relative to the corpus) cluster labels."""
-    clusters = dup_clusters(pairs, id_a, id_b)
+    member plus every doc that appears in no pair. The losers set
+    scales with the number of DUPLICATES (30% of a 1B-doc corpus is
+    300M ids) — far too big to broadcast, so the antijoin strategy is
+    left to the optimizer (AQE broadcasts it only when it measures
+    small). ``max_iter`` bounds the propagation rounds; raise it for
+    pathological chain-shaped duplicate components."""
+    clusters = dup_clusters(pairs, id_a, id_b, max_iter=max_iter)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col))
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def dup_clusters_sql(pairs_sql: str) -> str:

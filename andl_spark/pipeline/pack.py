@@ -70,15 +70,28 @@ def chunk_sequences(
     window) agree by construction. Boundary skew only unbalances
     bucket sizes, never correctness.
 
-    ``id_col`` must be unique and numeric (it defines both the global
-    order and the quantile-derived bucketing).
+    ``id_col`` must be unique; any orderable type works (numeric ids
+    get exact approxQuantile boundaries, other types a seeded-sample
+    estimate — boundary quality only affects bucket BALANCE, never the
+    offsets).
     """
     d = docs.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).cast("long").alias("toks"),
     )
     qs = [i / n_parts for i in range(1, n_parts)]
-    bounds = sorted(set(d.stat.approxQuantile("id", qs, 0.001)))
+    if dict(d.dtypes)["id"] in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"):
+        bounds = sorted(set(d.stat.approxQuantile("id", qs, 0.001)))
+    else:
+        # non-numeric orderable ids (UUIDs, 'doc-000123'): boundaries
+        # from a seeded sample — evenly spaced order statistics. A
+        # skewed sample only unbalances buckets; offsets stay exact.
+        sample = sorted(r["id"] for r in d.select("id")
+                        .sample(fraction=0.01, seed=42)
+                        .limit(100_000).collect() if r["id"] is not None)
+        bounds = sorted({sample[int(q * (len(sample) - 1))]
+                         for q in qs}) if sample else []
     pid = F.lit(0)
     for b in bounds:
         pid = pid + F.when(F.col("id") > F.lit(b), 1).otherwise(0)

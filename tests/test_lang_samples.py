@@ -420,4 +420,17 @@ def test_thriftsupplierpart_idl_matches_reference(spark, tmp_path):
     mine = set(re.findall(r"^\s+\S+\s+(\w+)\(", idl, re.M))
     assert ref_funcs <= mine
     assert "struct Supplier {" in idl and "struct Part {" in idl
-    assert "list<Supplier> s;" in idl  # relation-typed param
+    # exact signatures, not just names: relation-typed params render
+    # list<Struct>, inferred returns match the reference's own file —
+    # `list<Supplier> find_supplier`, `void create_supplier`
+    assert "list<Supplier> s;" in idl
+    assert "list<Supplier> find_supplier(\n    1: text sid;" in idl
+    assert "list<Part> findall_part(\n  );" in idl
+    assert "void create_supplier(" in idl
+    assert "void delete_supplier(" in idl and "void update_supplier(" in idl
+    assert "list<Tquery> query;" in idl  # findsome_part's param
+    # an ident that matches no struct must fall back to text, keeping
+    # the file `thrift --gen`-clean
+    sess.run("def ghost(w:Widget) => 0")
+    idl2 = thrift_idl(sess, "sp")
+    assert "text w;" in idl2 and "Widget" not in idl2

@@ -134,6 +134,22 @@ def test_sample_by_budget_plan_broadcasts_cutoffs(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_chunk_sequences_string_ids(spark):
+    """Non-numeric orderable ids (the pack_greedy-supported shape) use
+    sample-estimated boundaries; offsets stay exact and gapless."""
+    d = spark.createDataFrame(
+        [(f"doc-{i:04d}", i % 7 + 1) for i in range(200)],
+        "doc_id string, toks long")
+    rows = sorted(
+        (r["doc_id"], r["start_tok"], r["toks"])
+        for r in chunk_sequences(d, "doc_id", "toks", 16, n_parts=8).collect())
+    pos = 0
+    for _, start, toks in rows:
+        assert start == pos
+        pos += toks
+    assert len(rows) == 200
+
+
 def test_pack_greedy_invariants(docs):
     """Every doc lands in exactly one sequence; no sequence exceeds the
     budget (oversized docs get singleton sequences); determinism across

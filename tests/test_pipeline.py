@@ -363,6 +363,25 @@ def test_dup_clusters_transitive_and_canonical(spark):
     assert kept == {1, 4, 5, 9}
 
 
+def test_dup_clusters_chain_needs_diameter_rounds(spark):
+    """A path-shaped component (successive boilerplate versions) of
+    diameter d converges within max_iter >= d and raises a clear
+    diagnostic when max_iter is too small; keep_canonical plumbs
+    max_iter through and never force-broadcasts the losers."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in D.dup_clusters(chain, max_iter=40).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
+    with __import__("pytest").raises(RuntimeError, match="converge"):
+        D.dup_clusters(chain, max_iter=3)
+    docs = spark.range(31).withColumnRenamed("id", "doc_id")
+    kept = D.keep_canonical(docs, chain, "doc_id", max_iter=40)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower() or "ResolvedHint" not in plan
+
+
 def test_dup_clusters_matches_recursive_cte_oracle(spark, duck):
     """Min-label propagation equals DuckDB's recursive-CTE
     min-reachable labels on a deterministic synthetic pair graph over
