@@ -33,6 +33,10 @@ Routes (database == the Spark session; one server per session):
                                           server-held session; returns
                                           display output + failures
                                           (the Gateway/Workbench loop)
+    GET    /                              Workbench-lite: a single-file
+                                          HTML editor/run/output page
+                                          over POST /api/andl (the
+                                          Andl.Workbench core loop)
 
 Result shape: {"columns": [...], "rows": [[...], ...]} — column order
 preserved, values JSON-scalarized. Every read is bounded by `limit`
@@ -59,6 +63,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_LIMIT = 1000
+
+# Workbench-lite: the reference ships a GUI (Andl.Workbench/) whose
+# core loop is "edit Andl source → run → read the output". GET /
+# serves that loop as one dependency-free page over POST /api/andl.
+_WORKBENCH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Andl Workbench</title><style>
+ body{font-family:monospace;margin:1.5em;max-width:60em}
+ textarea{width:100%;height:12em;font:inherit}
+ pre{background:#f4f4f4;padding:.8em;white-space:pre-wrap}
+ .fail{color:#b00}
+</style></head><body>
+<h2>Andl Workbench</h2>
+<p>State persists between runs (one server-held session).</p>
+<textarea id="src" spellcheck="false">S .where(STATUS &gt; 15)</textarea><br>
+<button onclick="run()">Run (Ctrl-Enter)</button>
+<pre id="out"></pre>
+<script>
+async function run(){
+  const r = await fetch('/api/andl', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({src: document.getElementById('src').value})});
+  const j = await r.json();
+  const out = document.getElementById('out');
+  if (j.error){ out.innerHTML = '<span class=fail></span>';
+    out.firstChild.textContent = j.error; return; }
+  out.textContent = j.output.join('\\n');
+  if (j.failures.length)
+    out.textContent += '\\nFAILED lines: ' + j.failures.join(', ');
+}
+document.getElementById('src').addEventListener('keydown',
+  e => { if (e.ctrlKey && e.key === 'Enter') run(); });
+</script></body></html>"""
 
 
 def _jsonable(v):
@@ -128,6 +164,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             parts, q = self._route()
             sess = self._session()
+            if not parts:  # GET / — the Workbench-lite page
+                body = _WORKBENCH_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parts[:1] == ["api"]:
                 if parts[1:] == ["variables"]:
                     return self._send(200, {"variables": sess.variables()})

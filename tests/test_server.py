@@ -215,6 +215,17 @@ def test_webspapi_crud_over_the_wire(served):
     assert flat == ["n0=5", "n1=6", "got=Nine", "upd=Paris", "n2=5"]
 
 
+def test_workbench_page_served(served):
+    """GET / serves the Workbench-lite HTML page (the Andl.Workbench
+    edit→run→output loop over POST /api/andl)."""
+    _, port = served
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+    assert "Andl Workbench" in html and "/api/andl" in html
+
+
 def test_errors_are_http_400(served):
     _, port = served
     req = urllib.request.Request(f"http://127.0.0.1:{port}/rest/no_such_table")
