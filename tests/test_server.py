@@ -215,6 +215,27 @@ def test_webspapi_crud_over_the_wire(served):
     assert flat == ["n0=5", "n1=6", "got=Nine", "upd=Paris", "n2=5"]
 
 
+def test_concurrent_mutations_lose_no_updates(served):
+    """Parallel POST /rest inserts are read-modify-write on the same
+    relvar; the server lock serializes them so every insert lands
+    (without it, last-writer-wins drops rows)."""
+    import concurrent.futures
+
+    sess, port = served
+    df = sess.spark.createDataFrame([(0, "base")], "k int, v string")
+    sess.register("MUT", df)
+
+    def ins(i):
+        return _req(port, "/rest/MUT", "POST",
+                    [{"k": 100 + i, "v": f"w{i}"}])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(ins, range(6)))
+    assert all(r["ok"] for r in results)
+    rows = _req(port, "/rest/MUT?limit=50")["rows"]
+    assert sorted(r[0] for r in rows) == [0, 100, 101, 102, 103, 104, 105]
+
+
 def test_workbench_page_served(served):
     """GET / serves the Workbench-lite HTML page (the Andl.Workbench
     edit→run→output loop over POST /api/andl)."""
