@@ -185,6 +185,37 @@ def test_pack_greedy_invariants(docs):
     out.unpersist()
 
 
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _doc_rows = st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.integers(0, 300)),  # incl. zero-token and oversized
+        min_size=0, max_size=25, unique_by=lambda t: t[0])
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(rows=_doc_rows)
+    def test_pack_greedy_property(spark, rows):
+        """For random corpora (zero-token docs, oversized docs, empty):
+        every doc lands exactly once; a sequence is either within
+        budget or a single oversized doc; and a zero-token doc never
+        rides with an oversized one."""
+        budget = 100
+        d = spark.createDataFrame(rows, "doc_id long, toks long") if rows \
+            else spark.createDataFrame([], "doc_id long, toks long")
+        out = pack_greedy(d, "doc_id", "toks", budget, n_groups=4).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(t[0] for t in rows)
+        seqs = {}
+        for r in out:
+            seqs.setdefault(r["seq_id"], []).append(r["toks"])
+        for toks in seqs.values():
+            assert sum(toks) <= budget or len(toks) == 1
+except ImportError:
+    pass
+
+
 def test_pack_greedy_string_ids_and_oversized_bins(spark):
     """Regression pair: (a) a non-numeric id column must flow through
     the Arrow schema unchanged; (b) an oversized doc's sequence is
