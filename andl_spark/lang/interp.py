@@ -95,6 +95,7 @@ class FuncDef:
         self.name = name
         self.params = params  # [(name, andl_type)]
         self.body = body      # ("body", expr) | ("do", [stmts])
+        self.declared_rtype = rtype  # raw annotation (None if omitted)
         self.rtype = rtype or (params[0][1] if params else "number")
         self.env = env        # lexical scope for defs inside do-blocks
 
@@ -261,7 +262,9 @@ class AndlSession:
             m["defs"][name] = [
                 {
                     "params": [list(p) for p in fd.params],
-                    "rtype": fd.rtype,
+                    # the RAW annotation: persisting the defaulted
+                    # rtype would turn it into a declaration on reload
+                    "rtype": fd.declared_rtype,
                     "body": _ast_to_json(fd.body),
                 }
                 for fd in payload

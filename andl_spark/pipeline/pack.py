@@ -80,15 +80,21 @@ def chunk_sequences(
         F.col(tokens_col).cast("long").alias("toks"),
     )
     qs = [i / n_parts for i in range(1, n_parts)]
-    if dict(d.dtypes)["id"] in (
-            "tinyint", "smallint", "int", "bigint", "float", "double"):
-        bounds = sorted(set(d.stat.approxQuantile("id", qs, 0.001)))
+    if dict(d.dtypes)["id"].split("(")[0] in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal"):
+        bounds = sorted(set(float(b) for b in
+                            d.stat.approxQuantile("id", qs, 0.001)))
     else:
         # non-numeric orderable ids (UUIDs, 'doc-000123'): boundaries
-        # from a seeded sample — evenly spaced order statistics. A
-        # skewed sample only unbalances buckets; offsets stay exact.
+        # from a size-bounded sample. The bound is taken in id-HASH
+        # order, not scan order — a plain limit() would keep only the
+        # first partitions' (lowest) ids on id-sorted storage and
+        # collapse everything into the last bucket, which at scale IS
+        # the single-window bottleneck this design exists to avoid.
         sample = sorted(r["id"] for r in d.select("id")
                         .sample(fraction=0.01, seed=42)
+                        .orderBy(F.xxhash64("id"))
                         .limit(100_000).collect() if r["id"] is not None)
         bounds = sorted({sample[int(q * (len(sample) - 1))]
                          for q in qs}) if sample else []

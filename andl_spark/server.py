@@ -86,8 +86,8 @@ async function run(){
     body: JSON.stringify({src: document.getElementById('src').value})});
   const j = await r.json();
   const out = document.getElementById('out');
-  if (j.error){ out.innerHTML = '<span class=fail></span>';
-    out.firstChild.textContent = j.error; return; }
+  if (!r.ok || 'error' in j){ out.innerHTML = '<span class=fail></span>';
+    out.firstChild.textContent = j.error || '(error)'; return; }
   out.textContent = j.output.join('\\n');
   if (j.failures.length)
     out.textContent += '\\nFAILED lines: ' + j.failures.join(', ');

@@ -434,3 +434,9 @@ def test_thriftsupplierpart_idl_matches_reference(spark, tmp_path):
     sess.run("def ghost(w:Widget) => 0")
     idl2 = thrift_idl(sess, "sp")
     assert "text w;" in idl2 and "Widget" not in idl2
+    # an EXPLICIT result annotation beats body inference: update-bodied
+    # but declared :0 (number) must NOT render void
+    sess.run("def refresh:0(sid:text) => do {"
+             " update Supplier .where(Sid = sid) .select{} }")
+    idl3 = thrift_idl(sess, "sp")
+    assert "number refresh(" in idl3

@@ -212,6 +212,10 @@ try:
             seqs.setdefault(r["seq_id"], []).append(r["toks"])
         for toks in seqs.values():
             assert sum(toks) <= budget or len(toks) == 1
+            # an over-budget doc always rides ALONE — even a
+            # zero-token doc must not share its sequence
+            if any(t > budget for t in toks):
+                assert len(toks) == 1
 except ImportError:
     pass
 
