@@ -241,3 +241,93 @@ def source_mixture(df: DataFrame, source_col: str = "source", lang_col: str = "l
         F.round(1 - F.col("n_unique") / F.col("n_docs") + F.lit(1e-9), 6).alias("dup_rate"),
         "avg_chars",
     )
+
+
+# ---------------------------------------------------------------------
+# unigram-LM quality filter (the CCNet-style statistical scorer)
+# ---------------------------------------------------------------------
+
+def train_unigram_lm(
+    docs: DataFrame, text_col: str, vocab_cap: int = 50_000,
+) -> DataFrame:
+    """Train an add-one-smoothed unigram language model on the corpus:
+    returns (word, logp) for the ``vocab_cap`` most frequent lowercase
+    words (ties by word), plus the shared OOV log-probability under the
+    ``__oov__`` sentinel. logp = log10((c + 1) / (N + V + 1)) where N =
+    total in-vocab token count and V = vocab size; OOV mass = 1/(N+V+1).
+
+    Scale: one explode → one count shuffle → top-V cut. The resulting
+    model is tiny (V rows) and broadcasts into the scorer.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("w")).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (counts.orderBy(F.col("c").desc(), "w").limit(vocab_cap)
+           .localCheckpoint(eager=True))
+    agg = top.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).first()
+    n, v = agg["n"] or 0, agg["v"] or 0
+    denom = float(n + v + 1)
+    model = top.select(
+        "w", F.log10((F.col("c") + 1) / F.lit(denom)).alias("logp"))
+    oov = top.sparkSession.createDataFrame(
+        [("__oov__",)], "w string").select(
+        "w", F.log10(F.lit(1.0) / F.lit(denom)).alias("logp"))
+    return model.unionByName(oov)
+
+
+def lm_quality_score(
+    docs: DataFrame, lm: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """Score each doc by its average per-token log10 probability under
+    the trained unigram LM (higher = more natural corpus-like text;
+    gibberish and boilerplate outliers score low — CCNet's LM-filter
+    idea with the simplest possible model). Output: (id, n_tokens,
+    avg_logp).
+
+    Scale: explode → broadcast join against the tiny model → one
+    per-doc aggregate. The corpus shuffles once, on the doc id.
+    """
+    oov = F.broadcast(lm.filter(F.col("w") == "__oov__")
+                      .select(F.col("logp").alias("oov_logp")))
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("w")).filter(F.col("w") != "")
+    scored = (
+        words.join(F.broadcast(lm.filter(F.col("w") != "__oov__")), "w", "left")
+        .crossJoin(oov)
+        .select("id", F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logp"),
+    )
+
+
+def unigram_lm_sql(table: str, id_col: str, text_col: str,
+                   vocab_cap: int = 50_000) -> str:
+    """Self-contained DuckDB mirror of train_unigram_lm +
+    lm_quality_score over ``table`` — same vocabulary cut, smoothing,
+    OOV handling, and rounding."""
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id, lower(w) AS w
+  FROM {table}, UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS t(w)
+  WHERE w <> ''
+), counts AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w
+), top AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {vocab_cap}
+), consts AS (
+  SELECT CAST(SUM(c) + COUNT(*) + 1 AS DOUBLE) AS denom FROM top
+), model AS (
+  SELECT w, log10((c + 1) / (SELECT denom FROM consts)) AS logp FROM top
+)
+SELECT words.id, COUNT(*) AS n_tokens,
+       ROUND(AVG(COALESCE(model.logp,
+                          log10(1.0 / (SELECT denom FROM consts)))) + 1e-9,
+             6) AS avg_logp
+FROM words LEFT JOIN model ON words.w = model.w
+GROUP BY words.id
+"""

@@ -399,3 +399,26 @@ def test_dup_clusters_matches_recursive_cte_oracle(spark, duck):
     want = sorted(map(tuple, duck.execute(
         D.dup_clusters_sql(pairs_sql)).fetchall()))
     assert got == want and len(got) > 50
+
+
+def test_unigram_lm_score_matches_sql_oracle(spark, docs, duck):
+    """The CCNet-style unigram-LM quality scorer: Spark's trained
+    model + scores equal the self-contained DuckDB mirror doc for doc,
+    and scores order sensibly (natural corpus text above gibberish)."""
+    from andl_spark.pipeline import text as T
+
+    lm = T.train_unigram_lm(docs, "text", vocab_cap=5_000)
+    got = {r["id"]: (r["n_tokens"], r["avg_logp"])
+           for r in T.lm_quality_score(docs, lm, "doc_id", "text").collect()}
+    want = duck.execute(
+        T.unigram_lm_sql("documents", "doc_id", "text", 5_000)).fetchall()
+    assert len(got) == len(want) > 0
+    for doc_id, n, s in want:
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - s) < 1e-9, doc_id
+    # a gibberish doc scores below every real doc (all-OOV tokens)
+    gib = spark.createDataFrame(
+        [(999_999, "qzxv wkjq zzyxw qqqvz xkcd9 jwqp")],
+        "doc_id long, text string")
+    g = T.lm_quality_score(gib, lm, "doc_id", "text").first()["avg_logp"]
+    assert g < min(s for _, _, s in want)
