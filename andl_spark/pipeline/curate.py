@@ -124,3 +124,97 @@ def pii_scrub(
         scrubbed.alias("scrubbed"),
         F.length(scrubbed).cast("long").alias("scrub_len"),
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_docs: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: a (trimmed) line that
+    appears in MORE than ``max_line_docs`` distinct documents is
+    corpus boilerplate (cookie banners, nav menus, license footers)
+    and is stripped from every document; the survivors are reassembled
+    in their original order. Lines shorter than ``min_line_chars``
+    are never counted as boilerplate (blank/short separators stay).
+
+    Output: (id, clean_text, n_lines, n_removed). A document whose
+    every line was boilerplate survives with empty clean_text — the
+    row is never silently dropped.
+
+    Scale: posexplode → one distinct-count shuffle on the line string
+    → frequency filter → antijoin the lines table → one per-doc
+    reassembly shuffle. The boilerplate relation is left unbroadcast:
+    its size is corpus-dependent and the optimizer measures it. The
+    whole rule is engine-portable SQL (remove_boilerplate_sql).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.length("key") >= min_line_chars)
+        .groupBy("key")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > max_line_docs)
+        .select("key")
+    )
+    kept = lines.join(boiler, "key", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_sql(
+    table: str, id_col: str, text_col: str,
+    max_line_docs: int = 3, min_line_chars: int = 10,
+) -> str:
+    """DuckDB mirror of remove_boilerplate_lines (same trimming,
+    thresholds, ordering, and empty-doc preservation)."""
+    return f"""
+WITH split AS (
+  SELECT {id_col} AS id, str_split({text_col}, chr(10)) AS arr FROM {table}
+), lines0 AS (
+  -- parallel unnest zips positions with lines (DuckDB semantics)
+  SELECT id, unnest(generate_series(1, len(arr))) - 1 AS pos,
+         unnest(arr) AS line
+  FROM split
+), lines AS (
+  SELECT id, pos, line, trim(line) AS key FROM lines0
+), boiler AS (
+  SELECT key FROM lines
+  WHERE length(key) >= {min_line_chars}
+  GROUP BY key HAVING COUNT(DISTINCT id) > {max_line_docs}
+), kept AS (
+  SELECT * FROM lines WHERE key NOT IN (SELECT key FROM boiler)
+), rebuilt AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id
+), totals AS (
+  SELECT id, COUNT(*) AS n_lines FROM lines GROUP BY id
+)
+SELECT totals.id, COALESCE(rebuilt.clean_text, '') AS clean_text,
+       totals.n_lines, totals.n_lines - COALESCE(rebuilt.n_kept, 0) AS n_removed
+FROM totals LEFT JOIN rebuilt ON totals.id = rebuilt.id
+"""

@@ -266,3 +266,29 @@ def test_pii_scrub_idempotent(spark):
     twice = C.pii_scrub(once, "doc_id", "text").collect()[0]
     assert twice["scrubbed"] == once.collect()[0]["text"]
     assert (twice["n_emails"], twice["n_phones"], twice["n_ips"]) == (0, 0, 0)
+
+def test_remove_boilerplate_lines_matches_sql_oracle(spark):
+    """C4-style line-level boilerplate: a footer shared by >3 docs is
+    stripped everywhere, order and short separators are preserved, an
+    all-boilerplate doc survives with empty text, and the whole result
+    equals the DuckDB mirror row for row."""
+    import duckdb
+
+    footer = "subscribe to our newsletter today"
+    rows = [(i, f"unique line {i} alpha\n\n{footer}\nline {i} beta")
+            for i in range(5)]
+    rows.append((10, footer))                   # all-boilerplate doc
+    rows.append((11, "standalone content only"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in C.remove_boilerplate_lines(
+               df, "doc_id", "text").collect()}
+    assert got[0] == ("unique line 0 alpha\n\nline 0 beta", 4, 1)
+    assert got[10] == ("", 1, 1)                # preserved, emptied
+    assert got[11] == ("standalone content only", 1, 0)
+    con = duckdb.connect()
+    con.register("docs_tbl", df.toPandas())
+    want = con.execute(C.remove_boilerplate_sql(
+        "docs_tbl", "doc_id", "text")).fetchall()
+    assert {t[0]: tuple(t[1:]) for t in want} == got
+    con.close()
