@@ -1,9 +1,12 @@
-"""Training-corpus curation operators: benchmark decontamination and
-PII scrubbing — first-class pipeline ops alongside dedup/simsearch
-(the reference has no corpus tooling; these extend SURVEY §2.8).
+"""Training-corpus curation operators: benchmark decontamination, PII
+scrubbing, and line-level boilerplate removal — first-class pipeline
+ops alongside dedup/simsearch (the reference has no corpus tooling;
+these extend SURVEY §2.8).
 
-Both are scan-side JVM expression pipelines — no Python UDFs, no
-driver collects — so they ride whole-stage codegen and scale linearly.
+All JVM expressions, no Python UDFs. pii_scrub is purely scan-side;
+decontaminate adds one aggregation shuffle + a broadcast semi-join;
+remove_boilerplate_lines shuffles twice (line frequency, per-doc
+reassembly) with an optimizer-chosen antijoin in between.
 """
 
 from __future__ import annotations
@@ -132,6 +135,7 @@ def remove_boilerplate_lines(
     text_col: str,
     max_line_docs: int = 3,
     min_line_chars: int = 10,
+    eager: bool = True,
 ) -> DataFrame:
     """C4-style line-level boilerplate removal: a (trimmed) line that
     appears in MORE than ``max_line_docs`` distinct documents is
@@ -141,18 +145,28 @@ def remove_boilerplate_lines(
     are never counted as boilerplate (blank/short separators stay).
 
     Output: (id, clean_text, n_lines, n_removed). A document whose
-    every line was boilerplate survives with empty clean_text — the
-    row is never silently dropped.
+    every line was boilerplate survives with empty clean_text, and a
+    NULL text is treated as '' — the row is never silently dropped.
 
     Scale: posexplode → one distinct-count shuffle on the line string
     → frequency filter → antijoin the lines table → one per-doc
     reassembly shuffle. The boilerplate relation is left unbroadcast:
-    its size is corpus-dependent and the optimizer measures it. The
-    whole rule is engine-portable SQL (remove_boilerplate_sql).
-    """
-    lines = docs.select(
+    its size is corpus-dependent and the optimizer measures it.
+    ``eager`` (the decontaminate pattern) persists the compact split
+    table so the three plan branches (frequency, keep, totals) split
+    the corpus once instead of three times, and materializes the
+    result before unpersisting; at true corpus scale pass
+    ``eager=False`` and write the (single-consumer) result straight to
+    a sink. The whole rule is engine-portable SQL
+    (remove_boilerplate_sql)."""
+    base = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("arr"),
+    )
+    if eager:
+        base = base.persist()
+    lines = base.select(
+        "id", F.posexplode("arr").alias("pos", "line"),
     ).withColumn("key", F.trim(F.col("line")))
     boiler = (
         lines.filter(F.length("key") >= min_line_chars)
@@ -172,8 +186,8 @@ def remove_boilerplate_lines(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
+    totals = base.select("id", F.size("arr").alias("n_lines"))
+    out = (
         totals.join(rebuilt, "id", "left")
         .select(
             "id",
@@ -183,6 +197,10 @@ def remove_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def remove_boilerplate_sql(
@@ -193,7 +211,8 @@ def remove_boilerplate_sql(
     thresholds, ordering, and empty-doc preservation)."""
     return f"""
 WITH split AS (
-  SELECT {id_col} AS id, str_split({text_col}, chr(10)) AS arr FROM {table}
+  SELECT {id_col} AS id,
+         str_split(COALESCE({text_col}, ''), chr(10)) AS arr FROM {table}
 ), lines0 AS (
   -- parallel unnest zips positions with lines (DuckDB semantics)
   SELECT id, unnest(generate_series(1, len(arr))) - 1 AS pos,

@@ -251,10 +251,13 @@ def train_unigram_lm(
     docs: DataFrame, text_col: str, vocab_cap: int = 50_000,
 ) -> DataFrame:
     """Train an add-one-smoothed unigram language model on the corpus:
-    returns (word, logp) for the ``vocab_cap`` most frequent lowercase
-    words (ties by word), plus the shared OOV log-probability under the
-    ``__oov__`` sentinel. logp = log10((c + 1) / (N + V + 1)) where N =
-    total in-vocab token count and V = vocab size; OOV mass = 1/(N+V+1).
+    returns (w, logp, is_oov) for the ``vocab_cap`` most frequent
+    lowercase words (ties by word) plus ONE ``is_oov=true`` row
+    (w NULL) carrying the shared out-of-vocabulary log-probability —
+    a typed flag, not a magic word, so a literal corpus token like
+    '__oov__' can never collide with the sentinel. logp =
+    log10((c + 1) / (N + V + 1)) with N = total in-vocab token count
+    and V = vocab size; OOV mass = 1/(N+V+1).
 
     Scale: one explode → one count shuffle → top-V cut. The resulting
     model is tiny (V rows) and broadcasts into the scorer.
@@ -269,10 +272,12 @@ def train_unigram_lm(
     n, v = agg["n"] or 0, agg["v"] or 0
     denom = float(n + v + 1)
     model = top.select(
-        "w", F.log10((F.col("c") + 1) / F.lit(denom)).alias("logp"))
+        "w", F.log10((F.col("c") + 1) / F.lit(denom)).alias("logp"),
+        F.lit(False).alias("is_oov"))
     oov = top.sparkSession.createDataFrame(
-        [("__oov__",)], "w string").select(
-        "w", F.log10(F.lit(1.0) / F.lit(denom)).alias("logp"))
+        [(None,)], "w string").select(
+        "w", F.log10(F.lit(1.0) / F.lit(denom)).alias("logp"),
+        F.lit(True).alias("is_oov"))
     return model.unionByName(oov)
 
 
@@ -285,23 +290,38 @@ def lm_quality_score(
     idea with the simplest possible model). Output: (id, n_tokens,
     avg_logp).
 
+    Every input doc gets a row: NULL/empty/whitespace-only text scores
+    (n_tokens 0, avg_logp NULL) instead of silently vanishing — a
+    downstream quality filter must SEE the degenerate docs to decide.
+
     Scale: explode → broadcast join against the tiny model → one
     per-doc aggregate. The corpus shuffles once, on the doc id.
     """
-    oov = F.broadcast(lm.filter(F.col("w") == "__oov__")
-                      .select(F.col("logp").alias("oov_logp")))
+    oov_row = lm.filter(F.col("is_oov")).first()
+    if oov_row is None:
+        raise ValueError(
+            "model has no is_oov row — build it with train_unigram_lm "
+            "(a model without OOV mass cannot score unseen words)")
+    vocab = lm.filter(~F.col("is_oov")).select("w", "logp")
     words = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        F.explode(F.split(F.lower(F.trim(F.coalesce(
+            F.col(text_col), F.lit("")))), r"\s+"))
         .alias("w")).filter(F.col("w") != "")
     scored = (
-        words.join(F.broadcast(lm.filter(F.col("w") != "__oov__")), "w", "left")
-        .crossJoin(oov)
-        .select("id", F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"))
+        words.join(F.broadcast(vocab), "w", "left")
+        .select("id", F.coalesce(F.col("logp"),
+                                 F.lit(oov_row["logp"])).alias("lp"))
     )
-    return scored.groupBy("id").agg(
+    per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logp"),
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_logp",
     )
 
 
@@ -313,7 +333,9 @@ def unigram_lm_sql(table: str, id_col: str, text_col: str,
     return f"""
 WITH words AS (
   SELECT {id_col} AS id, lower(w) AS w
-  FROM {table}, UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS t(w)
+  FROM {table},
+       UNNEST(regexp_split_to_array(trim(lower(COALESCE({text_col}, ''))),
+                                    '\\s+')) AS t(w)
   WHERE w <> ''
 ), counts AS (
   SELECT w, COUNT(*) AS c FROM words GROUP BY w
@@ -323,11 +345,15 @@ WITH words AS (
   SELECT CAST(SUM(c) + COUNT(*) + 1 AS DOUBLE) AS denom FROM top
 ), model AS (
   SELECT w, log10((c + 1) / (SELECT denom FROM consts)) AS logp FROM top
+), scored AS (
+  SELECT words.id, COUNT(*) AS n_tokens,
+         ROUND(AVG(COALESCE(model.logp,
+                            log10(1.0 / (SELECT denom FROM consts)))) + 1e-9,
+               6) AS avg_logp
+  FROM words LEFT JOIN model ON words.w = model.w
+  GROUP BY words.id
 )
-SELECT words.id, COUNT(*) AS n_tokens,
-       ROUND(AVG(COALESCE(model.logp,
-                          log10(1.0 / (SELECT denom FROM consts)))) + 1e-9,
-             6) AS avg_logp
-FROM words LEFT JOIN model ON words.w = model.w
-GROUP BY words.id
+SELECT d.id, COALESCE(scored.n_tokens, 0) AS n_tokens, scored.avg_logp
+FROM (SELECT DISTINCT {id_col} AS id FROM {table}) d
+LEFT JOIN scored ON d.id = scored.id
 """

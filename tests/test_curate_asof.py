@@ -279,6 +279,7 @@ def test_remove_boilerplate_lines_matches_sql_oracle(spark):
             for i in range(5)]
     rows.append((10, footer))                   # all-boilerplate doc
     rows.append((11, "standalone content only"))
+    rows.append((12, None))                     # NULL text — kept
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
            for r in C.remove_boilerplate_lines(
@@ -286,6 +287,7 @@ def test_remove_boilerplate_lines_matches_sql_oracle(spark):
     assert got[0] == ("unique line 0 alpha\n\nline 0 beta", 4, 1)
     assert got[10] == ("", 1, 1)                # preserved, emptied
     assert got[11] == ("standalone content only", 1, 0)
+    assert got[12] == ("", 1, 0)                # NULL text never dropped
     con = duckdb.connect()
     con.register("docs_tbl", df.toPandas())
     want = con.execute(C.remove_boilerplate_sql(

@@ -422,3 +422,26 @@ def test_unigram_lm_score_matches_sql_oracle(spark, docs, duck):
         "doc_id long, text string")
     g = T.lm_quality_score(gib, lm, "doc_id", "text").first()["avg_logp"]
     assert g < min(s for _, _, s in want)
+
+
+def test_unigram_lm_edge_cases(spark, docs):
+    """Hardening: a literal '__oov__' corpus token is an ordinary word
+    (the OOV sentinel is a typed flag, not a magic string); NULL and
+    whitespace-only docs keep a row (n_tokens 0, score NULL); a model
+    lacking its OOV row is rejected loudly."""
+    from andl_spark.pipeline import text as T
+
+    tricky = spark.createDataFrame(
+        [(1, "the __oov__ token appears here literally"),
+         (2, None), (3, "   ")],
+        "doc_id long, text string")
+    lm = T.train_unigram_lm(tricky, "text", vocab_cap=100)
+    assert lm.filter(F.col("w") == "__oov__").count() == 1  # ordinary word
+    assert lm.filter(F.col("is_oov")).count() == 1
+    got = {r["id"]: (r["n_tokens"], r["avg_logp"])
+           for r in T.lm_quality_score(tricky, lm, "doc_id", "text").collect()}
+    assert got[1][0] == 6                       # not doubled by collision
+    assert got[2] == (0, None) and got[3] == (0, None)
+    with pytest.raises(ValueError, match="is_oov"):
+        T.lm_quality_score(tricky, lm.filter(~F.col("is_oov")),
+                           "doc_id", "text")
