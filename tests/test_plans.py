@@ -172,3 +172,31 @@ def test_merged_query_plan_shapes(spark):
     assert "Expand" in pplan  # ROLLUP grains, map-side
     assert "BroadcastNestedLoopJoin" in pplan or "BroadcastExchange" in pplan
     X.assert_no_python_row_udf(prof)
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """The round-3 late additions keep their declared 100 TB shapes:
+    the LM scorer's vocab join is a broadcast (the model is V rows),
+    boilerplate removal never degenerates to a nested-loop/cartesian
+    join, and clustering label propagation joins hash-partitioned —
+    no crossJoin anywhere."""
+    from andl_spark.pipeline import curate as C
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.pipeline import text as T
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    lm = T.train_unigram_lm(docs, "text", vocab_cap=1000)
+    plan = X.formatted_plan(T.lm_quality_score(docs, lm, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    X.assert_no_python_row_udf(T.lm_quality_score(docs, lm, "doc_id", "text"))
+
+    clean = C.remove_boilerplate_lines(docs, "doc_id", "text", eager=False)
+    cplan = X.formatted_plan(clean)
+    assert "CartesianProduct" not in cplan and "NestedLoop" not in cplan
+    assert "LeftAnti" in cplan
+    X.assert_no_python_row_udf(clean)
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kplan = X.formatted_plan(D.dup_clusters(pairs, max_iter=5))
+    assert "CartesianProduct" not in kplan and "NestedLoop" not in kplan
