@@ -1,0 +1,111 @@
+"""End-to-end training-corpus curation recipe: the §2.8 operators
+composed the way a data team would run them, raw documents in,
+training-ready packed sequences out.
+
+    raw documents
+      → boilerplate line removal      (curate.remove_boilerplate_lines)
+      → PII scrub                     (curate.pii_scrub)
+      → language / quality / LM gates (text.lang_id, quality_score,
+                                       lm_quality_score)
+      → exact + near dedup            (dedup.exact_dedup,
+                                       minhash pairs → dup_clusters →
+                                       keep_canonical)
+      → benchmark decontamination     (curate.decontaminate)
+      → token-budget mixture          (split.sample_by_budget)
+      → packed training sequences     (pack.chunk_sequences)
+
+Every stage is a DataFrame→DataFrame operator with its own oracle and
+plan tests; this module only sequences them (and is itself tested
+end-to-end in tests/test_recipe.py). Stage order matters: boilerplate
+and PII rewrite text, so hashing/dedup run AFTER them; the LM trains
+on the already-cleaned text so boilerplate doesn't dominate the
+vocabulary; decontamination runs after dedup (fewer docs to shingle);
+packing runs last on the surviving mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import curate, dedup, pack, split, text
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_pred,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lm_floor: float = -3.6,
+    seq_block: int = 512,
+    epoch: int = 0,
+) -> DataFrame:
+    """Run the full curation pipeline; returns one row per surviving
+    document with its packed-sequence placement:
+
+    (doc_id, source, clean_text, toks, start_tok, first_block,
+     last_block, n_blocks)
+
+    ``eval_pred`` marks held-out/benchmark docs (they are used for
+    decontamination and EXCLUDED from the output); ``budgets`` is the
+    per-source token budget for the mixture; ``lm_floor`` drops docs
+    whose average unigram log-probability falls below it (gibberish).
+    """
+    # 1. structural cleaning — line boilerplate, then PII tags
+    cleaned = curate.remove_boilerplate_lines(
+        docs, id_col, text_col, eager=False)
+    base = (
+        docs.select(id_col, source_col,
+                    F.col(text_col).alias("__orig"),
+                    eval_pred.alias("__is_eval"))
+        .join(cleaned.withColumnRenamed("id", id_col), id_col)
+    )
+    scrubbed = curate.pii_scrub(
+        base.select(id_col, source_col, "__is_eval",
+                    F.col("clean_text").alias(text_col)),
+        id_col, text_col,
+    ).select(F.col("id").alias(id_col),
+             F.col("scrubbed").alias(text_col))
+    base = base.select(id_col, source_col, "__is_eval").join(
+        scrubbed, id_col)
+
+    # 2. quality gates — heuristic + corpus-trained LM
+    train_side = base.filter(~F.col("__is_eval"))
+    lm = text.train_unigram_lm(train_side, text_col)
+    scores = text.lm_quality_score(base, lm, id_col, text_col)
+    gated = (
+        base.join(scores.withColumnRenamed("id", id_col), id_col)
+        .filter((F.col("n_tokens") > 0)
+                & (F.col("avg_logp") >= F.lit(lm_floor)))
+        .drop("n_tokens", "avg_logp")
+    )
+
+    # 3. dedup — exact fingerprints, then near-dup clusters
+    exact = dedup.exact_dedup(gated, id_col, text_col)
+    uniq = gated.join(
+        exact.filter(~F.col("is_dup")).select(id_col),
+        id_col, "left_semi")
+    pairs = dedup.minhash_lsh_dedup(uniq, id_col, text_col, threshold=0.7)
+    canonical = dedup.keep_canonical(uniq, pairs, id_col)
+
+    # 4. decontamination — drop train docs sharing shingles with eval
+    leaks = curate.decontaminate(
+        canonical, id_col, text_col, F.col("__is_eval"), n=8, eager=False)
+    clean_train = (
+        canonical.filter(~F.col("__is_eval"))
+        .join(leaks.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    )
+
+    # 5. mixture + packing
+    sized = clean_train.withColumn(
+        "toks", text.token_count(text_col).cast("long"))
+    mixed = split.sample_by_budget(
+        sized, id_col, "toks", source_col, budgets, epoch=epoch)
+    placed = pack.chunk_sequences(mixed, id_col, "toks", seq_block)
+    return (
+        mixed.select(id_col, source_col,
+                     F.col(text_col).alias("clean_text"))
+        .join(placed, id_col)
+    )

@@ -1,0 +1,38 @@
+"""End-to-end curation recipe (pipeline/recipe.py): raw documents in,
+packed training sequences out, with every stage's guarantee visible in
+the result."""
+
+from pyspark.sql import functions as F
+
+from andl_spark.pipeline.recipe import curate_corpus
+from andl_spark.session import load_tables
+from conftest import SF_SMOKE
+
+
+def test_curate_corpus_end_to_end(spark):
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    budgets = {f"src{i}": 4_000 for i in range(20)}
+    out = curate_corpus(
+        docs, eval_pred=F.col("source") == "src0", budgets=budgets,
+        lm_floor=-6.0, seq_block=256,
+    ).cache()
+    rows = out.collect()
+    assert rows, "pipeline must keep a non-trivial corpus"
+    # eval docs never reach the training output
+    assert all(r["source"] != "src0" for r in rows)
+    # packed stream is gapless in id order
+    ordered = sorted(rows, key=lambda r: r["doc_id"])
+    pos = 0
+    for r in ordered:
+        assert r["start_tok"] == pos
+        pos += r["toks"]
+    # mixture budgets are hard caps per source
+    used = {r["source"]: r["t"] for r in out.groupBy("source")
+            .agg(F.sum("toks").alias("t")).collect()}
+    assert all(t <= 4_000 for t in used.values())
+    # no doc survives twice (dedup + exactly-once packing)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # PII never reaches the packed corpus
+    assert out.filter(F.col("clean_text").rlike(
+        r"[\w.+-]+@[\w-]+\.[A-Za-z]{2,}")).count() == 0
+    out.unpersist()
