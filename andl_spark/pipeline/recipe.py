@@ -71,18 +71,22 @@ def curate_corpus(
     base = base.select(id_col, source_col, "__is_eval").join(
         scrubbed, id_col)
 
-    # 2. quality gates — heuristic + corpus-trained LM
+    # 2. quality gates — heuristic + corpus-trained LM. Gates and
+    # dedup apply to the TRAIN side only: an eval doc must keep its
+    # shingles all the way to decontamination no matter how it scores
+    # (dropping it early would leak its contaminated twins through).
+    evals = base.filter(F.col("__is_eval"))
     train_side = base.filter(~F.col("__is_eval"))
     lm = text.train_unigram_lm(train_side, text_col)
-    scores = text.lm_quality_score(base, lm, id_col, text_col)
+    scores = text.lm_quality_score(train_side, lm, id_col, text_col)
     gated = (
-        base.join(scores.withColumnRenamed("id", id_col), id_col)
+        train_side.join(scores.withColumnRenamed("id", id_col), id_col)
         .filter((F.col("n_tokens") > 0)
                 & (F.col("avg_logp") >= F.lit(lm_floor)))
         .drop("n_tokens", "avg_logp")
     )
 
-    # 3. dedup — exact fingerprints, then near-dup clusters
+    # 3. dedup (train side) — exact fingerprints, then near-dup clusters
     exact = dedup.exact_dedup(gated, id_col, text_col)
     uniq = gated.join(
         exact.filter(~F.col("is_dup")).select(id_col),
@@ -91,12 +95,11 @@ def curate_corpus(
     canonical = dedup.keep_canonical(uniq, pairs, id_col)
 
     # 4. decontamination — drop train docs sharing shingles with eval
+    combined = canonical.unionByName(evals)
     leaks = curate.decontaminate(
-        canonical, id_col, text_col, F.col("__is_eval"), n=8, eager=False)
-    clean_train = (
-        canonical.filter(~F.col("__is_eval"))
-        .join(leaks.select(F.col("id").alias(id_col)), id_col, "left_anti")
-    )
+        combined, id_col, text_col, F.col("__is_eval"), n=8, eager=False)
+    clean_train = canonical.join(
+        leaks.select(F.col("id").alias(id_col)), id_col, "left_anti")
 
     # 5. mixture + packing
     sized = clean_train.withColumn(

@@ -36,3 +36,24 @@ def test_curate_corpus_end_to_end(spark):
     assert out.filter(F.col("clean_text").rlike(
         r"[\w.+-]+@[\w-]+\.[A-Za-z]{2,}")).count() == 0
     out.unpersist()
+
+
+def test_eval_docs_bypass_gates_for_decontamination(spark):
+    """An eval doc that would FAIL the quality gates still
+    decontaminates its training twins — gates and dedup apply to the
+    train side only, so eval shingles always reach the decontamination
+    join."""
+    gib = "qzxv wkjq zzyxw qqqvz xkcd9 jwqp elbow under nine zz yy xx"
+    rows = [
+        (1, gib, "eval_set"),                    # gibberish eval doc
+        (2, gib, "web"),                         # contaminated train twin
+        (3, "perfectly normal training text about suppliers and parts "
+            "with enough words to pass every single quality gate", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs, eval_pred=F.col("source") == "eval_set",
+        budgets={"web": 10_000}, lm_floor=-99.0, seq_block=64)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 2 not in kept   # the leak is gone
+    assert 3 in kept       # clean training doc survives
