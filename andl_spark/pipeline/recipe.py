@@ -10,7 +10,8 @@ training-ready packed sequences out.
       → exact + near dedup            (dedup.exact_dedup,
                                        minhash pairs → dup_clusters →
                                        keep_canonical)
-      → benchmark decontamination     (curate.decontaminate)
+      → benchmark decontamination     (exact fingerprint antijoin +
+                                       curate.decontaminate shingles)
       → token-budget mixture          (split.sample_by_budget)
       → packed training sequences     (pack.chunk_sequences)
 
@@ -41,39 +42,55 @@ def curate_corpus(
     lm_floor: float = -3.6,
     seq_block: int = 512,
     epoch: int = 0,
+    decontaminate_n: int = 8,
+    eager: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one row per surviving
     document with its packed-sequence placement:
 
     (doc_id, source, clean_text, toks, start_tok, first_block,
-     last_block, n_blocks)
+     last_block, n_blocks, block_off)
 
     ``eval_pred`` marks held-out/benchmark docs (they are used for
-    decontamination and EXCLUDED from the output); ``budgets`` is the
-    per-source token budget for the mixture; ``lm_floor`` drops docs
-    whose average unigram log-probability falls below it (gibberish).
+    decontamination and EXCLUDED from the output; a NULL predicate
+    value counts as false — the doc stays on the train side rather
+    than silently vanishing); ``budgets`` is the per-source token
+    budget for the mixture; ``lm_floor`` drops docs whose average
+    unigram log-probability falls below it (gibberish);
+    ``decontaminate_n`` is the shingle width for the fuzzy
+    decontamination pass — VERBATIM eval copies of ANY length are
+    additionally caught by an exact-fingerprint antijoin, so a
+    benchmark of 7-word questions still decontaminates its copies.
+
+    ``eager`` (the decontaminate pattern) persists the two
+    multi-consumer intermediates (the cleaned base, the sampled
+    mixture) and materializes the result before unpersisting — without
+    it the uncached clean→scrub→gate chain re-executes for every
+    internal action (LM training, minhash counts, packing quantiles).
+    Pass ``eager=False`` at true corpus scale and write the
+    (single-consumer) result straight to a sink.
     """
     # 1. structural cleaning — line boilerplate, then PII tags
     cleaned = curate.remove_boilerplate_lines(
         docs, id_col, text_col, eager=False)
-    base = (
-        docs.select(id_col, source_col,
-                    F.col(text_col).alias("__orig"),
-                    eval_pred.alias("__is_eval"))
-        .join(cleaned.withColumnRenamed("id", id_col), id_col)
-    )
+    tagged = docs.select(
+        id_col, source_col,
+        F.coalesce(eval_pred.cast("boolean"), F.lit(False))
+        .alias("__is_eval"),
+    ).join(cleaned.select(F.col("id").alias(id_col), "clean_text"), id_col)
     scrubbed = curate.pii_scrub(
-        base.select(id_col, source_col, "__is_eval",
-                    F.col("clean_text").alias(text_col)),
+        tagged.select(id_col, F.col("clean_text").alias(text_col)),
         id_col, text_col,
     ).select(F.col("id").alias(id_col),
              F.col("scrubbed").alias(text_col))
-    base = base.select(id_col, source_col, "__is_eval").join(
+    base = tagged.select(id_col, source_col, "__is_eval").join(
         scrubbed, id_col)
+    if eager:
+        base = base.persist()
 
     # 2. quality gates — heuristic + corpus-trained LM. Gates and
     # dedup apply to the TRAIN side only: an eval doc must keep its
-    # shingles all the way to decontamination no matter how it scores
+    # text all the way to decontamination no matter how it scores
     # (dropping it early would leak its contaminated twins through).
     evals = base.filter(F.col("__is_eval"))
     train_side = base.filter(~F.col("__is_eval"))
@@ -94,10 +111,19 @@ def curate_corpus(
     pairs = dedup.minhash_lsh_dedup(uniq, id_col, text_col, threshold=0.7)
     canonical = dedup.keep_canonical(uniq, pairs, id_col)
 
-    # 4. decontamination — drop train docs sharing shingles with eval
+    # 4. decontamination — exact first (verbatim copies of any length,
+    # incl. eval docs too short to shingle), then fuzzy n-gram overlap
+    fp = text.fingerprint(F.col(text_col))
+    eval_fps = evals.select(fp.alias("__fp")).distinct()
+    canonical = (
+        canonical.withColumn("__fp", fp)
+        .join(eval_fps, "__fp", "left_anti")
+        .drop("__fp")
+    )
     combined = canonical.unionByName(evals)
     leaks = curate.decontaminate(
-        combined, id_col, text_col, F.col("__is_eval"), n=8, eager=False)
+        combined, id_col, text_col, F.col("__is_eval"),
+        n=decontaminate_n, eager=False)
     clean_train = canonical.join(
         leaks.select(F.col("id").alias(id_col)), id_col, "left_anti")
 
@@ -106,9 +132,16 @@ def curate_corpus(
         "toks", text.token_count(text_col).cast("long"))
     mixed = split.sample_by_budget(
         sized, id_col, "toks", source_col, budgets, epoch=epoch)
+    if eager:
+        mixed = mixed.persist()
     placed = pack.chunk_sequences(mixed, id_col, "toks", seq_block)
-    return (
+    out = (
         mixed.select(id_col, source_col,
                      F.col(text_col).alias("clean_text"))
         .join(placed, id_col)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        mixed.unpersist()
+        base.unpersist()
+    return out

@@ -57,3 +57,33 @@ def test_eval_docs_bypass_gates_for_decontamination(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert 2 not in kept   # the leak is gone
     assert 3 in kept       # clean training doc survives
+
+
+def test_short_eval_copy_decontaminated_exactly(spark):
+    """An eval doc too short to shingle (7 words < n=8) still removes
+    its VERBATIM training copy via the exact-fingerprint antijoin; a
+    NULL eval predicate counts as train-side, not silently dropped."""
+    q = "what is the capital of france paris"
+    rows = [
+        (1, q, "eval_set"),
+        (2, q, "web"),                 # verbatim copy, too short to shingle
+        (3, "perfectly normal training text about suppliers and parts "
+            "with enough words to pass every single quality gate", "web"),
+        (4, "another normal training document with plenty of everyday "
+            "words to stay above any floor", None),   # NULL source
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs, eval_pred=F.col("source") == "eval_set",
+        budgets={"web": 10_000}, lm_floor=-99.0, seq_block=64)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 2 not in kept   # exact copy gone despite being unshingleable
+    assert 3 in kept
+    # doc 4 (NULL predicate → train side) survives gates/dedup; it has
+    # no budget entry for source NULL so the mixture drops it — but it
+    # must reach that stage, which the budget-keyed variant shows:
+    out2 = curate_corpus(
+        docs.withColumn("source", F.coalesce("source", F.lit("web"))),
+        eval_pred=F.col("source") == "eval_set",
+        budgets={"web": 10_000}, lm_floor=-99.0, seq_block=64)
+    assert 4 in {r["doc_id"] for r in out2.collect()}
