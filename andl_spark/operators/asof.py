@@ -168,9 +168,17 @@ def asof_join(
         gap = F.col(ts) - F.col("__asof_row.__ts")
         if "timestamp" in dict(union.dtypes)[ts]:
             gap = F.col(ts).cast("double") - F.col("__asof_row.__ts").cast("double")
+        # A matched state row whose ts is NULL has unknown age: it must
+        # not survive a staleness bound (gap is NULL, so `gap > tol`
+        # alone would keep it). Only rows with a match are nulled —
+        # the no-match case stays NULL either way.
         out = out.withColumn(
             "__asof_row",
-            F.when(gap > F.lit(tolerance), F.lit(None)).otherwise(F.col("__asof_row")),
+            F.when(
+                F.col("__asof_row").isNotNull()
+                & (gap.isNull() | (gap > F.lit(tolerance))),
+                F.lit(None),
+            ).otherwise(F.col("__asof_row")),
         )
     return out.select(
         *probe_cols,

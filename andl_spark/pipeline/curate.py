@@ -49,6 +49,11 @@ def decontaminate(
     the result checkpoint (plan inspection / composition into a larger
     cached pipeline).
     """
+    # NULL eval_pred means "not eval" — without the coalesce a NULL
+    # verdict would drop the doc from BOTH sides (train and eval filters
+    # both reject NULL), silently excluding it from leak detection.
+    # This matches recipe.curate_corpus, which already coalesces.
+    eval_pred = F.coalesce(eval_pred.cast("boolean"), F.lit(False))
     # Materialize the COMPACT (id, is_eval, shingle-array) table ONCE:
     # the train side, the eval side, and (with the cap) the frequency
     # aggregation are three DAG branches that would otherwise each

@@ -81,13 +81,29 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, cand_id, cosine, rank), rank 1..k, ties broken
     by cand_id for determinism. Queries are broadcast — the corpus scan
     is a single pass, no shuffle until the per-query top-k window on
-    the (tiny) scored candidate set."""
+    the (tiny) scored candidate set.
+
+    This is the EXACT correctness baseline: its cost is
+    |queries| x |corpus| dots. The broadcast side must stay small —
+    a corpus-sized query set would OOM the executors long before the
+    cross-product finished, so query sets above ``max_queries`` raise
+    instead (use ``topk_lsh`` / ``topk_ivf`` for bulk k-NN; raise the
+    cap explicitly if you truly want a bigger exact run)."""
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"topk_bruteforce: query set exceeds max_queries={max_queries} "
+            "(exact brute force broadcasts the queries and scores "
+            "|queries| x |corpus| pairs). Use topk_lsh/topk_ivf for bulk "
+            "k-NN, or pass a larger max_queries deliberately."
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
@@ -314,6 +330,7 @@ def seed_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
+    version: object = None,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: the ``nlist`` vectors with the
     smallest ids, in id order (list_id 0..nlist-1). A random-sample
@@ -325,9 +342,14 @@ def seed_centroids(
     alternative when oracle parity isn't needed.
 
     Cached per (semantic key) — at scale this is a catalog artifact
-    trained once per corpus version, not a per-query job."""
+    trained once per corpus version, not a per-query job. When the
+    corpus lives in a versioned catalog, pass its version as
+    ``version``: the cache then keys on data identity, not plan shape,
+    and an in-place rewrite that keeps the same path/plan still evicts
+    correctly (the semanticHash-only key cannot see such rewrites —
+    see the _CENTROID_CACHE note)."""
     key = ("seed", corpus.sparkSession.sparkContext.applicationId,
-           id_col, vec_col, nlist, corpus.semanticHash())
+           id_col, vec_col, nlist, corpus.semanticHash(), version)
     if key not in _CENTROID_CACHE:
         while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:  # bounded FIFO
             _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))

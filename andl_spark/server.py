@@ -135,6 +135,24 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet test output
         pass
 
+    def _host_ok(self) -> bool:
+        """DNS-rebinding / CSRF guard: a browser-driven request against
+        127.0.0.1 carries the attacker's hostname in Host; only the
+        bound address (with or without the port) may execute anything.
+        Direct socket clients (tests, curl) send the right Host for
+        free because they dial the bound address."""
+        host = (self.headers.get("Host") or "").strip()
+        return host.rsplit(":", 1)[0] in self.server.allowed_hosts  # type: ignore[attr-defined]
+
+    def parse_request(self):
+        # one choke point covering every verb, before any routing
+        ok = super().parse_request()
+        if ok and not self._host_ok():
+            self._send(403, {"error": "forbidden Host header"})
+            self.close_connection = True
+            return False
+        return ok
+
     def _send(self, code: int, obj) -> None:
         # interpreter values (Decimal line numbers, timestamps) must
         # never turn a valid result into a 400; str() is the last resort
@@ -215,15 +233,30 @@ class _Handler(BaseHTTPRequestHandler):
                         lang = _Lang(sess.spark)
                         self.server.lang_session = lang  # type: ignore[attr-defined]
                     shown, failed = len(lang.output), len(lang.failures)
-                    lang.run(body["src"])
-                    payload = {
-                        "output": lang.output[shown:],
-                        # THIS request's failures, not session-lifetime ones
-                        "failures": lang.failures[failed:],
-                    }
+                    # capture the output/failure DELTAS even when the
+                    # script dies mid-run: lines displayed before the
+                    # error belong to THIS request's response, and the
+                    # next request's len() snapshot would skip past
+                    # them otherwise.
+                    try:
+                        lang.run(body["src"])
+                    except Exception as e:  # noqa: BLE001
+                        payload = {
+                            "error": str(e),
+                            "output": lang.output[shown:],
+                            "failures": lang.failures[failed:],
+                        }
+                        code = 400
+                    else:
+                        payload = {
+                            "output": lang.output[shown:],
+                            # THIS request's failures, not session-lifetime
+                            "failures": lang.failures[failed:],
+                        }
+                        code = 200
                 # socket write happens OUTSIDE the lock: a slow-reading
                 # client must not stall every other stateful request
-                return self._send(200, payload)
+                return self._send(code, payload)
             if parts[:2] == ["api", "call"] and len(parts) == 3:
                 args = (body or {}).get("args", [])
                 rel = sess.call(parts[2], *args)
@@ -301,6 +334,13 @@ class AndlRestServer:
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
         self._http = ThreadingHTTPServer((host, port), _Handler)
         self._http.andl_session = session  # type: ignore[attr-defined]
+        # Host values that may execute requests (DNS-rebinding guard):
+        # the bound address, plus localhost spellings when bound to a
+        # loopback address — port is stripped before comparison.
+        allowed = {host}
+        if host in ("127.0.0.1", "::1", "localhost", "0.0.0.0"):
+            allowed |= {"127.0.0.1", "::1", "localhost"}
+        self._http.allowed_hosts = allowed  # type: ignore[attr-defined]
         # serializes stateful surfaces across handler threads: the
         # shared language session and relvar read-modify-write updates
         self._http.andl_lock = threading.RLock()  # type: ignore[attr-defined]

@@ -1,21 +1,34 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Default (driver) mode prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
+
+Modes:
+  python bench.py              one timed pass per query (driver contract)
+  python bench.py --warm       per-query warm-up + 3 timed runs, report
+                               the MEDIAN (the truthful plan comparison:
+                               BASELINE.md documents ±40% single-shot
+                               noise on this container); adds
+                               "mode": "warm" and per-query "runs"
+  python bench.py --compare [BENCH_rN.json]
+                               no Spark: read a bench result (default =
+                               highest-numbered BENCH_r*.json), apply
+                               BASELINE.md's r1→r3 name mapping, print
+                               the per-query ratio table and the 2×-gate
+                               verdict mechanically
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from andl_spark.session import get_spark  # noqa: E402
-from andl_spark import workload  # noqa: E402
 
 # r3 renames vs the r1/r2 bench history (BASELINE.md maps them):
 #   q_join_natural retired (its join shape is inside q3);
@@ -45,23 +58,73 @@ HEADLINE = [
     "q_decontaminate",
     "q_pii_scrub",
 ]
-# pipeline + events headliners (self-registered in workload).
-# Excluded from timing: q_recall_gauges (a correctness gauge that
-# re-runs the exact baselines on purpose) and the md5 ORACLE-PARITY
-# twins q_dedup_minhash/q_dedup_simhash — the production xxhash64
-# paths are timed instead via workload.BENCH_EXTRA
-# (q_dedup_*_prod; r1's numbers were the fast-hash implementation,
-# so BASELINE.md maps r1 q_dedup_minhash -> q_dedup_minhash_prod).
-_EXCLUDE = {"q_dedup_minhash", "q_dedup_simhash"}
-HEADLINE += [
-    name for name in workload.QUERIES
-    if name.startswith(("q_dedup", "q_ann", "q_lang", "q_token", "q_ngram", "q_events"))
-    and name not in _EXCLUDE
-]
-HEADLINE += list(workload.BENCH_EXTRA)
+
+# ---------------------------------------------------------------------
+# BASELINE.md "Reference times (round 1)" as data: current suite name →
+# r1 anchor seconds (merged anchors summed per the mapping table there).
+# Queries in ANCHORLESS are timed but excluded from the mapped-total
+# ratio (new operators with no r1 measurement).
+# ---------------------------------------------------------------------
+R1_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 1.442,
+    "q3_shipping_priority": 2.445,
+    "q5_local_supplier": 1.647,
+    "q10_returned_items": 1.011,
+    "q14_promo_revenue": 0.498,
+    "q18_large_orders": 0.953,
+    "q_text_quality": 0.625,        # r1 q_repetition_filter
+    "q_top_ngrams": 2.057,
+    "q_agg_fold": 0.321,
+    "q_topk_orders": 0.702,         # r1 q_window_grouped (same plan)
+    "q_window_running": 0.295,
+    "q_rdivide": 0.977,
+    "q_image_agg": 0.352,
+    "q_while_closure": 4.921,
+    "q_nest_unnest": 0.873,
+    "q_clean_corpus": 1.019,
+    "q_train_split": 0.390,
+    "q_corpus_profile": 0.666,      # r1 q_corpus_stats + q_source_mixture
+    "q_dedup_exact": 0.190,
+    "q_token_count": 0.145,
+    "q_lang_id": 0.258,
+    "q_ngram_jaccard": 2.493,
+    "q_ann_bruteforce": 1.424,
+    "q_dedup_minhash_prod": 4.052,  # r1 q_dedup_minhash (fast-hash impl)
+    "q_dedup_simhash_prod": 1.922,  # r1 q_dedup_simhash (lossy 4-chunk cfg)
+    "q_ann_ivf": 5.597,
+    "q_ann_lsh": 2.041,
+    "q_events_window": 1.023,       # r1 q_events_window + q_events_sliding
+    "q_events_session": 0.821,
+}
+ANCHORLESS = {"q_asof_join", "q_decontaminate", "q_pii_scrub"}
+GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of r1
 
 
-def main() -> None:
+def _headline():
+    from andl_spark import workload
+
+    # pipeline + events headliners (self-registered in workload).
+    # Excluded from timing: q_recall_gauges (a correctness gauge that
+    # re-runs the exact baselines on purpose) and the md5 ORACLE-PARITY
+    # twins q_dedup_minhash/q_dedup_simhash — the production xxhash64
+    # paths are timed instead via workload.BENCH_EXTRA
+    # (q_dedup_*_prod; r1's numbers were the fast-hash implementation,
+    # so BASELINE.md maps r1 q_dedup_minhash -> q_dedup_minhash_prod).
+    exclude = {"q_dedup_minhash", "q_dedup_simhash"}
+    names = list(HEADLINE)
+    names += [
+        name for name in workload.QUERIES
+        if name.startswith(("q_dedup", "q_ann", "q_lang", "q_token", "q_ngram", "q_events"))
+        and name not in exclude
+    ]
+    names += list(workload.BENCH_EXTRA)
+    return names
+
+
+def run_bench(warm: bool = False) -> dict:
+    from andl_spark.session import get_spark
+    from andl_spark import workload
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("andl_spark-bench")
@@ -71,23 +134,113 @@ def main() -> None:
     workload.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    runs: dict[str, list[float]] = {}
+    for name in _headline():
         fn = workload.QUERIES.get(name) or workload.BENCH_EXTRA.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # forces full execution; results stay distributed
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        n_runs = 4 if warm else 1  # warm: first run is the warm-up
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # forces full execution; results stay distributed
+            samples.append(round(time.perf_counter() - t0, 3))
+        timed = samples[1:] if warm else samples
+        times[name] = round(statistics.median(timed), 3)
+        if warm:
+            runs[name] = samples
+        print(f"# {name}: {times[name]}s ({n} rows)"
+              + (f" runs={samples}" if warm else ""), file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline query wall-clock at sf",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if warm:
+        out["mode"] = "warm"
+        out["runs"] = runs
+    return out
+
+
+# ---------------------------------------------------------------------
+# --compare: the mechanical baseline gate (VERDICT r3 item 8)
+# ---------------------------------------------------------------------
+def load_bench(path: str | None) -> dict:
+    """Read a bench result; accepts both bench.py's one-line JSON and
+    the driver's BENCH_rN.json wrapper ({"parsed": {...}})."""
+    if path is None:
+        cands = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if not cands:
+            raise SystemExit("--compare: no BENCH_r*.json found")
+        path = cands[-1]
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit(f"--compare: {path} has no 'queries' section")
+    doc["_path"] = path
+    return doc
+
+
+def compare(doc: dict) -> dict:
+    """Per-query ratios vs the r1 anchors + the 2× gate verdict."""
+    qs: dict[str, float] = doc["queries"]
+    rows = []
+    mapped_now = mapped_r1 = 0.0
+    for name, sec in qs.items():
+        anchor = R1_ANCHOR.get(name)
+        if anchor is None:
+            rows.append((name, sec, None, None,
+                         "new" if name in ANCHORLESS else "unmapped"))
+            continue
+        mapped_now += sec
+        mapped_r1 += anchor
+        rows.append((name, sec, anchor, round(sec / anchor, 2), ""))
+    ratio = round(mapped_now / mapped_r1, 3) if mapped_r1 else None
+    return {
+        "bench": doc.get("_path"),
+        "sf": doc.get("sf"),
+        "rows": rows,
+        "mapped_total": round(mapped_now, 3),
+        "mapped_r1_total": round(mapped_r1, 3),
+        "ratio": ratio,
+        "gate": GATE,
+        "gate_pass": ratio is not None and ratio <= GATE,
+        "unanchored_total": round(
+            sum(s for n, s in qs.items() if n not in R1_ANCHOR), 3),
+    }
+
+
+def print_compare(res: dict) -> None:
+    print(f"baseline gate — {res['bench']} (sf={res['sf']}) vs r1 anchors")
+    print(f"{'query':<24}{'now':>8}{'r1':>8}{'ratio':>7}  note")
+    for name, sec, anchor, ratio, note in sorted(
+            res["rows"], key=lambda r: -(r[3] or 0)):
+        a = f"{anchor:.3f}" if anchor is not None else "—"
+        r = f"{ratio:.2f}" if ratio is not None else "—"
+        print(f"{name:<24}{sec:>8.3f}{a:>8}{r:>7}  {note}")
+    print(f"{'mapped total':<24}{res['mapped_total']:>8.3f}"
+          f"{res['mapped_r1_total']:>8.3f}{res['ratio']:>7.2f}")
+    print(f"unanchored (new ops) total: {res['unanchored_total']}s")
+    verdict = "PASS" if res["gate_pass"] else "FAIL"
+    print(f"gate: mapped ratio {res['ratio']} <= {res['gate']}x -> {verdict}")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--compare":
+        res = compare(load_bench(args[1] if len(args) > 1 else None))
+        print_compare(res)
+        sys.exit(0 if res["gate_pass"] else 1)
+    warm = "--warm" in args
+    print(json.dumps(run_bench(warm=warm)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,42 @@
+"""The mechanical baseline gate (bench.py --compare, VERDICT r3 item
+8): the r1→r3 name mapping that previously lived in BASELINE.md prose
+is now data (bench.R1_ANCHOR) and the per-query ratio table + 2×-gate
+verdict are computed, not argued. No Spark needed."""
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_anchor_table_matches_baseline_md_total():
+    # BASELINE.md's r1 total is 41.785 including the retired
+    # q_join_natural (0.625); the mapped anchors must sum to the rest.
+    assert round(sum(bench.R1_ANCHOR.values()) + 0.625, 3) == 41.785
+
+
+def test_compare_r3_reproduces_judge_ratio():
+    doc = bench.load_bench(os.path.join(REPO, "BENCH_r03.json"))
+    res = bench.compare(doc)
+    # VERDICT r3: "0.91 on the name-mapped subset" — now mechanical
+    assert res["gate_pass"] and abs(res["ratio"] - 0.914) < 0.005
+    by_name = {r[0]: r for r in res["rows"]}
+    assert by_name["q_dedup_simhash_prod"][3] == 1.88  # the one to watch
+    assert by_name["q_asof_join"][4] == "new"          # unanchored, excluded
+    # every anchored row contributes to both sides of the ratio
+    anchored = [r for r in res["rows"] if r[2] is not None]
+    assert res["mapped_total"] == round(sum(r[1] for r in anchored), 3)
+    assert res["mapped_r1_total"] == round(sum(r[2] for r in anchored), 3)
+
+
+def test_compare_accepts_raw_bench_line(tmp_path):
+    # bench.py's own one-line output shape (no driver wrapper)
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps({
+        "metric": "x", "value": 9.9, "unit": "sec", "sf": 0.1,
+        "queries": {"q1_pricing_summary": 9.9}}))
+    res = bench.compare(bench.load_bench(str(p)))
+    assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
+    assert res["rows"][0][3] == round(9.9 / 1.442, 2)

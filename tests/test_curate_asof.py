@@ -294,3 +294,36 @@ def test_remove_boilerplate_lines_matches_sql_oracle(spark):
         "docs_tbl", "doc_id", "text")).fetchall()
     assert {t[0]: tuple(t[1:]) for t in want} == got
     con.close()
+
+
+def test_asof_tolerance_nulls_unknown_age_matches(spark):
+    """A state row with NULL ts can be picked as the running match (it
+    sorts first); under a tolerance its age is unknown, so it must NOT
+    survive the staleness bound — while staying distinct from the
+    no-match case (both read as NULL value, but no probe row is lost)."""
+    state = spark.createDataFrame(
+        [("a", None, 5.0, 1)], "k string, ts long, price double, seq long")
+    probe = spark.createDataFrame([("a", 10)], "k string, ts long")
+    # without tolerance the NULL-ts row IS the last state row seen
+    loose = asof_join(probe, state, on=["k"], ts="ts",
+                      value_cols=["price"], tie_col="seq")
+    assert loose.collect()[0]["asof_price"] == 5.0
+    # with tolerance its age is unknowable -> nulled
+    tight = asof_join(probe, state, on=["k"], ts="ts",
+                      value_cols=["price"], tie_col="seq", tolerance=100)
+    rows = tight.collect()
+    assert len(rows) == 1 and rows[0]["asof_price"] is None
+
+
+def test_decontaminate_null_eval_pred_is_train(spark):
+    """NULL eval_pred = not eval: the doc still participates as a TRAIN
+    doc (can be flagged as a leak) instead of silently vanishing from
+    both sides — matching recipe.curate_corpus's coalesce semantics."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", True),
+         (2, "alpha beta gamma delta", None),   # NULL verdict
+         (3, "totally unrelated words here", None)],
+        "doc_id long, text string, is_eval boolean")
+    out = C.decontaminate(docs, "doc_id", "text", F.col("is_eval"), n=4)
+    got = {r["id"]: r["n_shared"] for r in out.collect()}
+    assert got == {2: 1}  # doc 2 is train-side and leaks; doc 3 clean

@@ -445,3 +445,29 @@ def test_unigram_lm_edge_cases(spark, docs):
     with pytest.raises(ValueError, match="is_oov"):
         T.lm_quality_score(tricky, lm.filter(~F.col("is_oov")),
                            "doc_id", "text")
+
+
+def test_bruteforce_guard_rejects_corpus_sized_queries(spark, emb):
+    """topk_bruteforce broadcasts the query side; a corpus-sized query
+    set must raise (pointing at the scalable paths) instead of OOMing
+    (VERDICT r3 hardening). The default cap leaves normal use alone."""
+    with pytest.raises(ValueError, match="topk_lsh"):
+        SS.topk_bruteforce(emb, emb, k=3, max_queries=10)
+    # unchanged behavior under the cap
+    q = emb.filter(F.col("vec_id") < 3)
+    assert SS.topk_bruteforce(emb, q, k=2).count() == 6
+
+
+def test_centroid_cache_evicts_on_version_change(spark, emb):
+    """Passing a catalog/corpus version keys the quantizer cache on
+    data identity: same plan + new version = fresh centroids
+    (VERDICT r3 item 10)."""
+    SS.clear_centroid_cache()
+    a = SS.seed_centroids(emb, nlist=4, version="v1")
+    assert len(SS._CENTROID_CACHE) == 1
+    b = SS.seed_centroids(emb, nlist=4, version="v1")
+    assert len(SS._CENTROID_CACHE) == 1 and a == b  # hit
+    c = SS.seed_centroids(emb, nlist=4, version="v2")
+    assert len(SS._CENTROID_CACHE) == 2             # miss -> re-derived
+    assert c == a                                   # same data, same result
+    SS.clear_centroid_cache()

@@ -9,6 +9,7 @@ the wire."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -256,3 +257,47 @@ def test_errors_are_http_400(served):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "no_such_table" in json.loads(e.read())["error"].lower()
+
+
+def test_forged_host_header_is_rejected(served):
+    """DNS-rebinding / CSRF guard: a request whose Host header names a
+    foreign origin must not execute (ADVICE r3) — only the bound
+    address (any port spelling) may drive the API."""
+    _, port = served
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/variables",
+        headers={"Host": "evil.example.com"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 403
+    # POSTs (the executing surface) are covered by the same choke point
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/andl",
+        data=json.dumps({"src": "1 + 1"}).encode(), method="POST",
+        headers={"Content-Type": "application/json",
+                 "Host": "evil.example.com:80"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 403
+    # and the legitimate localhost spelling still works
+    assert "variables" in _req(port, "/api/variables")
+
+
+def test_failed_script_returns_partial_output(served):
+    """A script that displays lines then dies returns those lines in
+    the 400 body, and the next request's output slice is not skewed
+    by them (ADVICE r3)."""
+    _, port = served
+    body = json.dumps({"src": "write('before-crash')\nnosuchvar"}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/andl", data=body, method="POST",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    err = json.loads(ei.value.read())
+    assert ei.value.code == 400 and "error" in err
+    assert any("before-crash" in line for line in err.get("output", []))
+    # the failed request consumed its own delta: a follow-up sees ONLY
+    # its own output
+    out = _req(port, "/api/andl", method="POST", body={"src": "write('next')"})
+    assert out["output"] == ["next"]
