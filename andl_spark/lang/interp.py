@@ -1113,6 +1113,12 @@ class AndlSession:
 
     # -- where ----------------------------------------------------------
     def _do_where(self, v: RelV, cond_ast, env):
+        # `{{cols}} sub R` membership predicates compile to semijoins
+        # (distributed), not the capped driver loop — see
+        # _where_membership.
+        compiled = self._where_membership(v, cond_ast, env)
+        if compiled is not None:
+            return compiled
         try:
             ast = self._inline(cond_ast, {})
             ctx = _Ctx(self, v.df, env)
@@ -1133,6 +1139,72 @@ class AndlSession:
                     keep.append(r)
             out = self.spark.createDataFrame(keep, v.df.schema)
             return RelV(Relation(out), order=v.order)
+
+    def _where_membership(self, v: RelV, cond_ast, env):
+        """Compile `.where({{cols}} sub R)` (SPPsample1.andl Q1 set
+        membership, optionally negated; also sep/sup) to a SEMIJOIN /
+        ANTIJOIN instead of the 10k-capped per-tuple driver loop: a
+        singleton relation {t'} is ⊆ R iff t' ∈ R, so the whole
+        restriction is one distributed leftsemi (leftanti when negated
+        / sep) against R's distinct projection. `{{t'}} sup R` reduces
+        to R's ≤2 distinct rows (empty → keep all; one row → equality
+        filter; more → keep none) — a bounded scalar probe, the same
+        class as the while-loop's delta count. Returns None when the
+        predicate isn't of this shape (correlated R, computed rhs,
+        non-singleton lhs), leaving the general machinery to handle it.
+
+        Reference: DataTableLocal.cs evaluates sub per-tuple; Spark
+        expresses the same logic as one join the optimizer can
+        broadcast or shuffle as R's measured size dictates
+        (relation.py Relation.sub is the fluent-API twin)."""
+        neg, ast = False, cond_ast
+        if isinstance(ast, tuple) and ast[0] == "not":
+            neg, ast = True, ast[1]
+        if not (isinstance(ast, tuple) and ast[0] == "dyadic"
+                and ast[1] in ("sub", "sep", "sup")):
+            return None
+        op, lhs, rhs = ast[1], ast[2], ast[3]
+        if lhs[0] != "rel_tuples" or len(lhs[1]) != 1 or not lhs[1][0]:
+            return None
+        try:
+            # tuple-side columns compile against the restricted relation
+            ctx = _Ctx(self, v.df, env)
+            exprs = [(name, self._compile(self._inline(a, {}), ctx))
+                     for name, a in lhs[1][0]]
+            # rhs must be UNCORRELATED: evaluated once in the outer env
+            # (a tuple-column reference inside raises → general path)
+            rv = self.eval(rhs, env)
+        except (RecursionError, ValueError, NameError, TypeError, KeyError):
+            return None
+        rv = self._coerce_rel(rv)
+        if not isinstance(rv, RelV):
+            return None
+        cols = [n for n, _ in exprs]
+        if set(rv.cols()) != set(cols) or not cols:
+            return None  # heading mismatch → let _subsetop raise properly
+        if op == "sup":  # {t'} ⊇ R: R empty / exactly {t'}
+            rows = rv.df.select(*cols).distinct().limit(2).collect()
+            if not rows:
+                keep = F.lit(not neg)
+            elif len(rows) > 1:
+                keep = F.lit(neg)
+            else:
+                eq = F.lit(True)
+                for n, e in exprs:
+                    eq = eq & e.eqNullSafe(F.lit(rows[0][n]))
+                keep = ~eq if neg else eq
+            return RelV(Relation(v.df.filter(keep)), order=v.order)
+        probe = rv.df.select(
+            *[F.col(n).alias(f"__mem_{n}") for n in cols]).distinct()
+        cond = None
+        for n, e in exprs:
+            c = e.eqNullSafe(F.col(f"__mem_{n}"))
+            cond = c if cond is None else (cond & c)
+        # sub: member ⟺ keep; sep: disjoint ⟺ NOT member
+        want_member = (op == "sub") != neg
+        how = "leftsemi" if want_member else "leftanti"
+        out = v.df.join(probe, cond, how)
+        return RelV(Relation(out), order=v.order)
 
     # -- select ---------------------------------------------------------
     def _do_select(self, v, items, env):
@@ -1189,16 +1261,32 @@ class AndlSession:
         return self._rel_from_tuples(dedup)
 
     def _output_heading(self, df, star, keeps, binds):
-        """Andl select heading: see module docstring (`*` rules)."""
+        """Andl select heading: see module docstring (`*` rules).
+
+        A pure rename `{* New:=Old}` keeps Old's POSITION — the
+        reference's heading replaces the attribute in place (proved by
+        its own generated IDL: ThriftSupplierPart.thrift numbers Sid
+        first for `Supplier := S .select{ *Sid:=S# }`, and Thrift
+        field IDs are positional). Computed extensions still append."""
         bind_names = [n for n, _ in binds]
         if not star:
             return keeps + bind_names
+        renames: dict[str, str] = {}
+        appended: list[str] = []
         mentioned = set(keeps)
-        for _, ast in binds:
-            if ast[0] == "name":  # pure rename consumes its source
+        for n, ast in binds:
+            if ast[0] == "name" and ast[1] in df.columns and n not in df.columns:
+                renames[ast[1]] = n  # pure rename consumes its source
                 mentioned.add(ast[1])
-        base = [c for c in df.columns if c not in mentioned and c not in bind_names]
-        return base + bind_names
+            else:
+                appended.append(n)
+        base = []
+        for c in df.columns:
+            if c in renames:
+                base.append(renames[c])
+            elif c not in mentioned and c not in bind_names:
+                base.append(c)
+        return base + appended
 
     def _select_plain(self, df, star, keeps, binds, env, raw_binds=None):
         ctx = _Ctx(self, df, env)

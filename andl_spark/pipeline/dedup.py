@@ -776,6 +776,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     node gets ``cluster_id`` = the MINIMUM id reachable from it, so
@@ -785,48 +786,90 @@ def dup_clusters(
     decision — transitively linked docs A~B~C land in ONE cluster even
     though (A, C) was never emitted as a pair.
 
-    Min-label propagation: each round joins current labels across the
-    (undirected) edge set and keeps the per-node minimum; iteration
-    stops when no label changes. Rounds needed = the graph diameter —
-    near-dup clusters are star-like (tiny diameter), so this converges
-    in a handful of one-shuffle rounds at any corpus size. Each round
-    is localCheckpoint'ed (the whileop.py pattern) so lineage stays
-    flat. The DuckDB mirror is a recursive CTE computing the same
-    min-reachable label (tests/test_pipeline.py).
+    Algorithm: alternating LARGE-STAR / SMALL-STAR rounds (the
+    published MapReduce connected-components scheme — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    round hangs every node's larger neighbours off its neighbourhood
+    minimum (large-star) then contracts the smaller neighbours onto it
+    (small-star); components collapse into stars centred on their
+    minimum id in **O(log n) rounds regardless of diameter** — the
+    pathological near-dup CHAIN (templated web text A~B~C~...~Z) that
+    costs min-label propagation O(diameter) shuffles converges
+    logarithmically here (tests assert the round count). Every round
+    is a groupBy-min plus an equi-join on the node id — no broadcast
+    of anything corpus-sized — and each intermediate edge set is
+    localCheckpoint'ed so lineage stays flat. The DuckDB mirror is a
+    recursive CTE computing the same min-reachable label
+    (tests/test_pipeline.py). ``stats['rounds']`` reports the rounds
+    used when a dict is passed.
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("id"))
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+    )
+    # all ids ever mentioned (self-pair-only nodes stay singletons)
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
         .distinct()
-        .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # canonical directed form: (big, small), self-loops dropped
+    d = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
     for _ in range(max_iter):
-        # candidate label for a = its neighbours' current labels
-        cand = edges.join(
-            labels.withColumnRenamed("id", "b"), "b"
-        ).select(F.col("a").alias("id"), "lbl")
-        new = (
-            labels.union(cand)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+        # ---- large-star: for every node u, attach each LARGER
+        # neighbour v to m = min(N(u) ∪ {u}). Output edges (v, m) are
+        # already canonical (v > u >= m).
+        sym = d.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
+            d.select(F.col("small").alias("u"), F.col("big").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("nb"))
+        mins = mins.select("u", F.least("nb", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
+        # ---- small-star: on the canonical set, contract every node's
+        # SMALLER neighbours (and itself) onto their minimum.
+        mins2 = ls.groupBy("big").agg(F.min("small").alias("m"))
+        ss = (
+            ls.join(mins2, "big")
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+            .filter(F.col("big") != F.col("small"))
+            .union(mins2.select(F.col("big"), F.col("m").alias("small")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new
-        if changed == 0:
+        rounds += 1
+        # converged when the round was a no-op on the edge set
+        if ss.count() == d.count() and ss.exceptAll(d).limit(1).count() == 0:
+            d = ss
             break
+        d = ss
     else:
         raise RuntimeError(
-            f"dup_clusters did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter)")
-    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+            f"dup_clusters did not converge in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+    # stars: every non-centre node carries exactly one edge to its
+    # component minimum; centres (and singleton nodes) label themselves
+    members = d.select(F.col("big").alias("id"), F.col("small").alias("lbl"))
+    selves = nodes.join(
+        members.select(F.col("id")), "id", "left_anti"
+    ).withColumn("lbl", F.col("id"))
+    return members.union(selves).select(
+        F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
 def keep_canonical(

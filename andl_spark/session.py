@@ -104,9 +104,16 @@ def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
     (timestampadd from a literal ntz epoch) — deliberately independent
     of the session timezone so driver-owned sessions in any tz agree
     with the DuckDB oracle's naive timestamps."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    if os.path.isdir(path):  # generated scale dirs hold part files
+        parts = _glob.glob(os.path.join(path, "*.parquet"))
+        if not parts:
+            return df
+        path = parts[0]
     ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":

@@ -18,15 +18,26 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> Da
     read; pathGlobFilter isolates the table inside the shared dir)."""
     from ..session import _restore_nanos_timestamps
 
+    import os
+
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # generated scale dirs: events.parquet IS a directory of part
+        # files — stream it directly (one micro-batch per part file)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(sf_dir)
+        )
     return _restore_nanos_timestamps(stream, path)
 
 

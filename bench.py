@@ -125,8 +125,11 @@ def run_bench(warm: bool = False) -> dict:
     from andl_spark.session import get_spark
     from andl_spark import workload
 
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
     spark = get_spark("andl_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -7,7 +7,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from andl_spark.session import get_spark  # noqa: E402
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# ANDL_TEST_SF_DIR overrides the default smoke dir so SCALE-INVARIANT
+# suites (tests/test_plans.py — plan-shape assertions) can be re-run
+# against bigger generated data (tools/gen_sf.py output):
+#   ANDL_TEST_SF_DIR=/tmp/testdata_sf1 pytest tests/test_plans.py
+# Suites with exact row-count assertions still expect the default dir.
+SF_SMOKE = os.environ.get("ANDL_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = "/root/testdata/sf0.01"
 
 

@@ -208,3 +208,51 @@ def test_catalog_introspection_relations(spark):
     # (andl_variable is evaluated before nrel itself is bound)
     sess.run("nrel := (andl_variable .where(Type = 'relation')) .select{ Name }\n")
     assert {r["Name"] for r in sess.globals["nrel"].df.collect()} == {"r1"}
+
+
+def test_membership_where_compiles_to_semijoin(spark):
+    """`.where({{cols}} sub R)` (SPPsample1.andl:12 Q1 set membership)
+    runs DISTRIBUTED as a semijoin/antijoin — not the 10k-capped
+    driver loop (VERDICT r3 item 6): a 20k-row restricted relation
+    works, the negated and sep forms flip to antijoin, and sup reduces
+    to a bounded ≤2-row probe."""
+    sess = AndlSession(spark)
+    sess.run(
+        "big := seq(20000) .select{ N, k := N mod 7 }\n"
+        "small := {{ k := 1 }} union {{ k := 3 }}\n"
+        "one := {{ k := 2 }}\n"
+        "none := small .where(k = 99)\n"
+        "r_sub := big .where({{ k }} sub small)\n"
+        "r_not := big .where(not ({{ k }} sub small))\n"
+        "r_sep := big .where({{ k }} sep small)\n"
+        "r_sup1 := big .where({{ k }} sup one)\n"
+        "r_sup0 := big .where({{ k }} sup none)\n"
+        "r_sup2 := big .where({{ k }} sup small)\n"
+    )
+    n = lambda v: sess.globals[v].df.count()
+    in_13 = len([x for x in range(20000) if x % 7 in (1, 3)])
+    assert n("r_sub") == in_13
+    assert n("r_not") == 20000 - in_13
+    assert n("r_sep") == 20000 - in_13
+    assert n("r_sup1") == len([x for x in range(20000) if x % 7 == 2])
+    assert n("r_sup0") == 20000          # empty ⊆ any singleton
+    assert n("r_sup2") == 0              # 2-row rhs ⊄ a singleton
+    plan = sess.globals["r_sub"].df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BatchEvalPython" not in plan
+    plan = sess.globals["r_sep"].df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_spp_q1_membership_verbatim(sample_session):
+    """SPPsample1.andl Q1's set-membership spelling gives the same
+    rows as its join spellings, through the interpreter."""
+    sess = sample_session
+    sess.run(
+        "q1a := (S join SP) .where(P# = 'P2') .select{ SNAME }\n"
+        "q1m := S .where({{ S# }} sub SP .where(P# = 'P2') .select{ S# }) .select{ SNAME }\n"
+    )
+    a = {r["SNAME"] for r in sess.globals["q1a"].df.collect()}
+    m = {r["SNAME"] for r in sess.globals["q1m"].df.collect()}
+    assert a == m and m  # non-empty and equal
+    plan = sess.globals["q1m"].df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

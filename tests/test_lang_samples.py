@@ -420,6 +420,11 @@ def test_thriftsupplierpart_idl_matches_reference(spark, tmp_path):
     mine = set(re.findall(r"^\s+\S+\s+(\w+)\(", idl, re.M))
     assert ref_funcs <= mine
     assert "struct Supplier {" in idl and "struct Part {" in idl
+    # field IDs are positional: the in-place rename `{* Sid:=S#}` must
+    # keep Sid FIRST, exactly as the reference's own generated file
+    # numbers it (1: Sid; 2: SNAME; 3: STATUS; 4: CITY)
+    assert ("struct Supplier {\n  1: text Sid;\n  2: text SNAME;\n"
+            "  3: number STATUS;\n  4: text CITY;\n}") in idl
     # exact signatures, not just names: relation-typed params render
     # list<Struct>, inferred returns match the reference's own file —
     # `list<Supplier> find_supplier`, `void create_supplier`

@@ -167,3 +167,85 @@ def test_asof_enrichment_stream_matches_batch(spark, events_batch, tmp_path):
     again = spark.read.parquet(out_dir)
     assert again.count() == ev.count()  # no duplicate rows after replay
     assert _as_sorted_rows(again, cols) == _as_sorted_rows(want, cols)
+
+
+@pytest.mark.slow
+def test_sf1_streaming_soak(spark, tmp_path):
+    """Scale-rehearsal soak (VERDICT r3 items 1/9): the sf1 events
+    table (1M rows, 32 part files → 32 micro-batches at
+    maxFilesPerTrigger=1) through windowed aggregation, sessionization
+    AND the as-of enrichment sink; stream == batch at that volume.
+    Gated on ANDL_SF1_DIR (generate with tools/gen_sf.py)."""
+    import os
+
+    sf1 = os.environ.get("ANDL_SF1_DIR")
+    if not sf1 or not os.path.exists(f"{sf1}/events.parquet"):
+        pytest.skip("set ANDL_SF1_DIR to a tools/gen_sf.py output dir")
+    ev = load_tables(spark, sf1, register_views=False)["events"]
+
+    # float sums accumulate in micro-batch order vs scan order: compare
+    # at the oracle harness's epsilon-rounded grain (workload r2())
+    def _r2(df):
+        return df.withColumn(
+            "total_value", F.round(F.col("total_value") + F.lit(1e-6), 2))
+
+    batch = _r2(windowed_agg(ev))
+    stream = _r2(windowed_agg(read_events_stream(spark, sf1)))
+    run_stream_to_memory(stream, "sf1_win", timeout_sec=600)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _as_sorted_rows(spark.table("sf1_win"), cols) == \
+        _as_sorted_rows(batch, cols)
+
+    # sessionize in APPEND mode — the production shape: a session is
+    # emitted exactly once, when the watermark passes its end. At this
+    # volume state eviction is real (complete mode would only retain
+    # the last watermark horizon), so the contract is: every emitted
+    # session is a batch session, and every session closed more than
+    # one watermark+margin before the end of input was emitted.
+    sbatch = sessionize(ev)
+    q = (
+        sessionize(read_events_stream(spark, sf1))
+        .writeStream.format("memory").queryName("sf1_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    cols = ["user_id", "t_start", "n_events"]
+    emitted = set(_as_sorted_rows(spark.table("sf1_sess"), cols))
+    full = set(_as_sorted_rows(sbatch, cols))
+    assert emitted <= full and len(emitted) > 0.5 * len(full)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    # watermark 2h + one full micro-batch span (~1 day of the 31-day
+    # stream): a session finalized by the LAST batch's watermark update
+    # is emitted one trigger later — a trigger availableNow never runs
+    cutoff = max_ts - _dt.timedelta(days=2)
+    closed = set(_as_sorted_rows(
+        sessionize(ev).filter(F.col("t_end") < F.lit(cutoff)), cols))
+    assert closed <= emitted
+
+    # as-of enrichment against slowly-changing state at sf1 volume
+    from andl_spark.operators.asof import asof_join
+    from andl_spark.streaming.events import asof_enrich_stream
+
+    evs = ev.select("event_id", "user_id", "ts", "value")
+    t0 = evs.groupBy("user_id").agg(F.min("ts").alias("ts"))
+    state = (
+        t0.withColumn("tier", F.lit("bronze"))
+        .union(t0.select(
+            "user_id", (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"))
+            .withColumn("tier", F.lit("silver")))
+        .select("user_id", "ts", "tier")
+    )
+    out_dir, ckpt = str(tmp_path / "sf1out"), str(tmp_path / "sf1ckpt")
+    sstream = read_events_stream(spark, sf1).select(
+        "event_id", "user_id", "ts", "value")
+    q = asof_enrich_stream(sstream, state, on=["user_id"], ts="ts",
+                           value_cols=["tier"], out_path=out_dir,
+                           checkpoint=ckpt)
+    q.awaitTermination(600)
+    got = spark.read.parquet(out_dir)
+    want = asof_join(evs, state, on=["user_id"], ts="ts", value_cols=["tier"])
+    assert got.count() == evs.count() == 1_000_000
+    cols = ["event_id", "user_id", "asof_tier"]
+    assert _as_sorted_rows(got, cols) == _as_sorted_rows(want, cols)

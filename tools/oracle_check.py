@@ -1,0 +1,120 @@
+"""Driver-style correctness harness, runnable at ANY scale factor:
+executes every declared query in __spark_entry__.queries() against its
+oracle_sql() DuckDB twin over the same parquet dir and reports
+rows/schema/value matches per query — the scale-rehearsal gate
+(VERDICT r3 item 1: "run the full 50-query correctness harness at
+sf1").
+
+    python tools/oracle_check.py [sf_dir] [--sample N] [--keys k1,k2]
+
+Prints one JSON line: {"sf_dir": ..., "n": 50, "pass": 50,
+"fails": {...}}. Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        # driver layout = single file; generated dirs hold part files
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
+    cols = sorted(sdf.columns)
+    if cols != sorted(odf.columns):
+        return f"schema {cols} vs {sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return f"rows {len(sdf)} vs {len(odf)}"
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
+            diff = (av.astype(float) - bv.astype(float)).abs().fillna(0)
+            if not (diff < 1e-9).all():
+                return f"values differ in {c} (max {diff.max()})"
+        else:
+            if not (av.astype(str).values == bv.astype(str).values).all():
+                return f"values differ in {c}"
+    return None
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    sample = None
+    keys_only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sample"):
+            sample = int(a.split("=", 1)[1])
+        if a.startswith("--keys"):
+            keys_only = a.split("=", 1)[1].split(",")
+
+    from andl_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    con = duckdb.connect()
+    _duck_views(con, sf_dir)
+    qs, osql = mod.queries(), mod.oracle_sql()
+    keys = sorted(qs)
+    if keys_only:
+        keys = [k for k in keys if k in keys_only]
+    if sample:
+        import random
+
+        random.seed(4)
+        keys = random.sample(keys, min(sample, len(keys)))
+
+    fails: dict[str, str] = {}
+    for k in keys:
+        try:
+            sdf = qs[k](spark, sf_dir).toPandas()
+            if k not in osql:
+                print(f"# {k}: rows-only ({len(sdf)})", file=sys.stderr)
+                continue
+            odf = con.execute(osql[k]).df()
+            err = compare(sdf, odf)
+            if err:
+                fails[k] = err
+                print(f"# {k}: FAIL {err}", file=sys.stderr)
+            else:
+                print(f"# {k}: OK ({len(sdf)} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            fails[k] = str(e)[:300]
+            print(f"# {k}: ERROR {str(e)[:200]}", file=sys.stderr)
+    print(json.dumps({
+        "sf_dir": sf_dir, "n": len(keys), "pass": len(keys) - len(fails),
+        "fails": fails,
+    }))
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
