@@ -1173,7 +1173,7 @@ class AndlSession:
                      for name, a in lhs[1][0]]
             # rhs must be UNCORRELATED: evaluated once in the outer env
             # (a tuple-column reference inside raises → general path)
-            rv = self.eval(rhs, env)
+            rv = self.eval(rhs, env if env is not None else self.globals)
         except (RecursionError, ValueError, NameError, TypeError, KeyError):
             return None
         rv = self._coerce_rel(rv)
