@@ -483,3 +483,54 @@ def test_centroid_cache_evicts_on_version_change(spark, emb):
     assert len(SS._CENTROID_CACHE) == 2             # miss -> re-derived
     assert c == a                                   # same data, same result
     SS.clear_centroid_cache()
+
+
+def test_anchor_degree_bounds_fanout_preserves_clusters(spark):
+    """Duplicate-dense corpora (the sf10 lesson: 100-way near-dup
+    clusters → quadratic pair enumeration; simhash OOM'd): with
+    anchor_degree the pair count is linear in cluster size and
+    dup_clusters/keep_canonical decide IDENTICALLY to all-pairs."""
+    n_copies = 40
+    # DENSE clusters (the guarantee's precondition): within a base the
+    # copies differ by one tail token; across bases a repeated marker
+    # dominates, so clusters are far apart under both metrics
+    marker = {0: "aardvark", 1: "kumquat", 2: "zeppelin"}
+    rows = [(base * 1000 + k,
+             f"the quick brown fox jumps over the lazy dog variant "
+             f"{(marker[base] + ' ') * 12}"
+             f"alpha beta gamma delta epsilon zeta eta theta "
+             + ("tail" if k == 0 else f"tail{k % 3}"))
+            for base in range(3) for k in range(n_copies)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    capped = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                 anchor_degree=4)
+    n_exact, n_capped = exact.count(), capped.count()
+    # quadratic vs linear: 3 clusters of 40 → ~2340 exact pairs; the
+    # capped set stays within D·|bucket|·bands but far below quadratic
+    assert n_exact > 1500 and n_capped < n_exact / 3
+    # identical dedup DECISION
+    ex = {tuple(r) for r in D.dup_clusters(
+        exact.select("id_a", "id_b")).collect()}
+    cp = {tuple(r) for r in D.dup_clusters(
+        capped.select("id_a", "id_b")).collect()}
+    assert ex == cp
+    # and the capped pairs are a subset of the exact ones (no invented
+    # edges, same threshold applied)
+    ep = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    for r in capped.collect():
+        assert (r["id_a"], r["id_b"]) in ep
+
+    # simhash twin: same guarantees through the pigeonhole path
+    sigs = D.simhash_signatures(docs, "doc_id", "text")
+    se = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+    sc = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3,
+                              anchor_degree=4)
+    if se.count():  # clusters this tight collide on every chunk
+        assert sc.count() <= se.count()
+        exd = {tuple(r) for r in D.dup_clusters(
+            se.select("id_a", "id_b")).collect()}
+        cpd = {tuple(r) for r in D.dup_clusters(
+            sc.select("id_a", "id_b")).collect()}
+        assert exd == cpd
