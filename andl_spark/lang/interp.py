@@ -1166,6 +1166,29 @@ class AndlSession:
         op, lhs, rhs = ast[1], ast[2], ast[3]
         if lhs[0] != "rel_tuples" or len(lhs[1]) != 1 or not lhs[1][0]:
             return None
+        # shadowing guard: a name in rhs that is BOTH a column of the
+        # restricted relation AND resolvable in the outer scope would
+        # bind to the per-tuple value in the general path but to the
+        # global here — bail to the general machinery for those
+        # (e.g. an RVA attribute named like a global relvar).
+        def _shadowed(node):
+            if isinstance(node, tuple):
+                if node[0] == "name" and node[1] in v.df.columns:
+                    n = node[1]
+                    outer = env if env is not None else self.globals
+                    try:
+                        in_env = n in outer
+                    except TypeError:
+                        in_env = False
+                    if in_env or n in self.globals or n in self.defs:
+                        return True
+                return any(_shadowed(x) for x in node)
+            if isinstance(node, list):
+                return any(_shadowed(x) for x in node)
+            return False
+
+        if _shadowed(rhs):
+            return None
         try:
             # tuple-side columns compile against the restricted relation
             ctx = _Ctx(self, v.df, env)
@@ -1275,10 +1298,14 @@ class AndlSession:
         appended: list[str] = []
         mentioned = set(keeps)
         for n, ast in binds:
-            if ast[0] == "name" and ast[1] in df.columns and n not in df.columns:
+            if (ast[0] == "name" and ast[1] in df.columns
+                    and n not in df.columns and ast[1] not in renames):
                 renames[ast[1]] = n  # pure rename consumes its source
                 mentioned.add(ast[1])
             else:
+                # computed extension — or a SECOND rename of the same
+                # source ({* X:=A, Y:=A}): only one target can take A's
+                # position; the rest append so no column is lost
                 appended.append(n)
         base = []
         for c in df.columns:

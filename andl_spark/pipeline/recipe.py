@@ -44,6 +44,7 @@ def curate_corpus(
     epoch: int = 0,
     decontaminate_n: int = 8,
     eager: bool = True,
+    anchor_degree: int | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one row per surviving
     document with its packed-sequence placement:
@@ -108,7 +109,13 @@ def curate_corpus(
     uniq = gated.join(
         exact.filter(~F.col("is_dup")).select(id_col),
         id_col, "left_semi")
-    pairs = dedup.minhash_lsh_dedup(uniq, id_col, text_col, threshold=0.7)
+    # anchor_degree: the near-dup pairs here ONLY feed keep_canonical
+    # (a cluster decision), so at corpus scale pass a small D — pair
+    # enumeration stays linear in duplicate-cluster size instead of
+    # quadratic (the sf10 lesson, SCALE_r04.md). Default None keeps
+    # exact pair semantics for oracle-checked runs.
+    pairs = dedup.minhash_lsh_dedup(uniq, id_col, text_col, threshold=0.7,
+                                    anchor_degree=anchor_degree)
     canonical = dedup.keep_canonical(uniq, pairs, id_col)
 
     # 4. decontamination — exact first (verbatim copies of any length,

@@ -140,9 +140,19 @@ class _Handler(BaseHTTPRequestHandler):
         127.0.0.1 carries the attacker's hostname in Host; only the
         bound address (with or without the port) may execute anything.
         Direct socket clients (tests, curl) send the right Host for
-        free because they dial the bound address."""
+        free because they dial the bound address. IPv6 literals arrive
+        bracketed ('[::1]:port'); enforcement applies to LOOPBACK binds
+        only — a deliberate non-loopback bind serves arbitrary client
+        hostnames and needs a fronting proxy/token for origin control."""
+        allowed = self.server.allowed_hosts  # type: ignore[attr-defined]
+        if allowed is None:  # non-loopback bind: guard not applicable
+            return True
         host = (self.headers.get("Host") or "").strip()
-        return host.rsplit(":", 1)[0] in self.server.allowed_hosts  # type: ignore[attr-defined]
+        if host.startswith("["):  # bracketed IPv6, maybe with :port
+            name = host[1:].split("]", 1)[0]
+        else:
+            name = host.rsplit(":", 1)[0]
+        return name in allowed
 
     def parse_request(self):
         # one choke point covering every verb, before any routing
@@ -334,13 +344,16 @@ class AndlRestServer:
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
         self._http = ThreadingHTTPServer((host, port), _Handler)
         self._http.andl_session = session  # type: ignore[attr-defined]
-        # Host values that may execute requests (DNS-rebinding guard):
-        # the bound address, plus localhost spellings when bound to a
-        # loopback address — port is stripped before comparison.
-        allowed = {host}
-        if host in ("127.0.0.1", "::1", "localhost", "0.0.0.0"):
-            allowed |= {"127.0.0.1", "::1", "localhost"}
-        self._http.allowed_hosts = allowed  # type: ignore[attr-defined]
+        # Host values that may execute requests (DNS-rebinding guard).
+        # The rebinding attack targets loopback servers, so enforcement
+        # applies to loopback binds (the default); binding any other
+        # address is a deliberate network exposure whose clients use
+        # real hostnames — allowed_hosts=None disables the check there
+        # (front with a proxy or token for origin control).
+        if host in ("127.0.0.1", "::1", "localhost"):
+            self._http.allowed_hosts = {"127.0.0.1", "::1", "localhost"}  # type: ignore[attr-defined]
+        else:
+            self._http.allowed_hosts = None  # type: ignore[attr-defined]
         # serializes stateful surfaces across handler threads: the
         # shared language session and relvar read-modify-write updates
         self._http.andl_lock = threading.RLock()  # type: ignore[attr-defined]

@@ -254,13 +254,22 @@ def read_pg_partitioned(
     for i in range(num_partitions):
         lo = lower_bound + i * step
         hi = lower_bound + (i + 1) * step
-        if i == 0:
-            rng = f"{qp} < {hi}"
+        # last partition is unbounded ABOVE and first unbounded BELOW,
+        # exactly like Spark's JDBC splits — checked in this order so a
+        # single partition has no range predicate at all (num_partitions
+        # =1 with an upper bound used to silently drop >= upper rows)
+        if num_partitions == 1:
+            rng = None
         elif i == num_partitions - 1:
             rng = f"{qp} >= {lo}"
+        elif i == 0:
+            rng = f"{qp} < {hi}"
         else:
             rng = f"{qp} >= {lo} AND {qp} < {hi}"
-        w = f"({where}) AND {rng}" if where else rng
+        if where and rng:
+            w = f"({where}) AND {rng}"
+        else:
+            w = where or rng
         sql = pushdown_sql(table, columns, w)
         sqls.append(sql)
         conn = conn_factory()

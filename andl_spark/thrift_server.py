@@ -37,7 +37,7 @@ from __future__ import annotations
 import socketserver
 import struct
 import threading
-from datetime import datetime, timedelta
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 
 # ---------------------------------------------------------------------
@@ -218,6 +218,8 @@ def _wire_value(proto: TBinaryProtocol, wtype: int, v) -> None:
     elif wtype == T_BOOL:
         proto.write_bool(bool(v))
     elif wtype == T_I64:
+        if isinstance(v, date) and not isinstance(v, datetime):
+            v = datetime(v.year, v.month, v.day)  # DateType rows
         proto.write_i64(_to_ticks(v) if isinstance(v, datetime) else int(v or 0))
     else:
         proto.write_string("" if v is None else str(v))
@@ -300,7 +302,16 @@ class AndlThriftServer:
                              f"Invalid method name: '{name}'")
             return
         fd = overloads[0]
-        args = self._read_args(proto, fd)
+        try:
+            args = self._read_args(proto, fd)
+        except (EOFError, ConnectionError):
+            raise
+        except Exception as e:  # noqa: BLE001 — mid-read failure: the
+            # request's remaining bytes are unconsumed, so the stream
+            # position is unknown — reply, then CLOSE the connection
+            # (continuing would parse leftover arg bytes as a header)
+            _write_exception(proto, name, seqid, EX_INTERNAL, str(e))
+            raise EOFError("argument decode failed; closing connection")
         try:
             with self._lock:
                 result = self.sess._call_user(fd, args)
@@ -325,11 +336,17 @@ class AndlThriftServer:
                     _wire_value(proto, wtype, r[fname])
                 proto.write_field_stop()
         elif isinstance(result, TupV):
+            # tuple result: Success (field 0) is a STRUCT whose fields
+            # are the tuple attributes — the shape a client generated
+            # from the emitted IDL unpacks (a bare field-1..n spill
+            # would be skipped as unknown fields)
+            proto.write_field_begin(T_STRUCT, 0)
             for i, (k, v) in enumerate(result.items()):
                 wtype = {bool: T_BOOL, Decimal: T_DOUBLE, float: T_DOUBLE,
                          int: T_DOUBLE, datetime: T_I64}.get(type(v), T_STRING)
                 proto.write_field_begin(wtype, i + 1)
                 _wire_value(proto, wtype, v)
+            proto.write_field_stop()
         elif isinstance(result, bool):
             proto.write_field_begin(T_BOOL, 0)
             proto.write_bool(result)

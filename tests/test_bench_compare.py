@@ -40,3 +40,21 @@ def test_compare_accepts_raw_bench_line(tmp_path):
     res = bench.compare(bench.load_bench(str(p)))
     assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
     assert res["rows"][0][3] == round(9.9 / 1.442, 2)
+
+
+def test_oracle_check_compare_catches_null_divergence():
+    """The scale-harness comparator flags one-sided NULLs instead of
+    fillna-ing them into a pass (review r4)."""
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from oracle_check import compare
+
+    a = pd.DataFrame({"x": [1.0, None]})
+    b = pd.DataFrame({"x": [1.0, 5.0]})
+    assert compare(a, b) and "null" in compare(a, b)
+    assert compare(b.copy(), b.copy()) is None
+    s = pd.DataFrame({"t": ["a", None]})
+    t = pd.DataFrame({"t": ["a", "b"]})
+    assert compare(s, t) and "null" in compare(s, t)

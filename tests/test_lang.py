@@ -256,3 +256,33 @@ def test_spp_q1_membership_verbatim(sample_session):
     assert a == m and m  # non-empty and equal
     plan = sess.globals["q1m"].df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_double_rename_same_source_keeps_both(spark):
+    """{* X:=A, Y:=A}: only one target may take A's position; the other
+    must append, never vanish (review r4)."""
+    sess = AndlSession(spark)
+    sess.run("r := {{ A := 1, B := 2 }} .select{ * X := A, Y := A }\n")
+    df = sess.globals["r"].df
+    assert set(df.columns) == {"X", "Y", "B"}
+    row = df.collect()[0]
+    assert row["X"] == row["Y"] == 1 and row["B"] == 2
+
+
+def test_membership_shadowed_rhs_bails_to_general_path(spark):
+    """A rhs name that is BOTH a tuple column and a global must not be
+    compiled against the global (review r4): the fast path bails, and
+    the general path's per-tuple semantics apply (here: a type error,
+    identical to pre-fast-path behavior — never a silent global read)."""
+    import pytest as _pt
+
+    sess = AndlSession(spark)
+    sess.run("shadow := {{ k := 1 }}\n"
+             "big := seq(50) .select{ N, k := N mod 7, "
+             "shadow := N mod 2 }\n")
+    with _pt.raises(Exception):
+        sess.run("r := big .where({{ k }} sub shadow)\n")
+    # un-shadowed rhs still takes the distributed fast path
+    sess.run("ok := big .where({{ k }} sub {{ k := 1 }})\n")
+    plan = sess.globals["ok"].df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

@@ -164,3 +164,14 @@ def test_pushdown_sql_shapes():
         'SELECT "a" FROM "t" WHERE x > 1 LIMIT 5'
     assert pushdown_sql("t", group_by=["k"], aggs={"s": "SUM(v)"}) == \
         'SELECT "k", SUM(v) AS "s" FROM "t" GROUP BY "k"'
+
+
+def test_single_partition_scan_keeps_upper_rows(spark, pg):
+    """num_partitions=1 must be a full unbounded scan (review r4: the
+    first-partition upper bound used to silently drop rows >= upper)."""
+    df = read_pg_partitioned(
+        spark, lambda: PgConnection(port=pg["port"], user="andl"),
+        "Album", partition_column="AlbumId",
+        lower_bound=1, upper_bound=300, num_partitions=1)
+    assert df.count() == 347          # nothing above upper_bound lost
+    assert "WHERE" not in df._pg_sql[0]

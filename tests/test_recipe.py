@@ -87,3 +87,19 @@ def test_short_eval_copy_decontaminated_exactly(spark):
         eval_pred=F.col("source") == "eval_set",
         budgets={"web": 10_000}, lm_floor=-99.0, seq_block=64)
     assert 4 in {r["doc_id"] for r in out2.collect()}
+
+
+def test_curate_corpus_anchor_mode_same_output(spark):
+    """The scale knob (anchor_degree, SCALE_r04.md) changes only the
+    pair-enumeration cost, not the curated corpus: the testdata's
+    planted near-dup clusters are dense, so the keep_canonical
+    decision — and therefore the packed output — is identical."""
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    budgets = {f"src{i}": 4_000 for i in range(20)}
+    kw = dict(eval_pred=F.col("source") == "src0", budgets=budgets,
+              lm_floor=-6.0, seq_block=256)
+    exact = curate_corpus(docs, **kw)
+    anchored = curate_corpus(docs, anchor_degree=4, **kw)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, anchored.collect()))
+    assert a == b and a

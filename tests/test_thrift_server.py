@@ -199,3 +199,23 @@ def test_findall_supplies_shorthand(served):
     served like any def."""
     rows = served.call("findall_supplies")
     assert len(rows) == 12
+
+
+def test_mid_read_failure_closes_connection(served, spark):
+    """A list arg for a scalar-typed parameter fails while the request
+    bytes are still on the wire: the server must reply AND close (a
+    kept connection would parse leftover bytes as the next header —
+    review r4). A fresh connection then works."""
+    port = served._sock.getpeername()[1]
+    poisoned = _Client(port)
+    with pytest.raises(RuntimeError, match="not a catalog relation"):
+        poisoned.call("find_supplier", ("rel", [("S1", "x", 1.0, "y")]))
+    # the connection is then CLOSED by the server: a follow-up call on
+    # it fails loudly instead of desyncing on leftover bytes
+    with pytest.raises((EOFError, ConnectionError, OSError, ValueError)):
+        poisoned.call("findall_supplier")
+    poisoned.close()
+    # the server itself is healthy: a fresh connection works
+    fresh = _Client(port)
+    assert len(fresh.call("findall_supplier")) == 5
+    fresh.close()

@@ -120,7 +120,10 @@ def main() -> None:
             t0 = _time.time() - 10_000
             for i, f in enumerate(sorted(_g.glob(f"{final}/part-*.parquet"))):
                 os.utime(f, (t0 + i * 10, t0 + i * 10))
-        print(f"{name}: {out.count()} rows -> {final}", file=sys.stderr)
+        # count the WRITTEN files (parquet footer metadata) — counting
+        # `out` would re-execute the whole cross-join plan a second time
+        n = spark.read.parquet(final).count()
+        print(f"{name}: {n} rows -> {final}", file=sys.stderr)
 
 
 if __name__ == "__main__":

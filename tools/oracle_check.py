@@ -49,26 +49,39 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
     for c in cols:
         av, bv = a[c], b[c]
         if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
-            diff = (av.astype(float) - bv.astype(float)).abs().fillna(0)
+            # NULL masks must agree FIRST: one-sided nulls produce a NaN
+            # diff that a bare fillna(0) would wave through
+            fa, fb = av.astype(float), bv.astype(float)
+            if not (fa.isna() == fb.isna()).all():
+                return f"null pattern differs in {c}"
+            diff = (fa - fb).abs().fillna(0)
             if not (diff < 1e-9).all():
                 return f"values differ in {c} (max {diff.max()})"
         else:
+            if not (av.isna() == bv.isna()).all():
+                return f"null pattern differs in {c}"
             if not (av.astype(str).values == bv.astype(str).values).all():
                 return f"values differ in {c}"
     return None
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    positional: list[str] = []
     sample = None
     keys_only = None
-    for a in sys.argv[1:]:
+    it = iter(sys.argv[1:])
+    for a in it:
+        # both --flag=value and --flag value are accepted
         if a.startswith("--sample"):
-            sample = int(a.split("=", 1)[1])
-        if a.startswith("--keys"):
-            keys_only = a.split("=", 1)[1].split(",")
+            sample = int(a.split("=", 1)[1] if "=" in a else next(it))
+        elif a.startswith("--keys"):
+            keys_only = (a.split("=", 1)[1] if "=" in a else next(it)).split(",")
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}")
+        else:
+            positional.append(a)
+    sf_dir = positional[0] if positional else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     from andl_spark.session import get_spark
 
