@@ -173,3 +173,46 @@ def test_skip_take(spdb):
     assert sorted(taken) == allk[:2]
     assert sorted(skipped) == allk[3:]
     assert S.skip(2).take(2).count() == 2
+
+
+def test_transitive_closure_matches_fixpoint_in_log_rounds(spark):
+    """Path doubling (operators/closure.py): same reachability as the
+    semi-naive `.while()` fixpoint, in O(log diameter) rounds — the
+    256-deep chain that costs the general fixpoint 256 sequential
+    rounds converges in 8 (2^8 = 256)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from andl_spark.operators import whileop as W
+    from andl_spark.operators.closure import transitive_closure
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long")
+    stats = {}
+    tc = transitive_closure(edges, stats=stats)
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 1
+    got = {r["dst"] for r in tc.filter(F.col("src") == 0).collect()}
+    assert got == set(range(1, n + 1))  # full chain reachable, 8 rounds
+    # equivalence vs the general fixpoint on a chain it can afford
+    # (semi-naive needs one round PER LEVEL — the very cost this
+    # operator exists to avoid, so the cross-check uses depth 48)
+    m = 48
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(m)], "src long, dst long")
+    seed = spark.createDataFrame([(0,)], "node long")
+    step = lambda fr: fr.join(
+        short, fr["node"] == short["src"]).select(
+        F.col("dst").alias("node"))
+    want = {r["node"] for r in W.fixpoint(seed, step).collect()}
+    got = {r["dst"] for r in transitive_closure(short)
+           .filter(F.col("src") == 0).collect()} | {0}
+    assert got == want and len(want) == m + 1
+    # branching graph: full pair set, NULL edges ignored
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (None, 9), (9, None)],
+        "src long, dst long")
+    pairs = {(r["src"], r["dst"]) for r in transitive_closure(g).collect()}
+    assert pairs == {(1, 2), (1, 3), (1, 4), (1, 5), (2, 4), (2, 5),
+                     (3, 4), (3, 5), (4, 5)}
