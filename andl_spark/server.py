@@ -141,11 +141,11 @@ class _Handler(BaseHTTPRequestHandler):
         bound address (with or without the port) may execute anything.
         Direct socket clients (tests, curl) send the right Host for
         free because they dial the bound address. IPv6 literals arrive
-        bracketed ('[::1]:port'); enforcement applies to LOOPBACK binds
-        only — a deliberate non-loopback bind serves arbitrary client
-        hostnames and needs a fronting proxy/token for origin control."""
+        bracketed ('[::1]:port'). The allow-set is loopback spellings
+        plus, for network binds, this machine's own hostname/addresses
+        (see AndlRestServer.__init__); allowed_hosts='*' disables."""
         allowed = self.server.allowed_hosts  # type: ignore[attr-defined]
-        if allowed is None:  # non-loopback bind: guard not applicable
+        if allowed is None:  # explicit '*': guard disabled by caller
             return True
         host = (self.headers.get("Host") or "").strip()
         if host.startswith("["):  # bracketed IPv6, maybe with :port
@@ -341,19 +341,36 @@ class AndlRestServer:
     """Threaded REST server bound to an AndlSession. Port 0 (default)
     picks a free ephemeral port — read `.port` after start()."""
 
-    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0,
+                 allowed_hosts=None):
         self._http = ThreadingHTTPServer((host, port), _Handler)
         self._http.andl_session = session  # type: ignore[attr-defined]
         # Host values that may execute requests (DNS-rebinding guard).
-        # The rebinding attack targets loopback servers, so enforcement
-        # applies to loopback binds (the default); binding any other
-        # address is a deliberate network exposure whose clients use
-        # real hostnames — allowed_hosts=None disables the check there
-        # (front with a proxy or token for origin control).
-        if host in ("127.0.0.1", "::1", "localhost"):
-            self._http.allowed_hosts = {"127.0.0.1", "::1", "localhost"}  # type: ignore[attr-defined]
-        else:
+        # Loopback binds allow only loopback spellings. A 0.0.0.0/::
+        # bind (the container pattern: port-mapped from the host, so a
+        # loopback bind inside would be unreachable) KEEPS the guard —
+        # loopback spellings plus this machine's own hostname/addresses
+        # — because rebinding attacks target exactly that setup. Pass
+        # ``allowed_hosts`` explicitly to serve other names, or "*" to
+        # disable (behind a proxy that enforces origin)."""
+        if allowed_hosts == "*":
             self._http.allowed_hosts = None  # type: ignore[attr-defined]
+        elif allowed_hosts is not None:
+            self._http.allowed_hosts = set(allowed_hosts)  # type: ignore[attr-defined]
+        else:
+            allowed = {"127.0.0.1", "::1", "localhost"}
+            if host not in ("127.0.0.1", "::1", "localhost"):
+                import socket as _socket
+
+                allowed.add(host)
+                try:
+                    name = _socket.gethostname()
+                    allowed.add(name)
+                    for info in _socket.getaddrinfo(name, None):
+                        allowed.add(info[4][0])
+                except OSError:
+                    pass
+            self._http.allowed_hosts = allowed  # type: ignore[attr-defined]
         # serializes stateful surfaces across handler threads: the
         # shared language session and relvar read-modify-write updates
         self._http.andl_lock = threading.RLock()  # type: ignore[attr-defined]

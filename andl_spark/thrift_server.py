@@ -225,11 +225,18 @@ def _wire_value(proto: TBinaryProtocol, wtype: int, v) -> None:
         proto.write_string("" if v is None else str(v))
 
 
+class _DirtyStream(Exception):
+    """The request stream position is unknown (mid-read failure): the
+    reply has been written; the connection must end cleanly."""
+
+
 class _Handler(socketserver.StreamRequestHandler):
     """One connection = a stream of call messages (Processor.Process
     loop); EOF ends the session."""
 
     def handle(self):
+        import socket as _socket
+
         proto = TBinaryProtocol(self.rfile, self.wfile)
         while True:
             try:
@@ -238,6 +245,20 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             try:
                 self.server.dispatch(proto, name, seqid)  # type: ignore[attr-defined]
+            except _DirtyStream:
+                # deliver the already-flushed reply RELIABLY: a close
+                # with unread bytes in the receive buffer RSTs the
+                # connection and can destroy the in-flight reply. FIN
+                # our side first, then drain whatever the client had
+                # already sent until it closes (bounded by timeout).
+                try:
+                    self.connection.shutdown(_socket.SHUT_WR)
+                    self.connection.settimeout(5)
+                    while self.connection.recv(65536):
+                        pass
+                except OSError:
+                    pass
+                return
             except (EOFError, ConnectionError):
                 return
             except Exception as e:  # noqa: BLE001 — wire-level fallback
@@ -308,10 +329,11 @@ class AndlThriftServer:
             raise
         except Exception as e:  # noqa: BLE001 — mid-read failure: the
             # request's remaining bytes are unconsumed, so the stream
-            # position is unknown — reply, then CLOSE the connection
-            # (continuing would parse leftover arg bytes as a header)
+            # position is unknown — reply, then END the connection
+            # cleanly (the handler FINs and drains; continuing would
+            # parse leftover arg bytes as a header)
             _write_exception(proto, name, seqid, EX_INTERNAL, str(e))
-            raise EOFError("argument decode failed; closing connection")
+            raise _DirtyStream from e
         try:
             with self._lock:
                 result = self.sess._call_user(fd, args)
@@ -342,8 +364,16 @@ class AndlThriftServer:
             # would be skipped as unknown fields)
             proto.write_field_begin(T_STRUCT, 0)
             for i, (k, v) in enumerate(result.items()):
-                wtype = {bool: T_BOOL, Decimal: T_DOUBLE, float: T_DOUBLE,
-                         int: T_DOUBLE, datetime: T_I64}.get(type(v), T_STRING)
+                # isinstance, not exact type: bool precedes int (bool
+                # IS int), and datetime.date covers DateType row values
+                if isinstance(v, bool):
+                    wtype = T_BOOL
+                elif isinstance(v, (Decimal, float, int)):
+                    wtype = T_DOUBLE
+                elif isinstance(v, date):  # datetime included
+                    wtype = T_I64
+                else:
+                    wtype = T_STRING
                 proto.write_field_begin(wtype, i + 1)
                 _wire_value(proto, wtype, v)
             proto.write_field_stop()

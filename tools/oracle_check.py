@@ -71,11 +71,18 @@ def main() -> None:
     keys_only = None
     it = iter(sys.argv[1:])
     for a in it:
-        # both --flag=value and --flag value are accepted
-        if a.startswith("--sample"):
-            sample = int(a.split("=", 1)[1] if "=" in a else next(it))
-        elif a.startswith("--keys"):
-            keys_only = (a.split("=", 1)[1] if "=" in a else next(it)).split(",")
+        # both --flag=value and --flag value are accepted; flags match
+        # EXACTLY (a prefix like --samples must be an error, not a
+        # misparse) and a missing value is a usage error, not a crash
+        flag, _, inline = a.partition("=")
+        if flag in ("--sample", "--keys"):
+            val = inline if inline else next(it, None)
+            if val is None:
+                raise SystemExit(f"{flag} requires a value")
+            if flag == "--sample":
+                sample = int(val)
+            else:
+                keys_only = val.split(",")
         elif a.startswith("--"):
             raise SystemExit(f"unknown flag {a}")
         else:
