@@ -69,16 +69,28 @@ DEFAULT_LIMIT = 1000
 # serves that loop as one dependency-free page over POST /api/andl.
 _WORKBENCH_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>Andl Workbench</title><style>
- body{font-family:monospace;margin:1.5em;max-width:60em}
+ body{font-family:monospace;margin:1.5em;max-width:72em;display:flex;gap:1.5em}
+ #main{flex:1}
+ #cat{width:16em;border-left:1px solid #ccc;padding-left:1em}
+ #cat h3{margin:.4em 0 .2em}
+ #cat li{cursor:pointer;list-style:none;margin:.1em 0}
+ #cat li:hover{text-decoration:underline}
+ #cat ul{padding-left:.5em;margin:.2em 0}
  textarea{width:100%;height:12em;font:inherit}
  pre{background:#f4f4f4;padding:.8em;white-space:pre-wrap}
  .fail{color:#b00}
 </style></head><body>
+<div id="main">
 <h2>Andl Workbench</h2>
 <p>State persists between runs (one server-held session).</p>
 <textarea id="src" spellcheck="false">S .where(STATUS &gt; 15)</textarea><br>
 <button onclick="run()">Run (Ctrl-Enter)</button>
 <pre id="out"></pre>
+</div>
+<div id="cat">
+<h3>Relations</h3><ul id="vars"></ul>
+<h3>Operators</h3><ul id="ops"></ul>
+</div>
 <script>
 async function run(){
   const r = await fetch('/api/andl', {method:'POST',
@@ -87,13 +99,37 @@ async function run(){
   const j = await r.json();
   const out = document.getElementById('out');
   if (!r.ok || 'error' in j){ out.innerHTML = '<span class=fail></span>';
-    out.firstChild.textContent = j.error || '(error)'; return; }
+    out.firstChild.textContent = j.error || '(error)';
+    if (j.output && j.output.length)
+      out.textContent += '\\n(partial) ' + j.output.join('\\n');
+    return; }
   out.textContent = j.output.join('\\n');
   if (j.failures.length)
     out.textContent += '\\nFAILED lines: ' + j.failures.join(', ');
+  loadCatalog();
+}
+// the Andl.Workbench catalog tree: click a name to insert it
+async function loadCatalog(){
+  try {
+    const v = await (await fetch('/api/variables')).json();
+    const o = await (await fetch('/api/operators')).json();
+    const fill = (id, names) => {
+      const ul = document.getElementById(id); ul.innerHTML = '';
+      (names || []).forEach(n => {
+        const li = document.createElement('li');
+        li.textContent = n;
+        li.onclick = () => { const t = document.getElementById('src');
+          t.value += (t.value && !t.value.endsWith('\\n') ? '\\n' : '') + n;
+          t.focus(); };
+        ul.appendChild(li);
+      });
+    };
+    fill('vars', v.variables); fill('ops', o.operators);
+  } catch (e) { /* catalog pane is best-effort */ }
 }
 document.getElementById('src').addEventListener('keydown',
   e => { if (e.ctrlKey && e.key === 'Enter') run(); });
+loadCatalog();
 </script></body></html>"""
 
 
@@ -202,9 +238,23 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if parts[:1] == ["api"]:
                 if parts[1:] == ["variables"]:
-                    return self._send(200, {"variables": sess.variables()})
+                    # include the lang session's relvars: the Workbench
+                    # editor executes there, so the catalog pane must
+                    # list what a SCRIPT can actually reference
+                    names = list(sess.variables())
+                    lang = getattr(self.server, "lang_session", None)
+                    if lang is not None:
+                        from .lang.interp import RelV
+
+                        names += [n for n, v in lang.globals.items()
+                                  if isinstance(v, RelV) and n not in names]
+                    return self._send(200, {"variables": names})
                 if parts[1:] == ["operators"]:
-                    return self._send(200, {"operators": sess.operators()})
+                    ops = list(sess.operators())
+                    lang = getattr(self.server, "lang_session", None)
+                    if lang is not None:
+                        ops += [n for n in lang.defs if n not in ops]
+                    return self._send(200, {"operators": ops})
                 return self._send(404, {"error": f"unknown api route {parts}"})
             if parts[:1] != ["rest"] or len(parts) not in (2, 3):
                 return self._send(404, {"error": f"unknown route {self.path}"})

@@ -301,3 +301,29 @@ def test_failed_script_returns_partial_output(served):
     # its own output
     out = _req(port, "/api/andl", method="POST", body={"src": "write('next')"})
     assert out["output"] == ["next"]
+
+
+def test_workbench_catalog_pane(served):
+    """The catalog tree (Andl.Workbench's browser pane): the page
+    fetches /api/variables + /api/operators and both endpoints serve
+    the session's names."""
+    _, port = served
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30) as resp:
+        html = resp.read().decode()
+    assert "/api/variables" in html and "/api/operators" in html
+    assert 'id="vars"' in html and 'id="ops"' in html
+    v = _req(port, "/api/variables")
+    assert "s" in [n.lower() for n in v["variables"]]
+    o = _req(port, "/api/operators")
+    assert "by_city" in o["operators"]
+
+
+def test_catalog_pane_reflects_lang_session(served):
+    """Names defined by POSTed Andl scripts (the session the editor
+    actually runs in) appear in the catalog pane's endpoints."""
+    _, port = served
+    _req(port, "/api/andl", "POST",
+         {"src": "PaneRel := {{ a := 1 }}\ndef pane_op(x) => x + 1"})
+    assert "PaneRel" in _req(port, "/api/variables")["variables"]
+    assert "pane_op" in _req(port, "/api/operators")["operators"]
