@@ -63,6 +63,61 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     assert "codegen id" in plan, "no WholeStageCodegen spans in plan"
 
 
+def _top_level_brackets(s: str) -> list[str]:
+    """Split 'Arguments: [a], [b, [c]], [d]' into its top-level
+    [...] groups (depth-aware — window exprs nest brackets)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start:i + 1])
+                start = -1
+    return groups
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Arguments of every partition-less Window node in the plan.
+
+    A Window node's formatted Arguments are [exprs], [partitionSpec],
+    [orderSpec] — but EMPTY trailing specs are omitted from the text,
+    so a partitioned-unordered window prints two groups and a grand
+    total just one. A window is single-task iff it has no partition
+    spec: three groups → partitioned; two groups → partitioned only
+    when the second group is NOT a sort spec (sort items carry
+    'NULLS FIRST/LAST'); one group → global. Global means upstream
+    Exchange SinglePartition: every row funnels through ONE task —
+    the textbook scale-killer."""
+    plan = formatted_plan(df)
+    hits = []
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"\(\d+\) Window\b", lines[0]):
+            continue
+        for ln in lines:
+            if not ln.startswith("Arguments: "):
+                continue
+            groups = _top_level_brackets(ln)
+            if len(groups) >= 3:
+                continue  # explicit partition spec present
+            if len(groups) == 2 and "NULLS" not in groups[1]:
+                continue  # second group is a partition spec, order empty
+            hits.append(ln[:300])
+    return hits
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Headline queries must never sort all rows in one task: top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition heap, driver
+    merge), ordered folds partition by their group key."""
+    hits = global_windows(df)
+    assert not hits, f"partition-less Window in plan: {hits}"
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Exchange nodes in the physical plan (AQE may remove some at
     runtime; this is the static upper bound)."""

@@ -172,9 +172,12 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _host_ok(self) -> bool:
-        """DNS-rebinding / CSRF guard: a browser-driven request against
+        """DNS-rebinding guard: a browser-driven request against
         127.0.0.1 carries the attacker's hostname in Host; only the
         bound address (with or without the port) may execute anything.
+        This stops rebinding ONLY — a classic cross-site fetch/form
+        POST straight at http://127.0.0.1:port carries the target's
+        own Host header and passes; _csrf_ok covers that case.
         Direct socket clients (tests, curl) send the right Host for
         free because they dial the bound address. IPv6 literals arrive
         bracketed ('[::1]:port'). The allow-set is loopback spellings
@@ -190,11 +193,42 @@ class _Handler(BaseHTTPRequestHandler):
             name = host.rsplit(":", 1)[0]
         return name in allowed
 
+    def _csrf_ok(self) -> bool:
+        """Cross-site guard for state-changing verbs. A malicious page
+        can fire a no-preflight "simple" request (text/plain fetch or
+        an HTML form) at 127.0.0.1 with the victim's own Host header,
+        so _host_ok alone does not stop CSRF. Two independent brakes:
+        (1) a request that names a foreign Origin is rejected; (2) the
+        body must declare Content-Type: application/json — a non-simple
+        type that forces a CORS preflight the browser refuses for a
+        cross-origin page (forms and simple fetches cannot send it).
+        Disabled together with the Host guard (allowed_hosts='*')."""
+        allowed = self.server.allowed_hosts  # type: ignore[attr-defined]
+        if allowed is None:  # explicit '*': guard disabled by caller
+            return True
+        origin = (self.headers.get("Origin") or "").strip()
+        if origin:
+            oname = (urlparse(origin).hostname or "").lower()
+            # 'Origin: null' (sandboxed/opaque page) parses to '' — reject
+            if oname not in allowed:
+                return False
+        if self.command in ("POST", "PUT"):
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype.strip().lower() != "application/json":
+                return False
+        return True
+
     def parse_request(self):
         # one choke point covering every verb, before any routing
         ok = super().parse_request()
         if ok and not self._host_ok():
             self._send(403, {"error": "forbidden Host header"})
+            self.close_connection = True
+            return False
+        if ok and self.command in ("POST", "PUT", "DELETE") and not self._csrf_ok():
+            self._send(403, {"error": "cross-site request refused "
+                                      "(need Content-Type: application/json "
+                                      "from an allowed origin)"})
             self.close_connection = True
             return False
         return ok

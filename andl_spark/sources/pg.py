@@ -306,8 +306,18 @@ def copy_df(conn: PgConnection, table: str, df: DataFrame) -> None:
             return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, (int, float, Decimal)):
-            return repr(float(v)) if isinstance(v, float) else str(v)
+        if isinstance(v, float):
+            # repr() of non-finite floats is bare inf/nan — invalid PG
+            # numeric literals; PG wants the quoted-cast spelling
+            if v != v:
+                return "'NaN'::float8"
+            if v == float("inf"):
+                return "'Infinity'::float8"
+            if v == float("-inf"):
+                return "'-Infinity'::float8"
+            return repr(v)
+        if isinstance(v, (int, Decimal)):
+            return str(v)
         return "'" + str(v).replace("'", "''") + "'"
 
     for i in range(0, len(rows), 500):

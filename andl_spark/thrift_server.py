@@ -56,11 +56,19 @@ _TICKS_EPOCH = datetime(1, 1, 1)
 
 
 def _to_ticks(dt: datetime) -> int:
-    return round((dt - _TICKS_EPOCH).total_seconds() * 10_000_000)
+    # integer arithmetic throughout: current-era tick counts (~6.4e17)
+    # are far past float's exact-integer range (2^53), so a float
+    # round-trip would shift timestamps by whole microseconds
+    delta = dt - _TICKS_EPOCH
+    us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return us * 10
 
 
 def _from_ticks(ticks: int) -> datetime:
-    return _TICKS_EPOCH + timedelta(microseconds=ticks / 10)
+    return _TICKS_EPOCH + timedelta(
+        seconds=ticks // 10_000_000,
+        microseconds=(ticks % 10_000_000) // 10,
+    )
 
 
 class TBinaryProtocol:
@@ -474,5 +482,21 @@ class AndlThriftServer:
         from .lang.interp import RelV
         from .relation import Relation
 
+        # The IDL maps every Andl number to Thrift DOUBLE, so decoded
+        # structs carry floats even when the catalog relation's heading
+        # has bigint/int columns (parquet-backed relvars). Coerce each
+        # value to its schema field's type up front — Spark's schema
+        # verification rejects float-for-long otherwise, aborting the
+        # call and tearing down the connection.
+        casts = []
+        for f in schema.fields:
+            t = f.dataType.typeName()
+            if t in ("long", "integer", "short", "byte"):
+                casts.append(lambda v: None if v is None else int(v))
+            elif t in ("double", "float"):
+                casts.append(lambda v: None if v is None else float(v))
+            else:
+                casts.append(lambda v: v)
+        rows = [tuple(c(v) for c, v in zip(casts, row)) for row in rows]
         df = self.sess.spark.createDataFrame(rows, schema)
         return RelV(Relation(df))

@@ -131,14 +131,15 @@ def q3_shipping_priority(spark, sf_dir):
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # Deterministic top-10 via orderBy+limit: Spark plans this as
+    # TakeOrderedAndProject (per-partition partial top-k, driver merge) —
+    # no single-task global Window sort, so it holds at 100x group counts.
     # Timestamps cross the harness as formatted strings: Spark emits
     # ns-precision arrow timestamps, DuckDB us — identical instants that
     # stringify differently and break naive value-hashing.
     return (
-        rev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 10)
-        .drop("__rn")
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
 
@@ -1630,7 +1631,8 @@ def q10_returned_items(spark, sf_dir):
     Scale shape: orderdate + returnflag predicates reach the parquet
     scans; orders⋈lineitem shuffles on orderkey (AQE coalesces), the
     25-row nation dim is broadcast explicitly, and the final top-20
-    is a partial top-k per partition before the single-row window.
+    is TakeOrderedAndProject (per-partition heap, driver merge — no
+    single-task global sort).
     """
     t = _t(spark, sf_dir)
     orders = (
@@ -1657,10 +1659,12 @@ def q10_returned_items(spark, sf_dir):
     rev = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    # Top-20 as orderBy+limit => TakeOrderedAndProject: per-partition
+    # partial top-k merged on the driver, not a partition-less Window
+    # funnelling every customer group through one task.
     return (
-        rev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
         .select(
             "c_custkey", "c_name", "n_name",
             r2(F.col("c_acctbal")).alias("c_acctbal"), "revenue",

@@ -200,3 +200,45 @@ def test_new_pipeline_ops_plan_shapes(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kplan = X.formatted_plan(D.dup_clusters(pairs, max_iter=5))
     assert "CartesianProduct" not in kplan and "NestedLoop" not in kplan
+
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
+    "q18_large_orders", "q_topk_orders", "q_colocated_pairs",
+]
+
+# Documented single-task windows outside the headline set:
+#  - q_agg_fold: grand-total window over the 25-nation aggregate —
+#    cardinality bounded by the nation table at every SF (docstring).
+#  - q_window_rank: Andl's total-order ord() on an o_custkey<20 slice;
+#    a total order is inherently single-partition, so the query bounds
+#    its input first (docstring).
+GLOBAL_WINDOW_EXCEPTIONS = {"q_agg_fold", "q_window_rank"}
+
+
+def test_headline_queries_no_global_window(spark):
+    """VERDICT r4 finding 1: top-k must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge), never a partition-less Window
+    funnelling every group through one task."""
+    for name in HEADLINE:
+        X.assert_no_global_window(workload.QUERIES[name](spark, SF_SMOKE))
+    # the two fixed queries specifically plan the scale-safe operator
+    for name in ("q3_shipping_priority", "q10_returned_items"):
+        plan = X.formatted_plan(workload.QUERIES[name](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_all_driver_queries_global_window_inventory(spark):
+    """Pin the full inventory: across every declared driver query the
+    ONLY partition-less Windows are the two documented exceptions —
+    a new scale-killer can't sneak in unnoticed."""
+    import __spark_entry__ as entry
+
+    offenders = {
+        name for name, fn in entry.queries().items()
+        if X.global_windows(fn(spark, SF_SMOKE))
+    }
+    assert offenders <= GLOBAL_WINDOW_EXCEPTIONS, (
+        f"undocumented global windows: {offenders - GLOBAL_WINDOW_EXCEPTIONS}"
+    )

@@ -175,3 +175,18 @@ def test_single_partition_scan_keeps_upper_rows(spark, pg):
         lower_bound=1, upper_bound=300, num_partitions=1)
     assert df.count() == 347          # nothing above upper_bound lost
     assert "WHERE" not in df._pg_sql[0]
+
+
+def test_copy_df_nonfinite_floats(spark, pg):
+    """ADVICE r4: repr() renders non-finite floats as bare inf/nan —
+    invalid PG numeric literals. The quoted-cast spelling must load
+    and round-trip."""
+    df = spark.createDataFrame(
+        [(1, float("inf")), (2, float("-inf")), (3, float("nan")), (4, 1.5)],
+        "k bigint, v double")
+    copy_df(pg["conn"], "NonFinite", df)
+    _, _, out = pg["conn"].execute('SELECT "k", "v" FROM "NonFinite"')
+    rows = dict(out)
+    assert rows[1] == float("inf") and rows[2] == float("-inf")
+    assert rows[3] != rows[3]  # NaN
+    assert rows[4] == 1.5

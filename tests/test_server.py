@@ -327,3 +327,44 @@ def test_catalog_pane_reflects_lang_session(served):
          {"src": "PaneRel := {{ a := 1 }}\ndef pane_op(x) => x + 1"})
     assert "PaneRel" in _req(port, "/api/variables")["variables"]
     assert "pane_op" in _req(port, "/api/operators")["operators"]
+
+
+def test_cross_site_simple_request_is_rejected(served):
+    """ADVICE r4 (medium): _host_ok only stops DNS rebinding — a
+    cross-site fetch/form POST straight at 127.0.0.1 carries the
+    target's own Host header. The executing POST routes must therefore
+    refuse (a) no-preflight "simple" content types and (b) requests
+    naming a foreign Origin, which is exactly what a malicious page
+    can send without a CORS preflight."""
+    _, port = served
+    # (a) text/plain body — an HTML-form/simple-fetch shape
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/sql",
+        data=json.dumps({"sql": "SELECT 1 AS x"}).encode(),
+        method="POST", headers={"Content-Type": "text/plain"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 403
+    # (b) JSON content type but a foreign Origin (preflighted in a real
+    # browser, but the server must not rely on the browser honoring it)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/sql",
+        data=json.dumps({"sql": "SELECT 1 AS x"}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json",
+                 "Origin": "https://evil.example"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 403
+    # same-origin requests (loopback Origin) still execute
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/sql",
+        data=json.dumps({"sql": "SELECT 1 AS x"}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json",
+                 "Origin": f"http://127.0.0.1:{port}"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert json.loads(resp.read())["rows"] == [[1]]

@@ -219,3 +219,41 @@ def test_mid_read_failure_closes_connection(served, spark):
     fresh = _Client(port)
     assert len(fresh.call("findall_supplier")) == 5
     fresh.close()
+
+
+def test_ticks_integer_precision():
+    """ADVICE r4: float tick division shifted current-era timestamps by
+    microseconds (tick counts ~6.4e17 >> 2^53). Integer arithmetic must
+    round-trip exactly."""
+    from datetime import datetime
+
+    from andl_spark.thrift_server import _from_ticks, _to_ticks
+
+    for dt in (datetime(2026, 8, 14, 12, 34, 56, 789123),
+               datetime(1999, 12, 31, 23, 59, 59, 999999),
+               datetime(1, 1, 1, 0, 0, 0, 1)):
+        assert _from_ticks(_to_ticks(dt)) == dt
+    # and ticks themselves are exact multiples of 10 per microsecond
+    assert _to_ticks(datetime(1, 1, 1, 0, 0, 0, 1)) == 10
+
+
+def test_relation_param_bigint_heading_coerced(served, spark):
+    """ADVICE r4: the IDL maps Andl numbers to Thrift DOUBLE, so a
+    decoded relation param arrives as floats; a catalog relation whose
+    heading has bigint columns (parquet-backed relvar) must not abort
+    Spark schema verification."""
+    from andl_spark.thrift_server import AndlThriftServer
+
+    class _Sess:
+        pass
+
+    sess = _Sess()
+    sess.spark = spark
+    srv = AndlThriftServer.__new__(AndlThriftServer)
+    srv.sess = sess
+    schema = spark.createDataFrame(
+        [(1, 2.0, "x")], "k bigint, v double, s string").schema
+    relv = srv._rows_to_relv([(1.0, 2.5, "a"), (7.0, None, None)], schema)
+    rows = sorted(relv.df.collect(), key=lambda r: r.k)
+    assert rows[0].k == 1 and isinstance(rows[0].k, int)
+    assert rows[1].k == 7 and rows[1].v is None

@@ -54,8 +54,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
             fa, fb = av.astype(float), bv.astype(float)
             if not (fa.isna() == fb.isna()).all():
                 return f"null pattern differs in {c}"
+            # relative tolerance (numpy.isclose-style): at sf1+ scale
+            # aggregate magnitudes make legitimate Spark-vs-DuckDB
+            # double-rounding differences exceed any absolute epsilon
             diff = (fa - fb).abs().fillna(0)
-            if not (diff < 1e-9).all():
+            tol = 1e-9 * (1 + pd.concat([fa.abs(), fb.abs()], axis=1).max(axis=1).fillna(0))
+            if not (diff <= tol).all():
                 return f"values differ in {c} (max {diff.max()})"
         else:
             if not (av.isna() == bv.isna()).all():
