@@ -194,6 +194,22 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) — one row per LSH band, bucket = the band's
+    signature slice as a join-keyable string."""
+    bands = F.expr("array(" + ", ".join(
+        f"struct({i} AS band, concat_ws('_', transform("
+        f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x AS string))) AS bucket)"
+        for i in range(num_bands)
+    ) + ")")
+    return signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -219,15 +235,7 @@ def lsh_candidate_pairs(
     for DENSE clusters (each member similar to the anchor). D anchors
     give D chances for the downstream similarity verification to keep
     at least one connecting edge per bucket-mate."""
-    bands = F.expr("array(" + ", ".join(
-        f"struct({i} AS band, concat_ws('_', transform("
-        f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
-        f"x -> cast(x AS string))) AS bucket)"
-        for i in range(num_bands)
-    ) + ")")
-    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, "bb.band", "bb.bucket"
-    )
+    exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     left = exploded
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -451,6 +459,25 @@ def _simhash_chunks(max_hamming: int) -> list[tuple[str, int, int]]:
     return out
 
 
+def _simhash_chunk_col(max_hamming: int) -> F.Column:
+    """array<struct<chunk,val>> of the pigeonhole chunk buckets for a
+    (sh_lo, sh_hi) signature row (see _simhash_chunks)."""
+    pieces = _simhash_chunks(max_hamming)
+    by_chunk: dict[int, list] = {}
+    for ci, half, off, width in pieces:
+        expr = F.shiftrightunsigned(half, off).bitwiseAND(F.lit((1 << width) - 1))
+        by_chunk.setdefault(ci, []).append(expr)
+    return F.array(*[
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            # combine boundary-spanning pieces into one bucket value
+            (parts[0] if len(parts) == 1
+             else parts[0] + parts[1] * F.lit(1 << 32)).alias("val"),
+        )
+        for ci, parts in sorted(by_chunk.items())
+    ])
+
+
 def simhash_near_pairs(
     signatures: DataFrame, id_col: str, max_hamming: int = 3,
     anchor_degree: int | None = None,
@@ -471,20 +498,7 @@ def simhash_near_pairs(
     lsh_candidate_pairs). Exact pair semantics require None (the
     losslessness guarantee above is about CANDIDATES; anchors keep it
     only for edges through an anchor)."""
-    pieces = _simhash_chunks(max_hamming)
-    by_chunk: dict[int, list] = {}
-    for ci, half, off, width in pieces:
-        expr = F.shiftrightunsigned(half, off).bitwiseAND(F.lit((1 << width) - 1))
-        by_chunk.setdefault(ci, []).append(expr)
-    chunks = F.array(*[
-        F.struct(
-            F.lit(ci).alias("chunk"),
-            # combine boundary-spanning pieces into one bucket value
-            (parts[0] if len(parts) == 1
-             else parts[0] + parts[1] * F.lit(1 << 32)).alias("val"),
-        )
-        for ci, parts in sorted(by_chunk.items())
-    ])
+    chunks = _simhash_chunk_col(max_hamming)
     # Materialize signatures before the self-join: its two scan stages
     # run concurrently and would each recompute the signature pipeline
     # (chunk explode from cache is cheap — cache pre-explode, 1 row
@@ -818,6 +832,136 @@ def dedup_against_index(
         .filter(F.col(id_col) == F.col("__min"))
         .drop("__fp", "__min")
     )
+
+
+def minhash_against_index(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    anchor_degree: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash near-dup: sign ONLY the new batch and join
+    its band buckets against a persisted signature index — the 100 TB
+    re-crawl workflow, where re-signing the historical corpus per
+    ingest is the cost that kills the pipeline.
+
+    ``index_sigs`` is the output of :func:`minhash_signatures` over the
+    historical corpus (persist it with Catalog.put — (id, 64 longs) per
+    doc; the text column never moves). Returns ``(pairs, new_sigs)``:
+
+    - ``pairs`` — every near-dup pair (id_a < id_b, est_jaccard ≥
+      threshold) that TOUCHES the new batch: new×new and new×old.
+      Union with the previously-known old×old pairs to get exactly the
+      full-corpus recompute's pair set (signatures are per-doc
+      deterministic and the band join is symmetric, so no pair is
+      gained or lost — pytest proves set equality).
+    - ``new_sigs`` — the new batch's signatures; append to the index
+      (Catalog.put versioning keeps the old state time-travelable).
+
+    Join shape: the SMALL new-batch bucket list is the left side; the
+    corpus-sized index explodes band buckets on the right with a
+    shuffle_hash hint (same rationale as lsh_candidate_pairs — AQE
+    must not try to broadcast a corpus-sized side). Pair order is
+    normalized with least/greatest since a new id may sort before an
+    old one. ``anchor_degree=D`` caps fan-out per (band,bucket) on the
+    index side for duplicate-dense corpora (see lsh_candidate_pairs;
+    exact pair parity requires None)."""
+    rows_per_band = num_perm // num_bands
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_perm, shingle_k, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    all_sigs = index_sigs.select(id_col, "signature").unionByName(
+        new_sigs.select(id_col, "signature")
+    )
+    new_b = _band_buckets(new_sigs, id_col, num_bands, rows_per_band)
+    all_b = _band_buckets(all_sigs, id_col, num_bands, rows_per_band)
+    if anchor_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        all_b = (
+            all_b.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= anchor_degree)
+            .drop("__rk")
+        )
+    a = new_b.alias("a")
+    b = all_b.alias("b").hint("shuffle_hash")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(f"a.{id_col}", f"b.{id_col}").alias("id_a"),
+            F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    scored = minhash_jaccard(all_sigs, pairs, id_col)
+    out = scored.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+    return out, new_sigs
+
+
+def simhash_against_index(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    anchor_degree: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SimHash twin of :func:`minhash_against_index`:
+    ``index_sigs`` is persisted :func:`simhash_signatures` output
+    (id, sh_lo, sh_hi — 2 longs per doc). Returns ``(pairs,
+    new_sigs)`` where pairs is every Hamming ≤ max_hamming pair
+    touching the new batch (lossless by the pigeonhole chunk cover,
+    exactly as the full recompute — pytest proves set equality)."""
+    chunks = _simhash_chunk_col(max_hamming)
+    new_sigs = simhash_signatures(
+        new_docs, id_col, text_col, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    all_sigs = index_sigs.select(id_col, "sh_lo", "sh_hi").unionByName(
+        new_sigs.select(id_col, "sh_lo", "sh_hi")
+    )
+
+    def _explode(sigs):
+        return sigs.select(
+            id_col, "sh_lo", "sh_hi", F.explode(chunks).alias("c")
+        ).select(id_col, "sh_lo", "sh_hi", "c.chunk", "c.val")
+
+    new_e, all_e = _explode(new_sigs), _explode(all_sigs)
+    if anchor_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk", "val").orderBy(id_col)
+        all_e = (
+            all_e.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= anchor_degree)
+            .drop("__rk")
+        )
+    a, b = new_e.alias("a"), all_e.alias("b").hint("shuffle_hash")
+    hamming = (
+        F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+        + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    ).cast("long")
+    pairs = (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(f"a.{id_col}", f"b.{id_col}").alias("id_a"),
+            F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
+    )
+    return pairs, new_sigs
 
 
 # ---------------------------------------------------------------------

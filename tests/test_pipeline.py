@@ -534,3 +534,64 @@ def test_anchor_degree_bounds_fanout_preserves_clusters(spark):
         cpd = {tuple(r) for r in D.dup_clusters(
             sc.select("id_a", "id_b")).collect()}
         assert exd == cpd
+
+
+# ---------------------------------------------------------------------
+# incremental near-dup index (VERDICT r4 item 4)
+# ---------------------------------------------------------------------
+
+def _pair_set(df, *extra):
+    return {tuple(r) for r in df.select("id_a", "id_b", *extra).collect()}
+
+
+def test_minhash_incremental_index_equals_full_recompute(docs, spark, tmp_path):
+    """batch+index must reproduce the full-corpus recompute exactly:
+    old×old pairs from the index build, plus every pair touching the
+    new batch from minhash_against_index — no pair gained or lost.
+    The index round-trips through the versioned catalog (the persisted
+    artifact the 100 TB re-crawl keeps)."""
+    from andl_spark.sources.catalog import Catalog
+
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+
+    full = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    old_pairs = D.minhash_lsh_dedup(old, "doc_id", "text", threshold=0.5)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.put("mh_index", D.minhash_signatures(old, "doc_id", "text"))
+    incr, new_sigs = D.minhash_against_index(
+        new, cat.get("mh_index"), "doc_id", "text", threshold=0.5)
+
+    f = _pair_set(full)
+    assert _pair_set(old_pairs) | _pair_set(incr) == f
+    # incremental pairs all touch the new batch; old×old stays indexed
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in _pair_set(incr))
+    # jaccard estimates agree with the full run on shared pairs
+    fj = {(r.id_a, r.id_b): r.est_jaccard for r in full.collect()}
+    for r in incr.collect():
+        assert abs(fj[(r.id_a, r.id_b)] - r.est_jaccard) < 1e-12
+    # appending the new signatures reproduces the full signature set
+    cat.put("mh_index", cat.get("mh_index").unionByName(new_sigs))
+    assert cat.get("mh_index").count() == docs.count()
+    # time travel still has the pre-ingest index
+    assert cat.get("mh_index", version=1).count() == old.count()
+
+
+def test_simhash_incremental_index_equals_full_recompute(docs, spark):
+    """SimHash twin: chunk-pigeonhole candidates are lossless for the
+    declared Hamming radius, so batch+index == full recompute."""
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+
+    sigs_all = D.simhash_signatures(docs, "doc_id", "text")
+    full = D.simhash_near_pairs(sigs_all, "doc_id", max_hamming=3)
+    sigs_old = D.simhash_signatures(old, "doc_id", "text")
+    old_pairs = D.simhash_near_pairs(sigs_old, "doc_id", max_hamming=3)
+
+    incr, new_sigs = D.simhash_against_index(
+        new, sigs_old, "doc_id", "text", max_hamming=3)
+    assert (_pair_set(old_pairs, "hamming") | _pair_set(incr, "hamming")
+            == _pair_set(full, "hamming"))
+    assert new_sigs.count() == new.count()
