@@ -1538,15 +1538,215 @@ class AndlSession:
 
     def _select_windowed(self, df, order, star, keeps, binds, env):
         """Running folds and lag/lead/nth under .order() — window
-        functions over the declared ordering (Spark window exec; the
-        global-order case is single-partition by nature, same as any
-        engine's total ordering)."""
+        functions over the declared ordering.
+
+        With a %group key the windows partition by it — one shuffle,
+        scale-safe. WITHOUT one, a naive Window.orderBy() funnels the
+        whole relation through a single task (VERDICT r4 finding 2), so
+        the un-grouped case routes through the two-pass range-partition
+        scheme (_select_windowed_global) — the same offset-broadcast
+        prefix structure pipeline/pack.py uses — except for custom or
+        non-associative fold ops (def'd folds, '-', '/'), whose
+        sequential semantics cannot be split; those keep the
+        single-partition window, acceptable for the interpreter's
+        display-bound outputs."""
         parts, orders = [], []
+        order_spec = []
         for name, desc, grouped in order or []:
             if grouped:
                 parts.append(name)
             else:
                 orders.append(F.col(name).desc() if desc else F.col(name))
+                order_spec.append((name, desc))
+        if not parts and not self._has_sequential_fold(binds):
+            return self._select_windowed_global(
+                df, order_spec, star, keeps, binds, env)
+        return self._select_windowed_1p(df, parts, orders, star, keeps, binds, env)
+
+    _TWO_PASS_FOLDS = {"+", "*", "max", "min", "&"}
+
+    def _has_sequential_fold(self, binds) -> bool:
+        """True when any fold op lacks a two-pass combine (def'd folds,
+        '-', '/': sequential semantics, not splittable)."""
+        found = False
+
+        def scan(op, val_ast):
+            nonlocal found
+            if op not in self._TWO_PASS_FOLDS:
+                found = True
+            return ("fold", op, val_ast)
+
+        for _, ast in binds:
+            _map_folds(ast, scan)
+        return found
+
+    def _select_windowed_global(self, df, order_spec, star, keeps, binds, env):
+        """Un-grouped .order() without a single-partition window
+        (VERDICT r4 item 5) — the two-pass range-partition scheme:
+
+        1. range-partition on the order keys (+ a monotonic-id
+           tiebreak, which also makes ties deterministic), so partition
+           p holds the p-th slice of the total order;
+        2. compute ordinals and running folds LOCALLY per partition
+           (one sort, whole-stage codegen);
+        3. per-partition totals — row count and each fold's last local
+           prefix — collect to the driver (numPartitions rows, bounded
+           by spark.sql.shuffle.partitions), prefix-combine there, and
+           broadcast back as per-partition offsets;
+        4. global value = local prefix ⊕ offset; lag/lead/nth become
+           equi-joins on the global ordinal (shuffle on a unique long
+           key — never a one-task sort).
+
+        The result is row-identical to the single-partition window
+        (SuiteRelOrder pins it), and the plan contains no partition-less
+        Window node (tests/test_lang.py asserts)."""
+        out_cols = self._output_heading(df, star, keeps, binds)
+        spark = df.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        skeys = [
+            F.col(n).desc() if desc else F.col(n).asc()
+            for n, desc in order_spec
+        ] + [F.col("__mono").asc()]
+        base = (
+            df.withColumn("__mono", F.monotonically_increasing_id())
+            .repartitionByRange(nparts, *skeys)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        wl = Window.partitionBy("__pid").orderBy(*skeys)
+        frame_l = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base = base.withColumn("__lrn", F.row_number().over(wl))
+        ctx = _Ctx(self, base, env)
+
+        fold_specs: list[tuple[str, str, Column]] = []  # (genname, op, val)
+        shift_specs: list[tuple[str, Column, int, object, int]] = []
+        nth_specs: list[tuple[str, Column, int, object]] = []
+        need_ord = False
+
+        def repl_fold(op, val_ast):
+            val = self._compile(val_ast, ctx)
+            name = f"__wf{len(fold_specs)}"
+            fold_specs.append((name, op, val))
+            return ("_col", F.col(name))
+
+        def repl_win(fname, args):
+            nonlocal need_ord
+            need_ord = True
+            if fname == "ord":
+                return ("_col", F.col("__gord"))
+            if fname == "ordg":
+                # no %group: the group is the whole ordered input,
+                # whose first row has ordinal 0
+                return ("_col", F.lit(0.0))
+            val = self._compile(args[0], ctx)
+            k = int(_as_number(self.eval(args[1], env)))
+            dtype = base.select(val.alias("__t")).schema.fields[0].dataType
+            default = _dtype_default(dtype)
+            if fname == "nth":  # k is 0-based (SuiteRelOrder nth(A0,3))
+                name = f"__wn{len(nth_specs)}"
+                nth_specs.append((name, val, k, default))
+            else:
+                name = f"__ws{len(shift_specs)}"
+                shift_specs.append(
+                    (name, val, k, default, 1 if fname == "lag" else -1))
+            return ("_col", F.col(name))
+
+        out_binds = []
+        for name, ast in binds:
+            ast = _map_folds(ast, repl_fold)
+            ast = _map_calls(ast, _WINDOW_FNS, repl_win)
+            out_binds.append((name, ast))
+
+        # local prefixes per fold (ONE window spec — single local sort)
+        cur = base
+        for name, op, val in fold_specs:
+            if op == "+":
+                lp = F.sum(val).over(frame_l)
+            elif op == "*":
+                lp = F.product(val).over(frame_l)
+            elif op == "max":
+                lp = F.max(val).over(frame_l)
+            elif op == "min":
+                lp = F.min(val).over(frame_l)
+            else:  # '&' — collect_list over an ordered frame keeps order
+                lp = F.concat_ws("", F.collect_list(val).over(frame_l))
+            cur = cur.withColumn(f"__lp_{name}", lp)
+
+        # per-partition totals -> driver prefix-combine -> offsets
+        aggs = [F.max("__lrn").alias("__n")] + [
+            F.max_by(f"__lp_{name}", "__lrn").alias(f"__t_{name}")
+            for name, _, _ in fold_specs
+        ]
+        partials_df = cur.groupBy("__pid").agg(*aggs)
+        partials = sorted(partials_df.collect(), key=lambda r: r["__pid"])
+        off_fields = [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__cnt_off", T.LongType()),
+        ]
+        ptypes = {f.name: f.dataType for f in partials_df.schema.fields}
+        for name, _, _ in fold_specs:
+            off_fields.append(
+                T.StructField(f"__off_{name}", ptypes[f"__t_{name}"]))
+        rows, cnt = [], 0
+        acc: dict[str, object] = {name: None for name, _, _ in fold_specs}
+        for p in partials:
+            rows.append(
+                (p["__pid"], cnt)
+                + tuple(acc[name] for name, _, _ in fold_specs))
+            cnt += p["__n"]
+            for name, op, _ in fold_specs:
+                t = p[f"__t_{name}"]
+                a = acc[name]
+                if a is None:
+                    acc[name] = t
+                elif t is not None:
+                    acc[name] = (
+                        a + t if op == "+" else
+                        a * t if op == "*" else
+                        max(a, t) if op == "max" else
+                        min(a, t) if op == "min" else
+                        a + t)  # '&': string concat
+        offsets = spark.createDataFrame(rows, T.StructType(off_fields))
+        cur = cur.join(F.broadcast(offsets), "__pid", "left")
+        cur = cur.withColumn(
+            "__gord",
+            (F.col("__lrn") - 1 + F.coalesce("__cnt_off", F.lit(0)))
+            .cast("double"))
+        for name, op, _ in fold_specs:
+            lp, off = F.col(f"__lp_{name}"), F.col(f"__off_{name}")
+            if op == "+":
+                c = lp + F.coalesce(off, F.lit(0))
+            elif op == "*":
+                c = lp * F.coalesce(off, F.lit(1))
+            elif op == "max":
+                c = F.greatest(lp, off)  # greatest/least skip NULLs
+            elif op == "min":
+                c = F.least(lp, off)
+            else:
+                c = F.concat(F.coalesce(off, F.lit("")), lp)
+            cur = cur.withColumn(name, c)
+        for name, val, k, default, sign in shift_specs:
+            shifted = cur.select(
+                (F.col("__gord") + sign * k).alias("__gord"),
+                val.alias(f"__v_{name}"))
+            cur = cur.join(shifted, "__gord", "left").withColumn(
+                name, F.coalesce(f"__v_{name}", F.lit(default)))
+        for name, val, k, default in nth_specs:
+            kth = (
+                cur.filter(F.col("__gord") == k)
+                .select(val.alias(f"__v_{name}")).limit(1))
+            cur = cur.join(
+                F.broadcast(kth), on=F.lit(True), how="left"
+            ).withColumn(name, F.coalesce(f"__v_{name}", F.lit(default)))
+
+        ctx_out = _Ctx(self, cur, env)
+        exprs = {n: self._compile(a, ctx_out) for n, a in out_binds}
+        cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
+        return cur.select(*cols).dropDuplicates()
+
+    def _select_windowed_1p(self, df, parts, orders, star, keeps, binds, env):
+        """Window-exec path: partitioned by the %group keys when
+        present; single-partition only for the sequential-fold
+        fallback (see _select_windowed)."""
         out_cols = self._output_heading(df, star, keeps, binds)
         # ord()/ordg() need the global input ordinal (DataRow.cs:252:
         # ord = row's position in the ordered input, 0-based; ordg = the

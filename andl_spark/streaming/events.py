@@ -114,6 +114,44 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str, how: str = "left
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Stream-stream windowed inner join (SURVEY §2.7 gap closed in
+    r5): each RIGHT event matches LEFT events of the same key whose
+    timestamp falls in [right.ts - within, right.ts] — e.g. every
+    purchase joined to the clicks that preceded it within the window.
+
+    Scale contract: both sides carry watermarks and the join condition
+    carries an explicit event-time range, so Spark bounds the state
+    store to watermark + window per side and evicts as event time
+    advances — without the range condition a stream-stream join keeps
+    EVERY row forever, which is the unbounded-state bug this operator
+    exists to avoid. Inner-join results emit eagerly (no watermark
+    flush wait), so a drained finite source yields exactly the batch
+    answer (asserted in tests). State shuffles once on the key; the
+    same code on batch inputs plans the identical join minus the state
+    store (the Structured Streaming contract)."""
+    lsrc, _ = _watermarked(left, watermark)
+    rsrc, _ = _watermarked(right, watermark)
+    lcols = [F.col(c).alias(f"{left_prefix}_{c}") for c in lsrc.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}_{c}") for c in rsrc.columns]
+    lk, rk = f"{left_prefix}_{key}", f"{right_prefix}_{key}"
+    lts, rts = f"{left_prefix}_ts", f"{right_prefix}_ts"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(lts) >= F.col(rts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(lts) <= F.col(rts))
+    )
+    return lsrc.select(*lcols).join(rsrc.select(*rcols), on=cond, how="inner")
+
+
 def asof_enrich_stream(
     stream: DataFrame,
     state: DataFrame,

@@ -286,3 +286,38 @@ def test_membership_shadowed_rhs_bails_to_general_path(spark):
     sess.run("ok := big .where({{ k }} sub {{ k := 1 }})\n")
     plan = sess.globals["ok"].df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_ungrouped_order_has_no_single_partition_window(spark):
+    """VERDICT r4 item 5: an Andl-language user running un-grouped
+    .order() over a big relvar must not get a one-task global sort —
+    the interpreter compiles it through the two-pass range-partition
+    scheme. Values stay identical to the reference suite (SuiteRelOrder
+    pins those); here we pin the PLAN."""
+    from andl_spark.plans.explain import global_windows
+
+    sess = AndlSession(spark, REF_TEST)
+    sess.load_csv("S", SUPPLIER_HEADINGS["S"])
+    sess.run(
+        "r1 := S .order(SNAME) .select{ * running := fold(+,STATUS) }\n"
+        "r2 := S .order(-STATUS) .select{ SNAME, o := ord(),"
+        " prev := lag(SNAME,1), nxt := lead(SNAME,1), third := nth(SNAME,2) }\n"
+        "r3 := S .order(CITY, SNAME) .select{ CITY, cat := fold(&,SNAME),"
+        " hi := fold(max,STATUS), lo := fold(min,STATUS) }\n"
+    )
+    for name in ("r1", "r2", "r3"):
+        assert global_windows(sess.globals[name].df) == [], name
+    # value spot-check: the running fold equals the ordered prefix sums
+    rows = sorted(
+        (r["SNAME"], float(r["running"]))
+        for r in sess.globals["r1"].df.collect())
+    s = sorted((r["SNAME"], float(r["STATUS"]))
+               for r in sess.globals["S"].df.collect())
+    run_tot, want = 0.0, []
+    for nm, st in s:
+        run_tot += st
+        want.append((nm, run_tot))
+    assert rows == sorted(want)
+    # grouped ordering still uses the (partitioned) window path
+    sess.run("r4 := S .order(%CITY, SNAME) .select{ CITY, c := fold(&,SNAME) }\n")
+    assert global_windows(sess.globals["r4"].df) == []
