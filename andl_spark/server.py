@@ -53,6 +53,9 @@ semantics, sources/catalog.py) rather than rewriting in place.
 from __future__ import annotations
 
 import json
+import os
+import re
+import tempfile
 import threading
 from datetime import date, datetime
 from decimal import Decimal
@@ -85,9 +88,12 @@ _WORKBENCH_HTML = """<!doctype html>
 <p>State persists between runs (one server-held session).</p>
 <textarea id="src" spellcheck="false">S .where(STATUS &gt; 15)</textarea><br>
 <button onclick="run()">Run (Ctrl-Enter)</button>
+<input id="scriptname" placeholder="script name" size="14">
+<button onclick="saveScript()">Save</button>
 <pre id="out"></pre>
 </div>
 <div id="cat">
+<h3>Scripts</h3><ul id="scripts"></ul>
 <h3>Relations</h3><ul id="vars"></ul>
 <h3>Operators</h3><ul id="ops"></ul>
 </div>
@@ -125,7 +131,29 @@ async function loadCatalog(){
       });
     };
     fill('vars', v.variables); fill('ops', o.operators);
+    // script tree (Andl.Workbench save/load): click loads into editor
+    const s = await (await fetch('/api/scripts')).json();
+    const ul = document.getElementById('scripts'); ul.innerHTML = '';
+    (s.scripts || []).forEach(n => {
+      const li = document.createElement('li');
+      li.textContent = n;
+      li.onclick = async () => {
+        const j = await (await fetch('/api/scripts/' +
+          encodeURIComponent(n))).json();
+        document.getElementById('src').value = j.src;
+        document.getElementById('scriptname').value = n;
+      };
+      ul.appendChild(li);
+    });
   } catch (e) { /* catalog pane is best-effort */ }
+}
+async function saveScript(){
+  const n = document.getElementById('scriptname').value.trim();
+  if (!n) return;
+  await fetch('/api/scripts/' + encodeURIComponent(n), {method:'PUT',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({src: document.getElementById('src').value})});
+  loadCatalog();
 }
 document.getElementById('src').addEventListener('keydown',
   e => { if (e.ctrlKey && e.key === 'Enter') run(); });
@@ -162,10 +190,35 @@ def _payload(df: DataFrame, limit: int) -> dict:
     }
 
 
+_SCRIPT_NAME = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}$")
+
+
 class _Handler(BaseHTTPRequestHandler):
     # the session rides on the server object (see AndlRestServer)
     def _session(self):
         return self.server.andl_session  # type: ignore[attr-defined]
+
+    def _scripts_dir(self) -> str:
+        """Named-script storage (Andl.Workbench's script tree —
+        MainWindow.xaml.cs save/load): a _scripts dir next to the
+        catalog's relvar versions when a catalog is attached, else a
+        server-lifetime temp dir. Names are allowlist-validated — the
+        path never concatenates raw client input."""
+        sess = self._session()
+        if sess.catalog is not None:
+            d = os.path.join(sess.catalog.path, "_scripts")
+        else:
+            d = getattr(self.server, "_tmp_scripts", None)
+            if d is None:
+                d = tempfile.mkdtemp(prefix="andl_scripts_")
+                self.server._tmp_scripts = d  # type: ignore[attr-defined]
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _script_path(self, name: str) -> str:
+        if not _SCRIPT_NAME.match(name):
+            raise ValueError(f"invalid script name {name!r}")
+        return os.path.join(self._scripts_dir(), f"{name}.andl")
 
     # ---- plumbing -----------------------------------------------------
     def log_message(self, fmt, *args):  # quiet test output
@@ -289,6 +342,20 @@ class _Handler(BaseHTTPRequestHandler):
                     if lang is not None:
                         ops += [n for n in lang.defs if n not in ops]
                     return self._send(200, {"operators": ops})
+                if parts[1:2] == ["scripts"]:
+                    if len(parts) == 2:  # list
+                        names = sorted(
+                            f[:-5] for f in os.listdir(self._scripts_dir())
+                            if f.endswith(".andl"))
+                        return self._send(200, {"scripts": names})
+                    if len(parts) == 3:  # load one
+                        p = self._script_path(parts[2])
+                        if not os.path.exists(p):
+                            return self._send(
+                                404, {"error": f"no script {parts[2]!r}"})
+                        with open(p, encoding="utf-8") as f:
+                            return self._send(
+                                200, {"name": parts[2], "src": f.read()})
                 return self._send(404, {"error": f"unknown api route {parts}"})
             if parts[:1] != ["rest"] or len(parts) not in (2, 3):
                 return self._send(404, {"error": f"unknown route {self.path}"})
@@ -372,6 +439,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self):
         try:
             parts, _ = self._route()
+            if parts[:2] == ["api", "scripts"] and len(parts) == 3:
+                src = (self._body() or {}).get("src")
+                if not isinstance(src, str):
+                    return self._send(400, {"error": "body needs 'src' string"})
+                # atomic replace: a concurrent GET never sees a half-write
+                p = self._script_path(parts[2])
+                tmp = f"{p}.tmp.{os.getpid()}"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(src)
+                os.replace(tmp, p)
+                return self._send(200, {"ok": True, "name": parts[2]})
             if parts[:1] != ["rest"] or len(parts) != 3:
                 return self._send(404, {"error": f"unknown route {self.path}"})
             sess = self._session()
@@ -392,6 +470,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):
         try:
             parts, _ = self._route()
+            if parts[:2] == ["api", "scripts"] and len(parts) == 3:
+                p = self._script_path(parts[2])
+                if not os.path.exists(p):
+                    return self._send(404, {"error": f"no script {parts[2]!r}"})
+                os.remove(p)
+                return self._send(200, {"ok": True})
             if parts[:1] != ["rest"] or len(parts) != 3:
                 return self._send(404, {"error": f"unknown route {self.path}"})
             sess = self._session()

@@ -368,3 +368,31 @@ def test_cross_site_simple_request_is_rejected(served):
     )
     with urllib.request.urlopen(req, timeout=30) as resp:
         assert json.loads(resp.read())["rows"] == [[1]]
+
+
+def test_script_save_list_reload_run(served):
+    """VERDICT r4 item 7: Andl.Workbench script management — save a
+    named script, list it, reload its source, run it, delete it. The
+    store rides the catalog dir so scripts survive server restarts."""
+    _, port = served
+    src = "wb1 := S .where(STATUS > 15)\nwb1\n"
+    out = _req(port, "/api/scripts/demo_filter", method="PUT", body={"src": src})
+    assert out == {"ok": True, "name": "demo_filter"}
+    assert "demo_filter" in _req(port, "/api/scripts")["scripts"]
+    loaded = _req(port, "/api/scripts/demo_filter")
+    assert loaded["src"] == src
+    ran = _req(port, "/api/andl", method="POST", body={"src": loaded["src"]})
+    assert any("Smith" in line or "wb1" in line for line in ran["output"])
+    # overwrite is atomic and reflected on reload
+    _req(port, "/api/scripts/demo_filter", method="PUT", body={"src": "S\n"})
+    assert _req(port, "/api/scripts/demo_filter")["src"] == "S\n"
+    # invalid names are rejected, not path-joined
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/scripts/..%2Fetc",
+        data=json.dumps({"src": "x"}).encode(), method="PUT",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    _req(port, "/api/scripts/demo_filter", method="DELETE")
+    assert "demo_filter" not in _req(port, "/api/scripts")["scripts"]
