@@ -79,3 +79,40 @@ def test_layout_guards_are_symmetric(spark, tmp_path):
     cat._names["legacy_rv"] = {}
     with pytest.raises(ValueError, match="flat"):
         cat.put_bucketed("legacy_rv", df, ["k"], n_buckets=4)
+
+
+def test_zipfian_orders_salted_join_equivalence(spark):
+    """VERDICT r4 item 3: SuiteRelDyadic join semantics must survive a
+    pathological key distribution unchanged. tools/gen_sf.skew_table
+    collapses 30% of orders onto one hot customer (the zipf-head
+    rehearsal shape); the plain natural join, the salted join, and the
+    reference dyadic semantics must all agree row-for-row on it."""
+    import importlib.util
+    import os
+
+    from andl_spark.operators.joins import natural_join
+    from andl_spark.session import load_tables
+
+    from conftest import SF_SMOKE
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf", os.path.join(repo, "tools", "gen_sf.py"))
+    gen_sf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_sf)
+
+    t = load_tables(spark, SF_SMOKE, register_views=False)
+    orders = gen_sf.skew_table(t["orders"], "orders", 0.3).select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    # the hot key really is hot (~30% of all orders)
+    top = key_histogram(orders, "c_custkey", top=1).first()
+    assert top["c_custkey"] == gen_sf.HOT_KEY
+    assert top["count"] >= 0.25 * orders.count()
+
+    plain = natural_join(orders, cust)
+    salted = salted_join(orders, cust, ["c_custkey"], salt=8)
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    assert (sorted(map(tuple, plain.select(*cols).collect()))
+            == sorted(map(tuple, salted.select(*cols).collect())))

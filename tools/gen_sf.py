@@ -77,8 +77,47 @@ def scale_table(df: DataFrame, name: str, factor: int) -> DataFrame:
     return out.drop("__copy")
 
 
+#: hot key every skewed fact column collapses onto — custkey/user_id 1
+#: exists at every SF (smallest key of the base data)
+HOT_KEY = 1
+
+SKEWED = {
+    # fact table → (fk column, row-id column that decides hotness)
+    "orders": ("o_custkey", "o_orderkey"),
+    "events": ("user_id", "event_id"),
+    "lineitem": ("l_suppkey", "l_orderkey"),
+}
+
+
+def skew_table(df: DataFrame, name: str, hot_frac: float) -> DataFrame:
+    """Zipf-head rehearsal (VERDICT r4 item 3): deterministically remap
+    ``hot_frac`` of each fact table's FK rows onto HOT_KEY, so one
+    customer owns ~30% of orders, one user ~30% of events, one
+    supplier ~30% of lineitems — the pathological key distribution AQE
+    skew-join/salting must absorb. Deterministic (keyed on the row id
+    modulo 1000), FK-valid (HOT_KEY exists in every dim), and
+    content-preserving: only the FK column changes, so per-query
+    results remain oracle-checkable on the skewed data itself."""
+    if name not in SKEWED:
+        return df
+    fk, rid = SKEWED[name]
+    bound = int(hot_frac * 1000)
+    return df.withColumn(
+        fk,
+        F.when(F.pmod(F.col(rid), F.lit(1000)) < bound, F.lit(HOT_KEY))
+        .otherwise(F.col(fk)),
+    )
+
+
 def main() -> None:
-    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hot_frac = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--skew="):
+            hot_frac = float(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}")
+    src, dst, factor = args[0], args[1], int(args[2])
     spark = get_spark("gen-sf")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
@@ -89,6 +128,8 @@ def main() -> None:
     for name in FIXED_DIMS + list(KEYED):
         df = tables[name]
         out = df if name in FIXED_DIMS else scale_table(df, name, factor)
+        if hot_frac > 0:
+            out = skew_table(out, name, hot_frac)
         # single files keep the layout identical to the driver's dirs
         n_parts = 1 if name in FIXED_DIMS else min(32, factor * 4)
         tmp = f"{dst}/__tmp_{name}"

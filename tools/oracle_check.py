@@ -17,6 +17,7 @@ import importlib.util
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -117,11 +118,15 @@ def main() -> None:
         keys = random.sample(keys, min(sample, len(keys)))
 
     fails: dict[str, str] = {}
+    times: dict[str, float] = {}
     for k in keys:
         try:
+            t0 = time.monotonic()
             sdf = qs[k](spark, sf_dir).toPandas()
+            times[k] = round(time.monotonic() - t0, 3)
             if k not in osql:
-                print(f"# {k}: rows-only ({len(sdf)})", file=sys.stderr)
+                print(f"# {k}: rows-only ({len(sdf)}) {times[k]}s",
+                      file=sys.stderr)
                 continue
             odf = con.execute(osql[k]).df()
             err = compare(sdf, odf)
@@ -129,13 +134,14 @@ def main() -> None:
                 fails[k] = err
                 print(f"# {k}: FAIL {err}", file=sys.stderr)
             else:
-                print(f"# {k}: OK ({len(sdf)} rows)", file=sys.stderr)
+                print(f"# {k}: OK ({len(sdf)} rows) {times[k]}s",
+                      file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             fails[k] = str(e)[:300]
             print(f"# {k}: ERROR {str(e)[:200]}", file=sys.stderr)
     print(json.dumps({
         "sf_dir": sf_dir, "n": len(keys), "pass": len(keys) - len(fails),
-        "fails": fails,
+        "fails": fails, "times": times,
     }))
     sys.exit(1 if fails else 0)
 
