@@ -74,12 +74,22 @@ def main() -> None:
     positional: list[str] = []
     sample = None
     keys_only = None
+    spark_only = False
     it = iter(sys.argv[1:])
     for a in it:
         # both --flag=value and --flag value are accepted; flags match
         # EXACTLY (a prefix like --samples must be an error, not a
         # misparse) and a missing value is a usage error, not a crash
         flag, _, inline = a.partition("=")
+        if a == "--spark-only":
+            # oracle-free path (VERDICT r4 item 2): at sf10 some DuckDB
+            # twins are themselves super-linear (e.g. the embed-dup
+            # bucket self-join) — this mode runs ONLY the Spark side,
+            # recording per-query rows + wall time for the sf1→sf10
+            # scale-factor table; correctness at sf10 comes from the
+            # separate oracle pass over the DuckDB-tractable subset.
+            spark_only = True
+            continue
         if flag in ("--sample", "--keys"):
             val = inline if inline else next(it, None)
             if val is None:
@@ -119,12 +129,14 @@ def main() -> None:
 
     fails: dict[str, str] = {}
     times: dict[str, float] = {}
+    nrows: dict[str, int] = {}
     for k in keys:
         try:
             t0 = time.monotonic()
             sdf = qs[k](spark, sf_dir).toPandas()
             times[k] = round(time.monotonic() - t0, 3)
-            if k not in osql:
+            nrows[k] = len(sdf)
+            if spark_only or k not in osql:
                 print(f"# {k}: rows-only ({len(sdf)}) {times[k]}s",
                       file=sys.stderr)
                 continue
@@ -141,7 +153,8 @@ def main() -> None:
             print(f"# {k}: ERROR {str(e)[:200]}", file=sys.stderr)
     print(json.dumps({
         "sf_dir": sf_dir, "n": len(keys), "pass": len(keys) - len(fails),
-        "fails": fails, "times": times,
+        "fails": fails, "times": times, "rows": nrows,
+        "spark_only": spark_only,
     }))
     sys.exit(1 if fails else 0)
 
