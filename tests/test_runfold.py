@@ -1,0 +1,110 @@
+"""grouped_running (operators/runfold.py): skew-robust running folds.
+
+Pins (1) row-identity with the plain grouped window on a zipf-head
+distribution — the exact shape the r5 skew rehearsal showed degrading
+3× — and (2) the plan property that makes it skew-robust: every
+Window node is partitioned by (spark_partition_id, group), never by
+the bare group, so no task ever owns a whole hot group.
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from andl_spark.operators.runfold import grouped_running
+from andl_spark.plans.explain import formatted_plan
+
+
+def _zipf_df(spark, n=20_000, hot_frac=0.6):
+    # hot group 1 owns hot_frac of all rows; ~200 cold groups share the rest
+    bound = int(hot_frac * 1000)
+    return spark.range(n).select(
+        F.when(F.pmod("id", F.lit(1000)) < bound, F.lit(1))
+        .otherwise(F.pmod("id", F.lit(199)) + 100)
+        .alias("g"),
+        F.col("id").alias("seq"),
+        (F.pmod("id", F.lit(97)).cast("double") + 0.5).alias("x"),
+    )
+
+
+def _plain_window(df):
+    w = Window.partitionBy("g").orderBy("seq")
+    fr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "g", "seq", "x",
+        F.row_number().over(w).cast("long").alias("ord"),
+        F.sum("x").over(fr).alias("run_sum"),
+        F.min("x").over(fr).alias("run_min"),
+        F.max("x").over(fr).alias("run_max"),
+        F.count("x").over(fr).cast("long").alias("run_cnt"),
+    )
+
+
+def test_matches_plain_grouped_window_on_zipf_head(spark):
+    df = _zipf_df(spark)
+    got = grouped_running(
+        df,
+        ["g"],
+        ["seq"],
+        {
+            "run_sum": ("sum", "x"),
+            "run_min": ("min", "x"),
+            "run_max": ("max", "x"),
+            "run_cnt": ("count", "x"),
+        },
+        ordinal="ord",
+        nparts=32,
+    ).select("g", "seq", "x", "ord", "run_sum", "run_min", "run_max", "run_cnt")
+    exp = _plain_window(df)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert len(a) == len(b) == 20_000
+    for ra, rb in zip(a, b):
+        assert ra[:4] == rb[:4]
+        for va, vb in zip(ra[4:], rb[4:]):
+            assert va == pytest.approx(vb, rel=1e-12)
+
+
+def test_product_fold_and_single_partition_groups(spark):
+    # groups far smaller than a range slice: every offset is the
+    # ⊕-identity path (NULL offset), which must leave locals untouched
+    df = spark.range(300).select(
+        F.pmod("id", F.lit(100)).alias("g"),
+        F.col("id").alias("seq"),
+        (F.pmod("id", F.lit(3)).cast("double") + 1.0).alias("x"),
+    )
+    got = grouped_running(
+        df, ["g"], ["seq"], {"run_prod": ("product", "x")}, nparts=8
+    )
+    w = Window.partitionBy("g").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.select("g", "seq", "x", F.product("x").over(w).alias("run_prod"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_no_window_partitioned_by_bare_group(spark):
+    df = _zipf_df(spark, n=2_000)
+    out = grouped_running(
+        df, ["g"], ["seq"], {"run_sum": ("sum", "x")}, ordinal="ord", nparts=16
+    )
+    import re
+
+    plan = formatted_plan(out)
+    # big-data windows carry the partition id; the only group-partitioned
+    # window runs over the tiny (pid, group) partials relation
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    bare_group = [
+        s for s in specs if "__pid" not in s and "__n" not in s and "__t_" not in s
+    ]
+    # the partials prefix window references __n/__t_ aggregates in its
+    # projection context; the data-sized windows must all carry __pid
+    data_sized = [s for s in bare_group if "__lrn" in s or "run" in s]
+    assert not data_sized, data_sized
+
+
+def test_rejects_sequential_fold_ops(spark):
+    df = _zipf_df(spark, n=10)
+    with pytest.raises(ValueError, match="unsupported"):
+        grouped_running(df, ["g"], ["seq"], {"bad": ("first", "x")})
