@@ -966,6 +966,114 @@ def simhash_against_index(
     return pairs, new_sigs
 
 
+def embedding_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable LSH index for incremental embedding near-dup:
+    one compact row per vector — (id, vec, nrm, buckets) with
+    ``buckets`` the array of (tbl, hyperplane bucket) assignments.
+    Hyperplanes are derived deterministically from ``seed`` (see
+    simsearch.hyperplane_bucket), so (bucket_bits, n_tables, dim,
+    seed) are part of the index's identity: an ingest batch signed
+    with different parameters lands in incompatible buckets. Persist
+    with Catalog.put — versioning keeps every pre-ingest state
+    time-travelable, exactly like the MinHash signature index."""
+    from .simsearch import hyperplane_bucket, norm_expr
+
+    if dim is None:
+        raise ValueError("embedding_index requires dim (no driver-side inference)")
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(vec_col, dim, bucket_bits, seed + t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+        tables.alias("buckets"),
+    )
+
+
+def embedding_dup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dup, the third leg of the
+    ``*_against_index`` family (exact: dedup_against_index, MinHash:
+    minhash_against_index, SimHash: simhash_against_index): sign ONLY
+    the new batch and bucket-join it against the persisted
+    :func:`embedding_index` — never re-hash or re-normalize the
+    historical corpus.
+
+    Returns ``(pairs, new_index)``:
+
+    - ``pairs`` — every (id_a < id_b, cosine ≥ threshold) pair that
+      TOUCHES the new batch (new×new and new×old), with the exact
+      cosine. Union with the previously-known old×old pairs to get
+      exactly the full-corpus :func:`embedding_dup_pairs` recompute's
+      set: bucket assignment is per-vector deterministic and collision
+      is symmetric, so no candidate is gained or lost (pytest pins set
+      equality including cosines).
+    - ``new_index`` — the new batch's index rows; append to the stored
+      index for the next ingest.
+
+    Join shape mirrors embedding_dup_pairs' bucketed path: the small
+    new-batch side joins the corpus-sized exploded index
+    (shuffle_hash — AQE must not broadcast a corpus), cosine +
+    threshold evaluate map-side on the join output, and only
+    surviving (id, id, cos) rows reach the pair dedup (the wide-vector
+    exchange before filtering was the measured 5.7× regression the
+    full-recompute path already avoids)."""
+    from .simsearch import cosine_n_expr
+
+    new_index = embedding_index(
+        new_df, id_col, vec_col, bucket_bits, n_tables, dim, seed
+    ).localCheckpoint(eager=True)
+    all_index = index.select("id", "vec", "nrm", "buckets").unionByName(
+        new_index.select("id", "vec", "nrm", "buckets")
+    )
+
+    def _explode(ix):
+        return ix.select(
+            "id", "vec", "nrm", F.explode("buckets").alias("tb")
+        ).select("id", "vec", "nrm", "tb.tbl", "tb.bucket")
+
+    a = _explode(new_index).alias("a")
+    b = _explode(all_index).alias("b").hint("shuffle_hash")
+    cos = cosine_n_expr(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    pairs = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    return pairs, new_index
+
+
 # ---------------------------------------------------------------------
 # pair graph → duplicate clusters (connected components)
 # ---------------------------------------------------------------------

@@ -595,3 +595,36 @@ def test_simhash_incremental_index_equals_full_recompute(docs, spark):
     assert (_pair_set(old_pairs, "hamming") | _pair_set(incr, "hamming")
             == _pair_set(full, "hamming"))
     assert new_sigs.count() == new.count()
+
+
+def test_embedding_incremental_index_equals_full_recompute(emb, spark, tmp_path):
+    """Embedding twin: bucket assignment is per-vector deterministic,
+    so batch+index reproduces the bucketed full recompute exactly —
+    pairs AND cosines — and the index round-trips the versioned
+    catalog like the MinHash one."""
+    from andl_spark.sources.catalog import Catalog
+
+    kw = dict(threshold=0.45, bucket_bits=8, n_tables=8, dim=64)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+
+    full = D.embedding_dup_pairs(emb, "vec_id", "embedding", **kw)
+    old_pairs = D.embedding_dup_pairs(old, "vec_id", "embedding", **kw)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.put("emb_index", D.embedding_index(
+        old, "vec_id", "embedding", bucket_bits=8, n_tables=8, dim=64))
+    incr, new_index = D.embedding_dup_against_index(
+        new, cat.get("emb_index"), "vec_id", "embedding", **kw)
+
+    assert _pair_set(old_pairs) | _pair_set(incr) == _pair_set(full)
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    assert _pair_set(incr)  # the planted dups straddle the 1/3 split
+    assert all(a in new_ids or b in new_ids for a, b in _pair_set(incr))
+    fc = {(r.id_a, r.id_b): r.cosine for r in full.collect()}
+    for r in incr.collect():
+        assert abs(fc[(r.id_a, r.id_b)] - r.cosine) < 1e-12
+    # appending the new rows reproduces the full index; v1 time-travels
+    cat.put("emb_index", cat.get("emb_index").unionByName(new_index))
+    assert cat.get("emb_index").count() == emb.count()
+    assert cat.get("emb_index", version=1).count() == old.count()
