@@ -75,6 +75,7 @@ def main() -> None:
     sample = None
     keys_only = None
     spark_only = False
+    rowcap = None
     it = iter(sys.argv[1:])
     for a in it:
         # both --flag=value and --flag value are accepted; flags match
@@ -90,12 +91,20 @@ def main() -> None:
             # separate oracle pass over the DuckDB-tractable subset.
             spark_only = True
             continue
-        if flag in ("--sample", "--keys"):
+        if flag in ("--sample", "--keys", "--rowcap"):
             val = inline if inline else next(it, None)
             if val is None:
                 raise SystemExit(f"{flag} requires a value")
             if flag == "--sample":
                 sample = int(val)
+            elif flag == "--rowcap":
+                # results beyond this row count are checked as COUNT
+                # vs the oracle's COUNT(*) instead of being collected:
+                # a quadratic-BY-SPEC result (SPP Q6 co-located pairs
+                # is ~200M rows at sf10) is computable distributed but
+                # not driver-collectable — value-hashing it would test
+                # the driver's heap, not the engine.
+                rowcap = int(val)
             else:
                 keys_only = val.split(",")
         elif a.startswith("--"):
@@ -133,7 +142,26 @@ def main() -> None:
     for k in keys:
         try:
             t0 = time.monotonic()
-            sdf = qs[k](spark, sf_dir).toPandas()
+            out = qs[k](spark, sf_dir)
+            if rowcap is not None:
+                n = out.count()
+                if n > rowcap:
+                    times[k] = round(time.monotonic() - t0, 3)
+                    nrows[k] = n
+                    if spark_only or k not in osql:
+                        print(f"# {k}: rows-only ({n}, >cap) {times[k]}s",
+                              file=sys.stderr)
+                        continue
+                    on = con.execute(
+                        f"SELECT COUNT(*) FROM ({osql[k]})").fetchone()[0]
+                    if n != on:
+                        fails[k] = f"rowcount {n} vs oracle {on}"
+                        print(f"# {k}: FAIL {fails[k]}", file=sys.stderr)
+                    else:
+                        print(f"# {k}: OK-COUNT ({n} rows, >cap) "
+                              f"{times[k]}s", file=sys.stderr)
+                    continue
+            sdf = out.toPandas()
             times[k] = round(time.monotonic() - t0, 3)
             nrows[k] = len(sdf)
             if spark_only or k not in osql:
