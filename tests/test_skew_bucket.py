@@ -116,3 +116,63 @@ def test_zipfian_orders_salted_join_equivalence(spark):
     assert sorted(salted.columns) == cols
     assert (sorted(map(tuple, plain.select(*cols).collect()))
             == sorted(map(tuple, salted.select(*cols).collect())))
+
+
+def test_aqe_splits_skewed_smj_partition(spark):
+    """AQE skew-join evidence (SCALE_r05): when a hot key forces one
+    shuffle partition far past its peers in a sort-merge join, AQE
+    splits it — the executed plan carries SortMergeJoin(skew=true) and
+    a 'coalesced and skewed' AQEShuffleRead — and the result is
+    unchanged. Broadcast dim joins never see this (skew-immune by
+    construction); this pins the fact-fact fallback path the 100 TB
+    plan relies on when neither side broadcasts.
+
+    Two conditions both matter and are part of what this test pins
+    down: (1) partition-size stats are COMPRESSED shuffle bytes, so a
+    synthetic hot partition needs incompressible payload to trip the
+    threshold; (2) AQE refuses to split when the join's hash
+    partitioning is reused by a same-key downstream agg (splitting
+    would break the required distribution) — grouping on any OTHER
+    column re-enables it. In the same-key case the remaining lever is
+    operators/skew.salted_join, whose equivalence the tests above
+    pin."""
+    left = spark.range(500_000).select(
+        F.when(F.pmod("id", F.lit(10)) != 0, F.lit(7))
+        .otherwise(F.pmod("id", F.lit(1000)))
+        .alias("k"),
+        F.col("id").alias("v"),
+        # md5 ≈ incompressible: skew stats measure compressed bytes
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    }
+    prev = {c: spark.conf.get(c, None) for c in confs}
+    for c, v in confs.items():
+        spark.conf.set(c, v)
+    try:
+        # group on a non-join column: same-key grouping pins the join
+        # output's partitioning and legally inhibits the skew split
+        j = left.join(right, "k").groupBy(
+            F.pmod("w", F.lit(7)).alias("g")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+        got = sorted(map(tuple, j.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "coalesced and skewed" in plan
+        # unchanged semantics: hot key 7 (w=21, g=0) keeps all its rows
+        assert sum(r[1] for r in got) == 500_000
+        g0 = [r for r in got if r[0] == 0][0]
+        assert g0[1] >= 450_000 and g0[2] >= 450_000 * 21
+    finally:
+        for c, v in prev.items():
+            if v is not None:
+                spark.conf.set(c, v)
+            else:
+                spark.conf.unset(c)
