@@ -121,6 +121,33 @@ class Relation:
         out = self.df.withColumns({name: make(w) for name, make in exprs.items()})
         return Relation(out)
 
+    def running(
+        self,
+        group: list[str],
+        by: list[str | Column],
+        folds: dict[str, tuple[str, str | Column]],
+        ordinal: str | None = None,
+    ) -> "Relation":
+        """Skew-safe form of :meth:`ordered` for combinable running
+        folds (Andl fold(+ * max min) + ord() under %group).
+
+        :meth:`ordered` maps a group to ONE window partition — one
+        task — which is correct but becomes a straggler when a
+        zipf-head key concentrates the table (measured 3× in the r5
+        skew rehearsal; AQE splits skewed joins, never windows).
+        This form routes through operators/runfold.grouped_running:
+        range-slice the (group, order) space, local prefixes per
+        slice, offsets combined over the tiny per-slice partials —
+        row-identical output, no task ever owns a whole group.
+        Sequential folds (user-defined, '-', '/') have no two-pass
+        combine and must stay on :meth:`ordered`.
+        """
+        from .operators.runfold import grouped_running
+
+        return Relation(
+            grouped_running(self.df, group, by, folds, ordinal=ordinal)
+        )
+
     def while_(self, step: Callable[[DataFrame], DataFrame], max_iterations: int = 100) -> "Relation":
         """Andl .while(expr) — fixed point (transitive closure)."""
         return Relation(_whileop.fixpoint(self.df, step, max_iterations))

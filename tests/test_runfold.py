@@ -108,3 +108,30 @@ def test_rejects_sequential_fold_ops(spark):
     df = _zipf_df(spark, n=10)
     with pytest.raises(ValueError, match="unsupported"):
         grouped_running(df, ["g"], ["seq"], {"bad": ("first", "x")})
+
+
+def test_relation_running_equals_ordered(spark):
+    """Relation.running (skew-safe API form) matches Relation.ordered's
+    single-window-per-group output on the same folds."""
+    from pyspark.sql import Window as W
+
+    from andl_spark.relation import Relation
+
+    df = _zipf_df(spark, n=3_000)
+    rel = Relation(df)
+    got = rel.running(
+        ["g"], ["seq"], {"run_sum": ("sum", "x")}, ordinal="ord"
+    ).df
+    exp = rel.ordered(
+        ["seq"],
+        group=["g"],
+        ord=lambda w: F.row_number().over(w).cast("long"),
+        run_sum=lambda w: F.sum("x").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).df.select(*got.columns)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert len(a) == len(b) == 3_000
+    for ra, rb in zip(a, b):
+        assert ra[:4] == rb[:4] and ra[4] == pytest.approx(rb[4], rel=1e-12)
