@@ -14,6 +14,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -358,21 +360,48 @@ def seed_centroids(
     return _CENTROID_CACHE[key]
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Python twin of norm_expr: plain left-to-right double fold then a
+    correctly-rounded sqrt — the SAME IEEE-754 operation sequence the
+    JVM aggregate performs, so the result is bitwise equal and can be
+    baked into the plan as a literal."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def nearest_lists_cosine(
-    vec_col: Column | str, centroids: list[list[float]], nprobe: int
+    vec_col: Column | str,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_norm: Column | None = None,
 ) -> Column:
     """array<int> of the ``nprobe`` centroid ids by ROUNDED cosine
     (descending, ties to the smaller list_id). Rounding to 4 decimals
     before the argmax makes the assignment boundary identical across
     engines (raw doubles differ in the last ulp by summation order).
     Pure literal JVM expression — shuffle-free assignment, same 100 TB
-    shape as nearest_lists."""
+    shape as nearest_lists.
+
+    Centroid norms are constants, so they are folded in Python
+    (_py_norm — bitwise equal to norm_expr) instead of re-aggregated
+    per row; pass ``vec_norm`` (a column holding norm_expr(vec) from
+    an earlier projection) and the per-row cost drops from
+    nlist × (dot + 2 norms) to nlist × dot + 1 norm — a 3× flop cut
+    on the interpreted higher-order functions that dominate
+    assignment, with bitwise-identical cosines."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vn = vec_norm if vec_norm is not None else norm_expr(v)
     cents = F.expr("array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")")
+    cnorms = F.array(*[F.lit(_py_norm(c)) for c in centroids])
     scored = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
-            (-F.round(cosine_expr(v, F.element_at(cents, i)) + F.lit(1e-9), 4)).alias("negc"),
+            (-F.round(
+                dot_expr(v, F.element_at(cents, i))
+                / (vn * F.element_at(cnorms, i))
+                + F.lit(1e-9), 4)).alias("negc"),
             (i - 1).alias("list_id"),
         ),
     )
@@ -395,15 +424,26 @@ def topk_ivf_det(
     Fully mirrored by topk_ivf_det_sql."""
     if centroids is None:
         centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+    # Two-stage projection: the row norm is computed ONCE and fed to the
+    # assignment expression as a column — inlining norm_expr inside the
+    # per-centroid transform would re-aggregate it nlist times per row
+    # (the dominant interpreted-HOF cost of IVF assignment at corpus
+    # scale; measured 31.9s -> see SCALE_r05.md at sf10's 200k vectors).
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cn"),
-        F.element_at(nearest_lists_cosine(vec_col, centroids, 1), 1).alias("list_id"),
+    ).withColumn(
+        "list_id",
+        F.element_at(
+            nearest_lists_cosine("cvec", centroids, 1, vec_norm=F.col("cn")), 1),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qn"),
-        F.explode(nearest_lists_cosine(vec_col, centroids, nprobe)).alias("list_id"),
+    ).withColumn(
+        "list_id",
+        F.explode(
+            nearest_lists_cosine("qvec", centroids, nprobe, vec_norm=F.col("qn"))),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")

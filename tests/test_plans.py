@@ -229,6 +229,19 @@ def test_headline_queries_no_global_window(spark):
         assert "TakeOrderedAndProject" in plan, name
 
 
+# Near-dup queries whose builders materialize eagerly
+# (localCheckpoint(eager=True) inside pipeline/dedup.py): the
+# checkpoint TRUNCATES lineage, so the window inventory below never
+# saw inside their plans at any SF — and invoking them is a full
+# execution, which at sf10 dup density reproduces the documented
+# exact-pair OOM (SCALE_r04/r05) rather than testing plan shape.
+# Their plan shapes are asserted in the dedicated JVM-signature /
+# bucketed-join tests above and in test_pipeline.py.
+EAGER_MATERIALIZING = {
+    "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_embed_dup",
+}
+
+
 def test_all_driver_queries_global_window_inventory(spark):
     """Pin the full inventory: across every declared driver query the
     ONLY partition-less Windows are the two documented exceptions —
@@ -237,7 +250,8 @@ def test_all_driver_queries_global_window_inventory(spark):
 
     offenders = {
         name for name, fn in entry.queries().items()
-        if X.global_windows(fn(spark, SF_SMOKE))
+        if name not in EAGER_MATERIALIZING
+        and X.global_windows(fn(spark, SF_SMOKE))
     }
     assert offenders <= GLOBAL_WINDOW_EXCEPTIONS, (
         f"undocumented global windows: {offenders - GLOBAL_WINDOW_EXCEPTIONS}"
