@@ -701,6 +701,7 @@ def embedding_dup_pairs(
     n_tables: int = 1,
     dim: int | None = None,
     seed: int = 42,
+    anchor_degree: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
@@ -712,6 +713,17 @@ def embedding_dup_pairs(
     near-dups (s≥0.95) at bits=8, n_tables=8. The join is bucket-equi,
     never O(n²), and fully mirrored by embedding_dup_pairs_sql so an
     independent engine reproduces the same candidate set.
+
+    ``anchor_degree=D`` is the duplicate-dense lever, same contract as
+    the MinHash/SimHash ops: each bucket member pairs only against
+    its bucket's D smallest ids, so candidate fan-out is D·|bucket|
+    instead of |bucket|² while every member keeps an edge to its
+    cluster's anchors — the dup_clusters/keep_canonical DECISION is
+    unchanged for dense clusters (tested). The r5 sf10 rehearsal
+    showed the join's MATCHED-ROW count is this operator's real cost
+    (SCALE_r05.md: ~1.3B matched rows at 200k vectors, and cheapening
+    per-row work measured slower) — this is the lever that shrinks it.
+    Exact pair parity (what the oracle checks) requires None.
 
     bucket_bits=0 compares all pairs (correctness baseline for tests
     only — a cartesian product, never the declared path at scale).
@@ -735,8 +747,20 @@ def embedding_dup_pairs(
         e = v.select("id", "vec", "nrm", F.explode(tables).alias("tb")).select(
             "id", "vec", "nrm", "tb.tbl", "tb.bucket"
         )
+        left = e
+        if anchor_degree is not None:
+            from pyspark.sql import Window
+
+            # the window's (tbl,bucket) partitioning is the join key,
+            # so the rank and the join share one exchange
+            w = Window.partitionBy("tbl", "bucket").orderBy("id")
+            left = (
+                e.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= anchor_degree)
+                .drop("__rk")
+            )
         # corpus-sized both sides: shuffle-hash, never AQE-broadcast
-        a, b = e.alias("a"), e.alias("b").hint("shuffle_hash")
+        a, b = left.alias("a"), e.alias("b").hint("shuffle_hash")
         cos = cosine_n_expr(
             F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
         )

@@ -536,6 +536,39 @@ def test_anchor_degree_bounds_fanout_preserves_clusters(spark):
         assert exd == cpd
 
 
+def test_embed_anchor_degree_bounds_fanout_preserves_clusters(spark):
+    """Embedding twin of the minhash/simhash anchor guarantee: the r5
+    sf10 rehearsal showed the bucket join's MATCHED-ROW count is the
+    embedding op's real cost (SCALE_r05.md), and anchor_degree is the
+    lever that shrinks it — pair count linear in cluster size, the
+    dup_clusters decision identical, no invented edges."""
+    n_copies, dim = 30, 16
+    rows = []
+    for base in range(3):
+        for k in range(n_copies):
+            # dense clusters: one base direction per cluster + a tiny
+            # per-copy perturbation; cross-cluster cosine ≈ 0.1
+            vec = [1.0 if j % 3 == base else 0.05 for j in range(dim)]
+            vec[k % dim] += 0.01
+            rows.append((base * 1000 + k, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.95, bucket_bits=6, n_tables=4, dim=dim)
+    exact = D.embedding_dup_pairs(emb, "vec_id", "embedding", **kw)
+    capped = D.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                   anchor_degree=4, **kw)
+    n_exact, n_capped = exact.count(), capped.count()
+    # quadratic vs linear: 3 clusters of 30 → ~1305 exact pairs
+    assert n_exact > 1000 and n_capped < n_exact / 2
+    ex = {tuple(r) for r in D.dup_clusters(
+        exact.select("id_a", "id_b")).collect()}
+    cp = {tuple(r) for r in D.dup_clusters(
+        capped.select("id_a", "id_b")).collect()}
+    assert ex == cp
+    ep = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    for r in capped.collect():
+        assert (r["id_a"], r["id_b"]) in ep
+
+
 # ---------------------------------------------------------------------
 # incremental near-dup index (VERDICT r4 item 4)
 # ---------------------------------------------------------------------
