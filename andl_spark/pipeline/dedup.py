@@ -1037,6 +1037,7 @@ def embedding_dup_against_index(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    anchor_degree: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding near-dup, the third leg of the
     ``*_against_index`` family (exact: dedup_against_index, MinHash:
@@ -1063,7 +1064,12 @@ def embedding_dup_against_index(
     threshold evaluate map-side on the join output, and only
     surviving (id, id, cos) rows reach the pair dedup (the wide-vector
     exchange before filtering was the measured 5.7× regression the
-    full-recompute path already avoids)."""
+    full-recompute path already avoids). ``anchor_degree=D`` caps the
+    corpus side's fan-out per (tbl,bucket) to its D smallest ids —
+    same duplicate-dense lever and same caveat as the other
+    ``*_against_index`` ops and embedding_dup_pairs: the
+    dup-cluster DECISION is preserved for dense clusters, exact pair
+    parity requires None."""
     from .simsearch import cosine_n_expr
 
     new_index = embedding_index(
@@ -1078,8 +1084,18 @@ def embedding_dup_against_index(
             "id", "vec", "nrm", F.explode("buckets").alias("tb")
         ).select("id", "vec", "nrm", "tb.tbl", "tb.bucket")
 
+    corpus_side = _explode(all_index)
+    if anchor_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tbl", "bucket").orderBy("id")
+        corpus_side = (
+            corpus_side.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= anchor_degree)
+            .drop("__rk")
+        )
     a = _explode(new_index).alias("a")
-    b = _explode(all_index).alias("b").hint("shuffle_hash")
+    b = corpus_side.alias("b").hint("shuffle_hash")
     cos = cosine_n_expr(
         F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
     )
