@@ -1561,6 +1561,19 @@ class AndlSession:
         if not parts and not self._has_sequential_fold(binds):
             return self._select_windowed_global(
                 df, order_spec, star, keeps, binds, env)
+        if (
+            parts
+            and order_spec
+            and any(_contains(a, "fold") for _, a in binds)
+            and not self._has_sequential_fold(binds)
+            and not any(_contains_call(a, _WINDOW_FNS) for _, a in binds)
+        ):
+            # grouped running folds, all combinable, no sequential window
+            # functions → the skew-robust two-pass scheme (r6 auto-
+            # dispatch; VERDICT r5 finding 1). lag/lead/nth/ord/ordg stay
+            # on the plain window: their frame semantics are positional.
+            return self._select_windowed_grouped(
+                df, parts, order_spec, star, keeps, binds, env)
         return self._select_windowed_1p(df, parts, orders, star, keeps, binds, env)
 
     _TWO_PASS_FOLDS = {"+", "*", "max", "min", "&"}
@@ -1579,6 +1592,49 @@ class AndlSession:
         for _, ast in binds:
             _map_folds(ast, scan)
         return found
+
+    #: Andl fold op → operators/runfold.RUN_OPS key (the combinable set)
+    _RUNFOLD_OPS = {"+": "sum", "*": "product", "max": "max",
+                    "min": "min", "&": "concat"}
+
+    def _select_windowed_grouped(self, df, parts, order_spec, star, keeps,
+                                 binds, env):
+        """Grouped running folds via the two-pass range-slice scheme.
+
+        ``Window.partitionBy(group)`` maps a group to ONE task, so a
+        zipf-head key (one customer owning 30% of orders — measured
+        3.1× degradation in the r5 skew rehearsal) funnels the whole
+        hot group through a single straggler that AQE can never split
+        (it splits skewed joins, not windows). Every fold reaching this
+        path is combinable (+ * max min &), so we route through
+        operators/runfold.grouped_running: range-slice the
+        (group, order) space, local prefixes per slice, offsets
+        combined over the tiny per-slice partials — row-identical
+        output (SuiteRelOrder pins it; tests/test_lang.py asserts the
+        plan has no data-sized window partitioned by the bare group)."""
+        from ..operators.runfold import grouped_running
+
+        out_cols = self._output_heading(df, star, keeps, binds)
+        ctx = _Ctx(self, df, env)
+        fold_specs: list[tuple[str, str, Column]] = []
+
+        def repl_fold(op, val_ast):
+            name = f"__gf{len(fold_specs)}"
+            fold_specs.append((name, op, self._compile(val_ast, ctx)))
+            return ("_col", F.col(name))
+
+        out_binds = [(n, _map_folds(a, repl_fold)) for n, a in binds]
+        okeys = [
+            F.col(n).desc() if desc else F.col(n) for n, desc in order_spec
+        ]
+        folds = {
+            n: (self._RUNFOLD_OPS[op], val) for n, op, val in fold_specs
+        }
+        cur = grouped_running(df, parts, okeys, folds)
+        ctx_out = _Ctx(self, cur, env)
+        exprs = {n: self._compile(a, ctx_out) for n, a in out_binds}
+        cols = [exprs[c].alias(c) if c in exprs else F.col(c) for c in out_cols]
+        return cur.select(*cols).dropDuplicates()
 
     def _select_windowed_global(self, df, order_spec, star, keeps, binds, env):
         """Un-grouped .order() without a single-partition window
@@ -1602,7 +1658,10 @@ class AndlSession:
         Window node (tests/test_lang.py asserts)."""
         out_cols = self._output_heading(df, star, keeps, binds)
         spark = df.sparkSession
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:  # "auto" under AQE auto-optimized shuffle (ADVICE r5)
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nparts = spark.sparkContext.defaultParallelism
         skeys = [
             F.col(n).desc() if desc else F.col(n).asc()
             for n, desc in order_spec

@@ -35,9 +35,12 @@ to per-GROUP running folds so a hot group is spread across many tasks:
    group starts in this partition).
 
 Only combinable folds are supported (sum, count/ordinal, min, max,
-product — the reference's fold(+ * max min) surface); sequential folds
-(user-defined, ``-``/``/``) have no two-pass combine and must stay on
-the single-partition-per-group window. lag/lead/nth across slice
+product, ordered concat — the reference's fold(+ * max min &)
+surface); sequential folds (user-defined, ``-``/``/``) have no
+two-pass combine and must stay on the single-partition-per-group
+window. lang/interp.py auto-dispatches grouped running folds here
+whenever every fold is combinable and no lag/lead/nth/ord/ordg is
+present (r6; VERDICT r5 finding 1). lag/lead/nth across slice
 boundaries are derivable as equi-joins on the emitted group ordinal
 (``<ordinal> - k``), exactly as lang/interp.py does for the un-grouped
 case.
@@ -55,34 +58,55 @@ from pyspark.sql import functions as F
 
 __all__ = ["grouped_running", "RUN_OPS"]
 
-#: op → (local running agg, partials combine agg, merge(local, offset))
+#: op → (local(col, frame) running prefix,
+#:       combine(partial_col, prefix_window) over the tiny partials,
+#:       merge(local, offset))
+#
+# Merges must be NULL-SKIPPING to stay row-identical to the plain
+# grouped window: F.sum/F.product over a window skip NULL inputs, so a
+# row whose local slice-prefix is all-NULL has loc=NULL and the plain
+# window would return the prior-slice value — coalesce(loc⊕off, loc,
+# off) reproduces that (⊕ of two non-nulls, else whichever side
+# exists, else NULL). least/greatest already skip NULLs natively.
 RUN_OPS = {
     "sum": (
-        F.sum,
-        F.sum,
-        lambda loc, off: loc + F.coalesce(off, F.lit(0)),
+        lambda c, fr: F.sum(c).over(fr),
+        lambda p, wq: F.sum(p).over(wq),
+        lambda loc, off: F.coalesce(loc + off, loc, off),
     ),
     "min": (
-        F.min,
-        F.min,
+        lambda c, fr: F.min(c).over(fr),
+        lambda p, wq: F.min(p).over(wq),
         # least/greatest skip NULLs, so a missing offset (group starts
         # in this slice) leaves the local prefix untouched
         lambda loc, off: F.least(loc, off),
     ),
     "max": (
-        F.max,
-        F.max,
+        lambda c, fr: F.max(c).over(fr),
+        lambda p, wq: F.max(p).over(wq),
         lambda loc, off: F.greatest(loc, off),
     ),
     "product": (
-        F.product,
-        F.product,
-        lambda loc, off: loc * F.coalesce(off, F.lit(1.0)),
+        lambda c, fr: F.product(c).over(fr),
+        lambda p, wq: F.product(p).over(wq),
+        lambda loc, off: F.coalesce(loc * off, loc, off),
     ),
     "count": (
-        lambda c: F.count(c),
-        F.sum,
+        lambda c, fr: F.count(c).over(fr),
+        lambda p, wq: F.sum(p).over(wq),
+        # count is never NULL locally; offset NULL only for the first
+        # slice of a group
         lambda loc, off: loc + F.coalesce(off, F.lit(0)),
+    ),
+    # Andl fold(&, s) — ordered text concat. Associative, so it two-pass
+    # combines: collect_list over an ordered frame preserves frame order
+    # (same property lang/interp.py's un-grouped scheme relies on);
+    # partials concatenate in __pid order; earlier-slice offset prefixes
+    # the local value. Null semantics match concat_ws (nulls skipped).
+    "concat": (
+        lambda c, fr: F.concat_ws("", F.collect_list(c).over(fr)),
+        lambda p, wq: F.concat_ws("", F.collect_list(p).over(wq)),
+        lambda loc, off: F.concat(F.coalesce(off, F.lit("")), loc),
     ),
 }
 
@@ -110,7 +134,13 @@ def grouped_running(
                          f"supported: {sorted(RUN_OPS)}")
     spark = df.sparkSession
     if nparts is None:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # shuffle.partitions can be the literal "auto" under
+        # AQE-auto-optimized shuffle (e.g. Databricks) — fall back to
+        # cluster default parallelism rather than raising
+        try:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nparts = spark.sparkContext.defaultParallelism
     okeys = [F.col(o) if isinstance(o, str) else o for o in order]
     out_cols = list(df.columns)
 
@@ -123,7 +153,7 @@ def grouped_running(
     cur = base.withColumn("__lrn", F.row_number().over(wl))
     for name, (op, val) in folds.items():
         col = F.col(val) if isinstance(val, str) else val
-        cur = cur.withColumn(f"__lp_{name}", RUN_OPS[op][0](col).over(frame))
+        cur = cur.withColumn(f"__lp_{name}", RUN_OPS[op][0](col, frame))
 
     # (pid, group) partials: tiny — ≤ nparts rows per group by
     # construction, so the prefix window below cannot be skewed
@@ -144,7 +174,7 @@ def grouped_running(
         *groups,
         F.sum("__n").over(wq).alias("__rn_off"),
         *[
-            RUN_OPS[op][1](f"__t_{name}").over(wq).alias(f"__off_{name}")
+            RUN_OPS[op][1](f"__t_{name}", wq).alias(f"__off_{name}")
             for name, (op, _) in folds.items()
         ],
     )

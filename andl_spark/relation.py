@@ -96,29 +96,74 @@ class Relation:
         """Aggregation with no keys → single-tuple relation."""
         return Relation(self.df.agg(*[e.alias(n) for n, e in aggs.items()]))
 
+    #: declarative running-fold op aliases → operators/runfold.RUN_OPS key
+    _RUN_ALIASES = {
+        "+": "sum", "sum": "sum", "*": "product", "product": "product",
+        "max": "max", "min": "min", "count": "count",
+        "&": "concat", "concat": "concat",
+    }
+
     def ordered(
         self,
         by: list[str | Column],
         group: list[str] | None = None,
-        **exprs: Callable[[Window], Column],
+        **exprs,
     ) -> "Relation":
         """Andl .order(%group, ±key) .select{* ...} — windowed extension.
 
-        ``by`` entries: "col" or "-col" for descending. Each expr is a
-        callable taking the WindowSpec → Column (see window_funcs for
-        ord/ordg/lag/lead/nth/running folds).
+        ``by`` entries: "col" or "-col" for descending. Each expr is
+        either a callable taking the WindowSpec → Column (see
+        window_funcs for lag/lead/nth — sequential forms that must stay
+        on a per-group window), a DECLARATIVE running fold
+        ``(op, col)`` with op in sum/+/product/*/max/min/count/&, or
+        the string ``"ord"`` for the 1-based within-group ordinal.
+
+        Auto-dispatch (r6; VERDICT r5 finding 1): with ``group`` keys
+        and ALL exprs declarative, the plan routes through the
+        skew-robust two-pass scheme (:meth:`running`) — a zipf-head
+        group never funnels into one window task. Callables (lag/lead/
+        rank/custom frames) keep the plain window: their semantics are
+        positional and can't be slice-combined.
 
         Scale note: without ``group`` Spark computes the window in a
         single partition (inherent to a global ordering); supply group
         keys wherever the semantics allow.
         """
+        def _decl(v):
+            return v == "ord" or (
+                isinstance(v, tuple) and len(v) == 2
+                and v[0] in self._RUN_ALIASES)
+
+        if group and exprs and all(_decl(v) for v in exprs.values()):
+            ordinal = next((n for n, v in exprs.items() if v == "ord"), None)
+            folds = {
+                n: (self._RUN_ALIASES[v[0]], v[1])
+                for n, v in exprs.items() if v != "ord"
+            }
+            return self.running(group, by, folds, ordinal=ordinal)
+
         order_cols = [
             F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else
             (F.col(c) if isinstance(c, str) else c)
             for c in by
         ]
         w = Window.partitionBy(*group).orderBy(*order_cols) if group else Window.orderBy(*order_cols)
-        out = self.df.withColumns({name: make(w) for name, make in exprs.items()})
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        def _mk(v):
+            if v == "ord":
+                return F.row_number().over(w).cast("long")
+            if isinstance(v, tuple) and len(v) == 2 and v[0] in self._RUN_ALIASES:
+                op = self._RUN_ALIASES[v[0]]
+                col = F.col(v[1]) if isinstance(v[1], str) else v[1]
+                if op == "concat":
+                    return F.concat_ws("", F.collect_list(col).over(frame))
+                agg = {"sum": F.sum, "product": F.product, "max": F.max,
+                       "min": F.min, "count": F.count}[op]
+                return agg(col).over(frame)
+            return v(w)
+
+        out = self.df.withColumns({name: _mk(make) for name, make in exprs.items()})
         return Relation(out)
 
     def running(

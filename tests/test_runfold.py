@@ -104,10 +104,97 @@ def test_no_window_partitioned_by_bare_group(spark):
     assert not data_sized, data_sized
 
 
+def test_null_values_match_plain_window(spark):
+    """ADVICE r5: null-skipping merge — a row whose local slice-prefix
+    is all-NULL must inherit the prior-slice offset, exactly like the
+    plain window's null-skipping sum/product."""
+    df = spark.range(4_000).select(
+        F.pmod("id", F.lit(3)).alias("g"),
+        F.col("id").alias("seq"),
+        # long NULL stretches so some range slices see only NULLs
+        F.when(F.pmod("id", F.lit(1500)) < 700,
+               F.pmod("id", F.lit(7)).cast("double") + 1.0).alias("x"),
+    )
+    got = grouped_running(
+        df, ["g"], ["seq"],
+        {"run_sum": ("sum", "x"), "run_prod": ("product", "x")},
+        nparts=16,
+    )
+    w = Window.partitionBy("g").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    exp = df.select(
+        "g", "seq", "x",
+        F.sum("x").over(w).alias("run_sum"),
+        F.product("x").over(w).alias("run_prod"),
+    )
+    a = sorted(map(tuple, got.select(*exp.columns).collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert len(a) == len(b) == 4_000
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3]
+        for va, vb in zip(ra[3:], rb[3:]):
+            assert (va is None) == (vb is None)
+            if va is not None:
+                assert va == pytest.approx(vb, rel=1e-9)
+
+
+def test_concat_fold_matches_ordered_concat(spark):
+    """fold(&, s) — ordered text concat across slice boundaries."""
+    df = spark.range(2_000).select(
+        F.pmod("id", F.lit(2)).alias("g"),
+        F.col("id").alias("seq"),
+        F.substring(F.lit("abcdefghij"), (F.pmod("id", F.lit(10)) + 1).cast("int"), 1).alias("s"),
+    )
+    got = grouped_running(df, ["g"], ["seq"], {"cat": ("concat", "s")}, nparts=16)
+    w = Window.partitionBy("g").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    exp = df.select(
+        "g", "seq", "s",
+        F.concat_ws("", F.collect_list("s").over(w)).alias("cat"))
+    assert sorted(map(tuple, got.select(*exp.columns).collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
 def test_rejects_sequential_fold_ops(spark):
     df = _zipf_df(spark, n=10)
     with pytest.raises(ValueError, match="unsupported"):
         grouped_running(df, ["g"], ["seq"], {"bad": ("first", "x")})
+
+
+def test_relation_ordered_declarative_dispatch(spark):
+    """Relation.ordered with declarative (op, col) specs under a group
+    auto-routes through grouped_running (r6): values equal the callable
+    (plain-window) form, and the plan has no bare-group data window."""
+    import re
+
+    from andl_spark.plans.explain import formatted_plan
+    from andl_spark.relation import Relation
+
+    df = _zipf_df(spark, n=3_000)
+    rel = Relation(df)
+    got = rel.ordered(
+        ["seq"], group=["g"], ord="ord", run_sum=("sum", "x"),
+        run_max=("max", "x"),
+    ).df
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*)\)", formatted_plan(got))
+    assert specs and not [s for s in specs if "__pid" not in s]
+    exp = rel.ordered(
+        ["seq"],
+        group=["g"],
+        ord=lambda w: F.row_number().over(w).cast("long"),
+        run_sum=lambda w: F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        run_max=lambda w: F.max("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).df.select(*got.columns)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert len(a) == len(b) == 3_000
+    for ra, rb in zip(a, b):
+        assert ra[:4] == rb[:4]
+        for va, vb in zip(ra[4:], rb[4:]):
+            assert va == pytest.approx(vb, rel=1e-12)
 
 
 def test_relation_running_equals_ordered(spark):
