@@ -210,6 +210,55 @@ def _band_buckets(
     )
 
 
+#: Auto-guard (r6; VERDICT r5 finding 2): estimated candidate-row bound
+#: above which an EXACT all-pairs bucket self-join auto-engages
+#: anchors. Calibrated against measured 128 GiB-heap behavior: the
+#: largest bucket join measured to COMPLETE is ~1.3e9 matched rows
+#: (embedding exact at sf10, 335s), while the sf10 exact-simhash join
+#: OOMs — its dup-density estimate is far above this line. Exact pair
+#: semantics are preserved whenever the estimate stays under the bound
+#: (every oracle scale, sf0.01-sf10 minhash at ~4e8).
+AUTO_ANCHOR_BOUND = 1_000_000_000
+#: Anchor degree the guard engages — the value the r4/r5 scale
+#: rehearsals measured as decision-identical through dup_clusters.
+AUTO_ANCHOR_DEGREE = 8
+
+
+def _fanout_guard(
+    exploded: DataFrame, keys: list[str], what: str,
+    bound: int | None = None,
+) -> int | None:
+    """Estimate a bucket self-join's candidate fan-out — Σ n·(n−1)/2
+    over bucket-key counts, ONE cheap aggregate over the (cached
+    upstream) bucket table — and return the anchor degree to engage
+    when it exceeds ``bound``, else None (exact semantics).
+
+    Duplicate-dense corpora make the exact join quadratic in cluster
+    size; at sf10's 100-way dup density the simhash chunk join OOMs a
+    128 GiB heap (SCALE_r05.md). Rather than letting a data property
+    crash the job, the guard trades exactness for the measured
+    decision-identical anchored mode and LOGS the switch — callers
+    needing guaranteed-exact pairs at any cost pass an explicit
+    anchor_degree or raise the bound."""
+    bound = AUTO_ANCHOR_BOUND if bound is None else bound
+    est = (
+        exploded.groupBy(*keys).count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+        .first()["p"]
+    )
+    if est is not None and est > bound:
+        import logging
+
+        logging.getLogger("andl_spark.dedup").warning(
+            "%s: estimated %.3g candidate pairs exceeds the %.3g exact-join "
+            "bound — auto-engaging anchor_degree=%d (bounded fan-out, "
+            "cluster-connectivity-preserving; pass anchor_degree explicitly "
+            "to override)", what, float(est), float(bound), AUTO_ANCHOR_DEGREE,
+        )
+        return AUTO_ANCHOR_DEGREE
+    return None
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -234,8 +283,17 @@ def lsh_candidate_pairs(
     connect through a shared anchor and all-pairs adds no information
     for DENSE clusters (each member similar to the anchor). D anchors
     give D chances for the downstream similarity verification to keep
-    at least one connecting edge per bucket-mate."""
+    at least one connecting edge per bucket-mate.
+
+    With ``anchor_degree=None`` the fan-out auto-guard estimates the
+    candidate count first and engages anchors above AUTO_ANCHOR_BOUND
+    (logged) — exact semantics whenever the estimate is affordable."""
     exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
+    if anchor_degree is not None and anchor_degree <= 0:
+        anchor_degree = None  # explicit "no anchors, no guard"
+    elif anchor_degree is None:
+        anchor_degree = _fanout_guard(
+            exploded, ["band", "bucket"], "minhash lsh_candidate_pairs")
     left = exploded
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -511,6 +569,13 @@ def simhash_near_pairs(
     e = signatures.select(id_col, "sh_lo", "sh_hi", F.explode(chunks).alias("c")).select(
         id_col, "sh_lo", "sh_hi", "c.chunk", "c.val"
     )
+    if anchor_degree is not None and anchor_degree <= 0:
+        anchor_degree = None  # explicit "no anchors, no guard"
+    elif anchor_degree is None:
+        # fan-out auto-guard (r6): estimate candidates before the pair
+        # join; at sf10 dup density the exact chunk join OOMs a 128 GiB
+        # heap — engage anchors (logged) instead of crashing
+        anchor_degree = _fanout_guard(e, ["chunk", "val"], "simhash_near_pairs")
     left = e
     if anchor_degree is not None:
         from pyspark.sql import Window

