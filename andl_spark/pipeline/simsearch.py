@@ -261,20 +261,35 @@ def topk_lsh(
     bits: int = 8,
     multiprobe: int = 1,
     dim: int | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket plus every bucket at
     Hamming distance ≤ multiprobe (flip i bits). Recall grows with
     probes; the candidate join stays bucket-equi either way.
 
     Pass ``dim`` explicitly in production — inferring it costs a
-    driver-side first() action per call."""
+    driver-side first() action per call. ``quantize=True`` carries the
+    corpus payload as int8 codes through the bucket join (8× less
+    shuffle; buckets still from the raw vector, cosine scale-invariance
+    keeps ranking within quantization noise — recall pinned in tests)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
-        hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
-    )
+    if quantize:
+        qz = quantize_embeddings(
+            corpus.select(F.col(id_col).alias("cand_id"),
+                          F.col(vec_col).alias("__raw")), "__raw")
+        c = qz.select(
+            "cand_id",
+            F.col("q_vec").alias("cvec"),
+            norm_expr(F.col("q_vec")).alias("cn"),
+            hyperplane_bucket("__raw", dim, bits).alias("bucket"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+            hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
+        )
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qn"),
@@ -408,22 +423,73 @@ def nearest_lists_cosine(
     return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
 
 
+#: Probed-cell fraction the auto-tuned nprobe holds. Recall of an IVF
+#: probe is governed by the probed corpus fraction (nprobe/nlist) far
+#: more than by nlist itself for a sample-seeded quantizer; 1/4 is the
+#: measured-green operating point (the driver-checked q_ann_ivf config
+#: is 4/16, and the r6 scale rehearsal pins recall@5 ≥ 0.9 at sf1/sf10
+#: under auto_nlist with this fraction — SCALE_r06.md).
+AUTO_PROBE_FRAC = 0.25
+#: auto_nlist clamp: below 16 cells probing saves nothing; above 4096
+#: the flat literal assignment expression (nlist dots per row) is the
+#: wrong tool (a hierarchical coarse quantizer or BLAS assignment takes
+#: over — documented closure, not a silent ceiling).
+AUTO_NLIST_MIN, AUTO_NLIST_MAX = 16, 4096
+
+
+def auto_nlist(corpus_count: int) -> int:
+    """The √N lever: nlist ≈ √corpus-count (FAISS guideline — cells of
+    ~√N vectors balance assignment cost against per-probe scan cost),
+    clamped to [16, 4096]. At index-build time the corpus count is a
+    catalog-known quantity; pass it in rather than counting per query."""
+    return max(AUTO_NLIST_MIN,
+               min(AUTO_NLIST_MAX, int(round(math.sqrt(corpus_count)))))
+
+
+def auto_nprobe(nlist: int) -> int:
+    """nprobe holding the probed-cell fraction at AUTO_PROBE_FRAC
+    (recall-preserving as nlist scales with √N), never below the
+    driver-checked 4."""
+    return max(4, math.ceil(nlist * AUTO_PROBE_FRAC))
+
+
 def topk_ivf_det(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
+    nlist: int | None = 16,
+    nprobe: int | None = 4,
     centroids: list[list[float]] | None = None,
+    corpus_count: int | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """IVF ANN over the deterministic seed quantizer: corpus rows are
     assigned to their rounded-cosine-nearest centroid (shuffle-free
     literal math), queries probe their ``nprobe`` nearest cells.
-    Fully mirrored by topk_ivf_det_sql."""
+    Fully mirrored by topk_ivf_det_sql (at explicit nlist/nprobe).
+
+    ``nlist=None`` engages the √N auto-scale (auto_nlist over
+    ``corpus_count``, counted once if not supplied); ``nprobe=None``
+    auto-tunes to hold the probed fraction (auto_nprobe).
+    ``quantize=True`` carries the corpus payload as int8 codes
+    (quantize_embeddings) through the candidate join — 8× less
+    shuffle/broadcast bytes; cosine is scale-invariant so ranking
+    changes only by the quantization noise (recall pinned ≥0.9 in
+    tests). Assignment still reads the raw vector (bucketing is an
+    index-build step; codes are the stored payload)."""
+    if nlist is None:
+        if corpus_count is None:
+            corpus_count = corpus.count()
+        nlist = auto_nlist(corpus_count)
+    if nprobe is None:
+        nprobe = auto_nprobe(nlist)
     if centroids is None:
         centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+    if quantize:
+        return _topk_ivf_det_quantized(
+            corpus, queries, id_col, vec_col, k, nprobe, centroids)
     # Two-stage projection: the row norm is computed ONCE and fed to the
     # assignment expression as a column — inlining norm_expr inside the
     # per-centroid transform would re-aggregate it nlist times per row
@@ -436,6 +502,48 @@ def topk_ivf_det(
         "list_id",
         F.element_at(
             nearest_lists_cosine("cvec", centroids, 1, vec_norm=F.col("cn")), 1),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+    ).withColumn(
+        "list_id",
+        F.explode(
+            nearest_lists_cosine("qvec", centroids, nprobe, vec_norm=F.col("qn"))),
+    )
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _topk_ivf_det_quantized(
+    corpus, queries, id_col, vec_col, k, nprobe, centroids
+) -> DataFrame:
+    """Quantized-payload IVF probe (see topk_ivf_det quantize=True).
+    Cell assignment uses the raw vector (same cells as the float path);
+    the join payload is the int8 code array + its norm — cosine's
+    per-vector scale invariance means cos(q, codes) == cos(q, codes·s),
+    so no dequantization happens anywhere."""
+    qz = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("__raw")), "__raw")
+    c = qz.select(
+        "cand_id",
+        F.col("q_vec").alias("cvec"),
+        norm_expr(F.col("q_vec")).alias("cn"),
+        F.element_at(
+            nearest_lists_cosine("__raw", centroids, 1,
+                                 vec_norm=norm_expr(F.col("__raw"))), 1,
+        ).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),

@@ -99,6 +99,52 @@ class Catalog:
         entry["current"] = version
         self._flush()
 
+    def gc(self, name: str, keep_last: int = 2,
+           keep: set[int] | None = None) -> list[int]:
+        """Version retention (r6; VERDICT r5 item 7): every put() is an
+        immutable snapshot, so a busy relvar accumulates versions
+        without bound. GC deletes all but the newest ``keep_last``
+        versions (plus any pinned in ``keep`` — e.g. versions a
+        training run recorded), NEVER the current pointer's target.
+        Returns the reclaimed version numbers; their directories are
+        removed from disk and the manifest, so time-travel to them
+        raises KeyError while every retained version stays readable."""
+        import shutil
+
+        entry = self._names.get(name)
+        if entry is None or entry.get("layout") != "versioned":
+            return []
+        versions = sorted(entry["versions"])
+        protect = set(versions[-keep_last:]) | {entry["current"]} | (keep or set())
+        doomed = [v for v in versions if v not in protect]
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.path, name, f"v{v}"),
+                          ignore_errors=True)
+        entry["versions"] = [v for v in versions if v in protect]
+        self._flush()
+        return doomed
+
+    def compact(self, name: str, target_files: int = 8,
+                gc_after: bool = False) -> None:
+        """Rewrite the CURRENT version's rows as one new version with
+        ``target_files`` parquet files (coalesce — no shuffle). The
+        append-heavy relvars (signature/LSH indexes: one small file set
+        per ingest) read back row-identical afterwards — incremental
+        ``*_against_index`` output is pinned unchanged in
+        tests/test_sources.py — but with scan/file-listing cost
+        proportional to data, not to ingest count. ``gc_after``
+        immediately reclaims everything but the compacted version."""
+        entry = self._names.get(name)
+        if entry is None or entry.get("layout") != "versioned":
+            raise ValueError(f"relvar {name!r} is not a versioned relvar")
+        # localCheckpoint: the new version is derived FROM the current
+        # version's files; materialize before put() targets a sibling
+        # directory (never read-write the same path in one job)
+        cur = self.get(name).coalesce(target_files).localCheckpoint(eager=True)
+        self.put(name, cur, entry.get("partition_by") or None)
+        if gc_after:
+            self.gc(name, keep_last=1)
+
     def relvar(self, name: str) -> Relvar:
         """Load as a mutable Relvar; save() writes it back."""
         return Relvar(self.get(name), name)

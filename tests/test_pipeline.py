@@ -345,6 +345,55 @@ def test_quantized_topk_recall(emb):
     assert recall >= 0.9, f"int8 top-5 recall {recall}"
 
 
+def test_quantized_ann_paths_end_to_end(emb):
+    """r6 (VERDICT r5 item 5): the int8 codes are plumbed THROUGH the
+    ANN operators — topk_lsh/topk_ivf_det(quantize=True) carry an
+    array<tinyint> payload into the candidate join (4-8× smaller
+    shuffle/broadcast at corpus scale) and the ranking stays within
+    quantization noise: recall ≥ 0.9 vs the same operator's float
+    path."""
+    from andl_spark.plans.explain import formatted_plan
+
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    fl = SS.topk_lsh(emb, queries, k=5, bits=4, multiprobe=2)
+    ql = SS.topk_lsh(emb, queries, k=5, bits=4, multiprobe=2, quantize=True)
+    e = {(r["query_id"], r["cand_id"]) for r in fl.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in ql.collect()}
+    assert len(e & a) / len(e) >= 0.9, "quantized LSH recall vs float path"
+    # the probe join's corpus payload is the int8 code array
+    assert "tinyint" in formatted_plan(ql)
+
+    fi = SS.topk_ivf_det(emb, queries, k=5, nlist=8, nprobe=4)
+    qi = SS.topk_ivf_det(emb, queries, k=5, nlist=8, nprobe=4, quantize=True)
+    e = {(r["query_id"], r["cand_id"]) for r in fi.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in qi.collect()}
+    assert len(e & a) / len(e) >= 0.9, "quantized IVF recall vs float path"
+    assert "tinyint" in formatted_plan(qi)
+
+
+def test_ivf_auto_nlist_scales_and_holds_recall(emb):
+    """r6 (VERDICT r5 item 4): nlist=None engages the √N lever —
+    auto_nlist(√count clamped), auto_nprobe holding the probed-cell
+    fraction — and recall@5 vs brute force stays ≥ 0.9 at this corpus
+    size (the sf1/sf10 pins live in the scale rehearsal)."""
+    assert SS.auto_nlist(100) == 16          # clamp floor
+    assert SS.auto_nlist(250_000) == 500     # √N
+    assert SS.auto_nlist(10**9) == 4096      # clamp ceiling
+    assert SS.auto_nprobe(16) == 4
+    assert SS.auto_nprobe(500) == 125        # fraction held
+
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, k=5)
+    auto = SS.topk_ivf_det(emb, queries, k=5, nlist=None, nprobe=None,
+                           corpus_count=n)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in auto.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"auto-nlist IVF recall {recall} (n={n})"
+
+
 def test_dup_clusters_transitive_and_canonical(spark):
     """Pairs (1,2),(2,3) collapse transitively into one cluster named
     by the minimum id, disjoint (5,6) stays separate, and
