@@ -17,6 +17,9 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves string
+                     # annotations through fn.__globals__ (this file
+                     # uses `from __future__ import annotations`)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -453,6 +456,47 @@ def auto_nprobe(nlist: int) -> int:
     return max(4, math.ceil(nlist * AUTO_PROBE_FRAC))
 
 
+#: Above this nlist the literal-expression assignment (nlist
+#: interpreted higher-order dots per row) loses to one Arrow-batched
+#: numpy matmul per partition; below it the pure-JVM expression wins
+#: (no Python worker, exact oracle parity). The driver-checked
+#: q_ann_ivf config (nlist=16) stays on the expression path.
+NP_ASSIGN_MIN_NLIST = 64
+
+
+def nearest_lists_np(centroids: list[list[float]], nprobe: int):
+    """Vectorized IVF assignment for LARGE nlist (the √N auto-scale
+    regime): a Pandas UDF computing each vector's ``nprobe`` nearest
+    centroids as ONE numpy matmul per Arrow batch — still a pure map
+    (shuffle-free, same 100 TB shape as nearest_lists_cosine), but
+    O(batch·nlist·dim) in BLAS instead of interpreted expression nodes
+    (measured: ~40× at nlist=450/200k vectors, SCALE_r06.md).
+
+    Same rounded-cosine + ties-to-smaller-list-id rule as
+    nearest_lists_cosine; numpy's summation order can differ from the
+    JVM fold in the last ulp, which the 4-decimal rounding absorbs
+    except exactly AT a rounding boundary — why the oracle-checked
+    fixed-nlist path keeps the literal expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([[] for _ in range(len(v))])
+        vn = np.sqrt((m * m).sum(axis=1))
+        vn[vn == 0.0] = 1.0
+        cos = np.round((m @ C.T) / vn[:, None] / cn[None, :] + 1e-9, 4)
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return assign
+
+
 def topk_ivf_det(
     corpus: DataFrame,
     queries: DataFrame,
@@ -490,6 +534,9 @@ def topk_ivf_det(
     if quantize:
         return _topk_ivf_det_quantized(
             corpus, queries, id_col, vec_col, k, nprobe, centroids)
+    if len(centroids) >= NP_ASSIGN_MIN_NLIST:
+        return _topk_ivf_det_np(
+            corpus, queries, id_col, vec_col, k, nprobe, centroids)
     # Two-stage projection: the row norm is computed ONCE and fed to the
     # assignment expression as a column — inlining norm_expr inside the
     # per-centroid transform would re-aggregate it nlist times per row
@@ -525,6 +572,39 @@ def topk_ivf_det(
     )
 
 
+def _topk_ivf_det_np(
+    corpus, queries, id_col, vec_col, k, nprobe, centroids
+) -> DataFrame:
+    """Large-nlist IVF probe: identical join shape to the expression
+    path, assignment via nearest_lists_np (one numpy matmul per Arrow
+    batch — the only way nlist ≈ √N stays affordable; see
+    NP_ASSIGN_MIN_NLIST)."""
+    assign1 = nearest_lists_np(centroids, 1)
+    assignp = nearest_lists_np(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+        F.explode(assignp(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _topk_ivf_det_quantized(
     corpus, queries, id_col, vec_col, k, nprobe, centroids
 ) -> DataFrame:
@@ -533,6 +613,14 @@ def _topk_ivf_det_quantized(
     the join payload is the int8 code array + its norm — cosine's
     per-vector scale invariance means cos(q, codes) == cos(q, codes·s),
     so no dequantization happens anywhere."""
+    big = len(centroids) >= NP_ASSIGN_MIN_NLIST
+    if big:  # √N regime: matmul assignment (see NP_ASSIGN_MIN_NLIST)
+        assign1 = F.element_at(
+            nearest_lists_np(centroids, 1)(F.col("__raw")), 1)
+    else:
+        assign1 = F.element_at(
+            nearest_lists_cosine("__raw", centroids, 1,
+                                 vec_norm=norm_expr(F.col("__raw"))), 1)
     qz = quantize_embeddings(
         corpus.select(F.col(id_col).alias("cand_id"),
                       F.col(vec_col).alias("__raw")), "__raw")
@@ -540,19 +628,22 @@ def _topk_ivf_det_quantized(
         "cand_id",
         F.col("q_vec").alias("cvec"),
         norm_expr(F.col("q_vec")).alias("cn"),
-        F.element_at(
-            nearest_lists_cosine("__raw", centroids, 1,
-                                 vec_norm=norm_expr(F.col("__raw"))), 1,
-        ).alias("list_id"),
+        assign1.alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qn"),
-    ).withColumn(
-        "list_id",
-        F.explode(
-            nearest_lists_cosine("qvec", centroids, nprobe, vec_norm=F.col("qn"))),
     )
+    if big:
+        q = q.withColumn(
+            "list_id",
+            F.explode(nearest_lists_np(centroids, nprobe)(F.col("qvec"))))
+    else:
+        q = q.withColumn(
+            "list_id",
+            F.explode(nearest_lists_cosine(
+                "qvec", centroids, nprobe, vec_norm=F.col("qn"))),
+        )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))

@@ -11,12 +11,15 @@ Modes:
                                BASELINE.md documents ±40% single-shot
                                noise on this container); adds
                                "mode": "warm" and per-query "runs"
-  python bench.py --compare [BENCH_rN.json]
+  python bench.py --compare [BENCH_rN.json] [--anchors r1|r5]
                                no Spark: read a bench result (default =
-                               highest-numbered BENCH_r*.json), apply
-                               BASELINE.md's r1→r3 name mapping, print
+                               highest-numbered BENCH_r*.json), print
                                the per-query ratio table and the 2×-gate
-                               verdict mechanically
+                               verdict mechanically. Default anchors are
+                               the r5 warm medians (every timed query
+                               anchored); --anchors r1 applies the
+                               historical round-1 gate with BASELINE.md's
+                               name mapping.
 """
 
 from __future__ import annotations
@@ -97,7 +100,61 @@ R1_ANCHOR: dict[str, float] = {
     "q_events_session": 0.821,
 }
 ANCHORLESS = {"q_asof_join", "q_decontaminate", "q_pii_scrub"}
-GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of r1
+
+# ---------------------------------------------------------------------
+# r5 anchors (VERDICT r5 item 8): the round-5 WARM MEDIANS
+# (BENCH_WARM_r05.json, sf0.1) published as the standing anchor set —
+# every timed query has an explicit anchor, including the r3 ops that
+# had none in r1. r1 anchors stay above for history
+# (``--anchors r1``). NOTE the calibration difference: driver
+# BENCH_rN.json numbers are SINGLE-SHOT (first-run planning included),
+# warm anchors are medians-after-warm-up — single-shot totals run
+# ~1.2× the warm total on this container (r5: 36.7s single-shot vs
+# 30.2s warm), which the 2× gate absorbs; like-for-like comparisons
+# use ``bench.py --warm`` output.
+# ---------------------------------------------------------------------
+R5_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 0.593,
+    "q3_shipping_priority": 1.047,
+    "q5_local_supplier": 1.340,
+    "q10_returned_items": 0.760,
+    "q14_promo_revenue": 0.400,
+    "q18_large_orders": 0.727,
+    "q_text_quality": 0.285,
+    "q_top_ngrams": 0.765,
+    "q_agg_fold": 0.266,
+    "q_topk_orders": 0.412,
+    "q_window_running": 0.219,
+    "q_rdivide": 0.616,
+    "q_image_agg": 0.298,
+    "q_while_closure": 3.662,
+    "q_nest_unnest": 0.528,
+    "q_clean_corpus": 0.692,
+    "q_train_split": 0.221,
+    "q_corpus_profile": 0.327,
+    "q_asof_join": 0.336,
+    "q_decontaminate": 1.292,
+    "q_pii_scrub": 0.372,
+    "q_dedup_exact": 0.188,
+    "q_token_count": 0.152,
+    "q_lang_id": 0.279,
+    "q_ngram_jaccard": 3.103,
+    "q_ann_bruteforce": 1.095,
+    "q_ann_ivf": 2.383,
+    "q_ann_lsh": 1.691,
+    "q_events_window": 0.636,
+    "q_events_session": 0.617,
+    "q_dedup_minhash_prod": 2.844,
+    "q_dedup_simhash_prod": 2.058,
+}
+
+#: anchor-set registry: name → (anchors, queries timed-but-unanchored)
+ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
+    "r1": (R1_ANCHOR, ANCHORLESS),
+    "r5": (R5_ANCHOR, set()),
+}
+DEFAULT_ANCHORS = "r5"
+GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
 
 
 def _headline():
@@ -192,37 +249,42 @@ def load_bench(path: str | None) -> dict:
     return doc
 
 
-def compare(doc: dict) -> dict:
-    """Per-query ratios vs the r1 anchors + the 2× gate verdict."""
+def compare(doc: dict, anchors: str = DEFAULT_ANCHORS) -> dict:
+    """Per-query ratios vs the chosen anchor set + the 2× gate verdict.
+    Default anchors: r5 warm medians (every timed query anchored);
+    ``anchors='r1'`` keeps the historical round-1 gate."""
+    anchor_map, anchorless = ANCHOR_SETS[anchors]
     qs: dict[str, float] = doc["queries"]
     rows = []
-    mapped_now = mapped_r1 = 0.0
+    mapped_now = mapped_anchor = 0.0
     for name, sec in qs.items():
-        anchor = R1_ANCHOR.get(name)
+        anchor = anchor_map.get(name)
         if anchor is None:
             rows.append((name, sec, None, None,
-                         "new" if name in ANCHORLESS else "unmapped"))
+                         "new" if name in anchorless else "unmapped"))
             continue
         mapped_now += sec
-        mapped_r1 += anchor
+        mapped_anchor += anchor
         rows.append((name, sec, anchor, round(sec / anchor, 2), ""))
-    ratio = round(mapped_now / mapped_r1, 3) if mapped_r1 else None
+    ratio = round(mapped_now / mapped_anchor, 3) if mapped_anchor else None
     return {
         "bench": doc.get("_path"),
         "sf": doc.get("sf"),
+        "anchors": anchors,
         "rows": rows,
         "mapped_total": round(mapped_now, 3),
-        "mapped_r1_total": round(mapped_r1, 3),
+        "mapped_r1_total": round(mapped_anchor, 3),
         "ratio": ratio,
         "gate": GATE,
         "gate_pass": ratio is not None and ratio <= GATE,
         "unanchored_total": round(
-            sum(s for n, s in qs.items() if n not in R1_ANCHOR), 3),
+            sum(s for n, s in qs.items() if n not in anchor_map), 3),
     }
 
 
 def print_compare(res: dict) -> None:
-    print(f"baseline gate — {res['bench']} (sf={res['sf']}) vs r1 anchors")
+    print(f"baseline gate — {res['bench']} (sf={res['sf']}) "
+          f"vs {res['anchors']} anchors")
     print(f"{'query':<24}{'now':>8}{'r1':>8}{'ratio':>7}  note")
     for name, sec, anchor, ratio, note in sorted(
             res["rows"], key=lambda r: -(r[3] or 0)):
@@ -239,7 +301,12 @@ def print_compare(res: dict) -> None:
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--compare":
-        res = compare(load_bench(args[1] if len(args) > 1 else None))
+        anchors = DEFAULT_ANCHORS
+        if "--anchors" in args:
+            anchors = args[args.index("--anchors") + 1]
+        rest = [a for a in args[1:] if not a.startswith("--")
+                and a != anchors]
+        res = compare(load_bench(rest[0] if rest else None), anchors=anchors)
         print_compare(res)
         sys.exit(0 if res["gate_pass"] else 1)
     warm = "--warm" in args

@@ -17,9 +17,31 @@ def test_anchor_table_matches_baseline_md_total():
     assert round(sum(bench.R1_ANCHOR.values()) + 0.625, 3) == 41.785
 
 
+def test_r5_anchor_set_covers_every_timed_query():
+    """VERDICT r5 item 8: the standing anchors are the r5 warm medians
+    and every timed headline query has an explicit anchor — no prose
+    name map, no unanchored ops. The default gate uses them; r1 stays
+    available for history."""
+    doc = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r05.json"))
+    assert set(doc["queries"]) == set(bench.R5_ANCHOR)
+    assert bench.DEFAULT_ANCHORS == "r5"
+    # the anchors ARE those warm medians
+    for k, v in bench.R5_ANCHOR.items():
+        assert abs(doc["queries"][k] - v) < 1e-9, k
+    # self-comparison: ratio exactly 1.0, everything anchored
+    res = bench.compare(doc)
+    assert res["anchors"] == "r5" and res["gate_pass"]
+    assert abs(res["ratio"] - 1.0) < 1e-9
+    assert res["unanchored_total"] == 0
+    # the r5 single-shot suite lands at the documented ~1.2x warm-vs-
+    # single-shot calibration, comfortably inside the 2x gate
+    res5 = bench.compare(bench.load_bench(os.path.join(REPO, "BENCH_r05.json")))
+    assert res5["gate_pass"] and 1.0 < res5["ratio"] < 1.5
+
+
 def test_compare_r3_reproduces_judge_ratio():
     doc = bench.load_bench(os.path.join(REPO, "BENCH_r03.json"))
-    res = bench.compare(doc)
+    res = bench.compare(doc, anchors="r1")
     # VERDICT r3: "0.91 on the name-mapped subset" — now mechanical
     assert res["gate_pass"] and abs(res["ratio"] - 0.914) < 0.005
     by_name = {r[0]: r for r in res["rows"]}
@@ -37,9 +59,12 @@ def test_compare_accepts_raw_bench_line(tmp_path):
     p.write_text(json.dumps({
         "metric": "x", "value": 9.9, "unit": "sec", "sf": 0.1,
         "queries": {"q1_pricing_summary": 9.9}}))
-    res = bench.compare(bench.load_bench(str(p)))
+    res = bench.compare(bench.load_bench(str(p)), anchors="r1")
     assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
     assert res["rows"][0][3] == round(9.9 / 1.442, 2)
+    res5 = bench.compare(bench.load_bench(str(p)))  # default r5 anchors
+    assert not res5["gate_pass"]
+    assert res5["rows"][0][3] == round(9.9 / bench.R5_ANCHOR["q1_pricing_summary"], 2)
 
 
 def test_oracle_check_compare_catches_null_divergence():

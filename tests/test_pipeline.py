@@ -394,6 +394,62 @@ def test_ivf_auto_nlist_scales_and_holds_recall(emb):
     assert recall >= 0.9, f"auto-nlist IVF recall {recall} (n={n})"
 
 
+@pytest.mark.slow
+def test_ivf_auto_scale_recall_at_sf1(spark):
+    """Scale rehearsal pin (VERDICT r5 item 4): under the √N auto-scale
+    (nlist=None → auto_nlist ≈ 450 at sf1's 200k vectors, numpy-matmul
+    assignment) recall@5 vs exact brute force stays ≥ 0.9, on BOTH the
+    float and the quantized payload paths. Gated on ANDL_SF1_DIR."""
+    import os
+    import time
+
+    from andl_spark.session import load_tables
+
+    sf1 = os.environ.get("ANDL_SF1_DIR")
+    if not sf1:
+        pytest.skip("set ANDL_SF1_DIR to a tools/gen_sf.py output dir")
+    emb = load_tables(spark, sf1, register_views=False)["embeddings"]
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SS.topk_bruteforce(emb, queries, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    for quantize in (False, True):
+        t0 = time.monotonic()
+        auto = SS.topk_ivf_det(emb, queries, k=5, nlist=None, nprobe=None,
+                               corpus_count=n, quantize=quantize)
+        a = {(r["query_id"], r["cand_id"]) for r in auto.collect()}
+        recall = len(e & a) / len(e)
+        print(f"# sf1 auto-IVF quantize={quantize}: n={n} "
+              f"nlist={SS.auto_nlist(n)} recall@5={recall:.3f} "
+              f"{time.monotonic() - t0:.1f}s")
+        assert recall >= 0.9, f"auto-IVF recall {recall} (quantize={quantize})"
+
+
+def test_ivf_np_assignment_matches_expression_path(emb):
+    """The large-nlist assignment (nearest_lists_np — one numpy matmul
+    per Arrow batch) must agree with the literal-expression path on
+    the same centroids, stay shuffle-free, and use no row-wise Python
+    UDF (Arrow-batched only)."""
+    from andl_spark.plans import explain as X
+
+    cents = SS.seed_centroids(emb, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    expr_out = SS.topk_ivf_det(emb, queries, k=5, nlist=8, nprobe=4,
+                               centroids=cents)
+    np_out = SS._topk_ivf_det_np(emb, queries, "vec_id", "embedding",
+                                 5, 4, cents)
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["cand_id"], r["rank"]) for r in df.collect())
+    assert key(expr_out) == key(np_out)
+
+    assigned = emb.select(
+        "vec_id",
+        F.element_at(SS.nearest_lists_np(cents, 1)(F.col("embedding")), 1)
+        .alias("list_id"))
+    assert X.count_shuffles(assigned) == 0
+    X.assert_no_python_row_udf(assigned)
+
+
 def test_dup_clusters_transitive_and_canonical(spark):
     """Pairs (1,2),(2,3) collapse transitively into one cluster named
     by the minimum id, disjoint (5,6) stays separate, and
