@@ -426,13 +426,14 @@ def nearest_lists_cosine(
     return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
 
 
-#: Probed-cell fraction the auto-tuned nprobe holds. Recall of an IVF
-#: probe is governed by the probed corpus fraction (nprobe/nlist) far
-#: more than by nlist itself for a sample-seeded quantizer; 1/4 is the
-#: measured-green operating point (the driver-checked q_ann_ivf config
-#: is 4/16, and the r6 scale rehearsal pins recall@5 ≥ 0.9 at sf1/sf10
-#: under auto_nlist with this fraction — SCALE_r06.md).
-AUTO_PROBE_FRAC = 0.25
+#: Probed-cell fraction the auto-tuned nprobe holds. Measured at sf10
+#: (200k vectors, nlist=447 — SCALE_r06.md): recall@5 stays 1.0 from
+#: 25% all the way down to 1% on near-dup-clustered corpora (true
+#: neighbors co-assign with the query), and 8% is the operating point
+#: that keeps margin for flatter distributions while cutting the probe
+#: scan 3× vs the fixed 4/16 config (2.2s vs 5.6s at sf10). The r6
+#: rehearsal pins recall@5 ≥ 0.9 at sf1 AND sf10 under this fraction.
+AUTO_PROBE_FRAC = 0.08
 #: auto_nlist clamp: below 16 cells probing saves nothing; above 4096
 #: the flat literal assignment expression (nlist dots per row) is the
 #: wrong tool (a hierarchical coarse quantizer or BLAS assignment takes

@@ -380,8 +380,8 @@ def test_ivf_auto_nlist_scales_and_holds_recall(emb):
     assert SS.auto_nlist(100) == 16          # clamp floor
     assert SS.auto_nlist(250_000) == 500     # √N
     assert SS.auto_nlist(10**9) == 4096      # clamp ceiling
-    assert SS.auto_nprobe(16) == 4
-    assert SS.auto_nprobe(500) == 125        # fraction held
+    assert SS.auto_nprobe(16) == 4           # floor
+    assert SS.auto_nprobe(500) == 40         # fraction held (8%)
 
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < 10)
@@ -405,24 +405,30 @@ def test_ivf_auto_scale_recall_at_sf1(spark):
 
     from andl_spark.session import load_tables
 
-    sf1 = os.environ.get("ANDL_SF1_DIR")
-    if not sf1:
-        pytest.skip("set ANDL_SF1_DIR to a tools/gen_sf.py output dir")
-    emb = load_tables(spark, sf1, register_views=False)["embeddings"]
-    n = emb.count()
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = SS.topk_bruteforce(emb, queries, k=5)
-    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
-    for quantize in (False, True):
-        t0 = time.monotonic()
-        auto = SS.topk_ivf_det(emb, queries, k=5, nlist=None, nprobe=None,
-                               corpus_count=n, quantize=quantize)
-        a = {(r["query_id"], r["cand_id"]) for r in auto.collect()}
-        recall = len(e & a) / len(e)
-        print(f"# sf1 auto-IVF quantize={quantize}: n={n} "
-              f"nlist={SS.auto_nlist(n)} recall@5={recall:.3f} "
-              f"{time.monotonic() - t0:.1f}s")
-        assert recall >= 0.9, f"auto-IVF recall {recall} (quantize={quantize})"
+    dirs = [("sf1", os.environ.get("ANDL_SF1_DIR")),
+            ("sf10", os.environ.get("ANDL_SF10_DIR"))]
+    dirs = [(tag, d) for tag, d in dirs if d]
+    if not dirs:
+        pytest.skip("set ANDL_SF1_DIR / ANDL_SF10_DIR to gen_sf.py output dirs")
+    for tag, d in dirs:
+        emb = load_tables(spark, d, register_views=False)["embeddings"]
+        n = emb.count()
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = SS.topk_bruteforce(emb, queries, k=5)
+        e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+        for quantize in (False, True):
+            t0 = time.monotonic()
+            auto = SS.topk_ivf_det(emb, queries, k=5, nlist=None,
+                                   nprobe=None, corpus_count=n,
+                                   quantize=quantize)
+            a = {(r["query_id"], r["cand_id"]) for r in auto.collect()}
+            recall = len(e & a) / len(e)
+            print(f"# {tag} auto-IVF quantize={quantize}: n={n} "
+                  f"nlist={SS.auto_nlist(n)} "
+                  f"nprobe={SS.auto_nprobe(SS.auto_nlist(n))} "
+                  f"recall@5={recall:.3f} {time.monotonic() - t0:.1f}s")
+            assert recall >= 0.9, \
+                f"auto-IVF recall {recall} ({tag}, quantize={quantize})"
 
 
 def test_ivf_np_assignment_matches_expression_path(emb):
