@@ -265,6 +265,7 @@ def lsh_candidate_pairs(
     num_bands: int = 16,
     rows_per_band: int = 4,
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) that share
     at least one band bucket. The join key is (band, band value string)
@@ -277,23 +278,25 @@ def lsh_candidate_pairs(
     all-pairs QUADRATIC in cluster size — measured at sf10 (500k docs,
     100-way near-dup clusters) the exact pair set is 27M rows and the
     enumeration dominates the whole suite; with anchors it is linear.
-    Use None (default, exact pair semantics — what the driver oracle
-    checks) when the caller needs every pair; use a small D when the
-    pairs feed ``dup_clusters``/``keep_canonical``, where bucket-mates
-    connect through a shared anchor and all-pairs adds no information
-    for DENSE clusters (each member similar to the anchor). D anchors
-    give D chances for the downstream similarity verification to keep
-    at least one connecting edge per bucket-mate.
+    Use a small D when the pairs feed ``dup_clusters``/
+    ``keep_canonical``, where bucket-mates connect through a shared
+    anchor and all-pairs adds no information for DENSE clusters (each
+    member similar to the anchor). D anchors give D chances for the
+    downstream similarity verification to keep at least one connecting
+    edge per bucket-mate.
 
-    With ``anchor_degree=None`` the fan-out auto-guard estimates the
-    candidate count first and engages anchors above AUTO_ANCHOR_BOUND
-    (logged) — exact semantics whenever the estimate is affordable."""
+    ``anchor_degree=None`` (default) means "exact unless unaffordable":
+    the fan-out auto-guard estimates the candidate count first and
+    engages anchors above ``auto_bound`` (default AUTO_ANCHOR_BOUND,
+    logged). Callers needing guaranteed-exact pairs AT ANY COST pass
+    ``anchor_degree=0`` (no anchors, no guard) or raise ``auto_bound``."""
     exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
-            exploded, ["band", "bucket"], "minhash lsh_candidate_pairs")
+            exploded, ["band", "bucket"], "minhash lsh_candidate_pairs",
+            bound=auto_bound)
     left = exploded
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -343,12 +346,15 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: signatures → LSH buckets → estimated
     Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard).
     hash_fn='md5' only for oracle-parity runs (see _h32_expr);
     anchor_degree caps per-bucket fan-out for duplicate-dense corpora
-    (see lsh_candidate_pairs — use when the pairs feed dup_clusters)."""
+    (see lsh_candidate_pairs — use when the pairs feed dup_clusters;
+    None = exact-unless-the-guard-trips, 0 = exact at any cost,
+    auto_bound overrides the guard's threshold)."""
     # Persist + materialize signatures: they feed candidate generation
     # AND both sides of the scoring join. Eager count() matters — the
     # self-join's two scan stages run concurrently, and with a lazy
@@ -357,7 +363,8 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, hash_fn=hash_fn).persist()
     sigs.count()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands,
-                                anchor_degree=anchor_degree)
+                                anchor_degree=anchor_degree,
+                                auto_bound=auto_bound)
     scored = minhash_jaccard(sigs, pairs, id_col)
     # Materialize the (small) pair result and release the signature
     # cache — each invocation used to leak a cached RDD (ADVICE r2).
@@ -539,6 +546,7 @@ def _simhash_chunk_col(max_hamming: int) -> F.Column:
 def simhash_near_pairs(
     signatures: DataFrame, id_col: str, max_hamming: int = 3,
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by TRUE Hamming distance ≤ max_hamming.
 
@@ -575,7 +583,8 @@ def simhash_near_pairs(
         # fan-out auto-guard (r6): estimate candidates before the pair
         # join; at sf10 dup density the exact chunk join OOMs a 128 GiB
         # heap — engage anchors (logged) instead of crashing
-        anchor_degree = _fanout_guard(e, ["chunk", "val"], "simhash_near_pairs")
+        anchor_degree = _fanout_guard(e, ["chunk", "val"],
+                                      "simhash_near_pairs", bound=auto_bound)
     left = e
     if anchor_degree is not None:
         from pyspark.sql import Window

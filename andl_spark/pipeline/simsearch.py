@@ -486,14 +486,23 @@ def nearest_lists_np(centroids: list[list[float]], nprobe: int):
 
     @pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
-        if m.size == 0:
-            return pd.Series([[] for _ in range(len(v))])
+        # NULL vectors assign to no cell (null array → null list_id →
+        # the row drops from the inner probe join); a dirty corpus must
+        # not kill the job (review r6 — np.array over a batch holding
+        # None raised in the worker where the expression path tolerated
+        # it)
+        valid = v.notna().to_numpy()
+        if not valid.any():
+            return pd.Series([None] * len(v))
+        m = np.array(v[valid].tolist(), dtype=np.float64)
         vn = np.sqrt((m * m).sum(axis=1))
         vn[vn == 0.0] = 1.0
         cos = np.round((m @ C.T) / vn[:, None] / cn[None, :] + 1e-9, 4)
         idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(idx.astype("int32")))
+        out = [None] * len(v)
+        for pos, lists in zip(np.flatnonzero(valid), idx.astype("int32")):
+            out[pos] = lists
+        return pd.Series(out)
 
     return assign
 

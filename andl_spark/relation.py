@@ -129,6 +129,16 @@ class Relation:
         single partition (inherent to a global ordering); supply group
         keys wherever the semantics allow.
         """
+        # "-col" descending syntax resolves HERE, once, so both the
+        # two-pass dispatch and the plain window see real Columns
+        # (review r6: passing the raw "-col" string through to
+        # grouped_running raised UNRESOLVED_COLUMN)
+        order_cols = [
+            F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else
+            (F.col(c) if isinstance(c, str) else c)
+            for c in by
+        ]
+
         def _decl(v):
             return v == "ord" or (
                 isinstance(v, tuple) and len(v) == 2
@@ -140,13 +150,8 @@ class Relation:
                 n: (self._RUN_ALIASES[v[0]], v[1])
                 for n, v in exprs.items() if v != "ord"
             }
-            return self.running(group, by, folds, ordinal=ordinal)
+            return self.running(group, order_cols, folds, ordinal=ordinal)
 
-        order_cols = [
-            F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else
-            (F.col(c) if isinstance(c, str) else c)
-            for c in by
-        ]
         w = Window.partitionBy(*group).orderBy(*order_cols) if group else Window.orderBy(*order_cols)
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -154,13 +159,13 @@ class Relation:
             if v == "ord":
                 return F.row_number().over(w).cast("long")
             if isinstance(v, tuple) and len(v) == 2 and v[0] in self._RUN_ALIASES:
+                # one source of truth for op → running expression:
+                # RUN_OPS[op][0] is the (col, frame) local-prefix builder
+                from .operators.runfold import RUN_OPS
+
                 op = self._RUN_ALIASES[v[0]]
                 col = F.col(v[1]) if isinstance(v[1], str) else v[1]
-                if op == "concat":
-                    return F.concat_ws("", F.collect_list(col).over(frame))
-                agg = {"sum": F.sum, "product": F.product, "max": F.max,
-                       "min": F.min, "count": F.count}[op]
-                return agg(col).over(frame)
+                return RUN_OPS[op][0](col, frame)
             return v(w)
 
         out = self.df.withColumns({name: _mk(make) for name, make in exprs.items()})

@@ -115,7 +115,10 @@ class Catalog:
         if entry is None or entry.get("layout") != "versioned":
             return []
         versions = sorted(entry["versions"])
-        protect = set(versions[-keep_last:]) | {entry["current"]} | (keep or set())
+        # keep_last=0 means "only the current pointer survives" —
+        # versions[-0:] would slice the WHOLE list (review r6)
+        newest = set(versions[-keep_last:]) if keep_last > 0 else set()
+        protect = newest | {entry["current"]} | (keep or set())
         doomed = [v for v in versions if v not in protect]
         for v in doomed:
             shutil.rmtree(os.path.join(self.path, name, f"v{v}"),

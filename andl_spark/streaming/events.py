@@ -212,11 +212,18 @@ def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
     corpus's signatures (minhash_signatures / simhash_signatures /
     embedding_index output). The seed lands in the reserved
     ``_batch_id=-1`` partition; each streamed ingest appends its own
-    ``_batch_id=N`` partition (see neardup_ingest_stream)."""
+    ``_batch_id=N`` partition (see neardup_ingest_stream).
+
+    This is a FULL (static) overwrite: re-seeding an existing index
+    path must also clear any prior run's ``_batch_id>=0`` partitions —
+    a dynamic overwrite would replace only the seed partition and the
+    next stream (fresh checkpoint, batch ids restarting at 0) would
+    read the stale rows as historical corpus (review r6)."""
     (
         sigs.withColumn("_batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "static")  # explicit: a
+        # session-level dynamic default must not resurrect stale batches
         .partitionBy("_batch_id")
         .parquet(index_path)
     )

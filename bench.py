@@ -285,7 +285,8 @@ def compare(doc: dict, anchors: str = DEFAULT_ANCHORS) -> dict:
 def print_compare(res: dict) -> None:
     print(f"baseline gate — {res['bench']} (sf={res['sf']}) "
           f"vs {res['anchors']} anchors")
-    print(f"{'query':<24}{'now':>8}{'r1':>8}{'ratio':>7}  note")
+    label = res["anchors"]  # column shows WHICH anchors gate this run
+    print(f"{'query':<24}{'now':>8}{label:>8}{'ratio':>7}  note")
     for name, sec, anchor, ratio, note in sorted(
             res["rows"], key=lambda r: -(r[3] or 0)):
         a = f"{anchor:.3f}" if anchor is not None else "—"

@@ -456,6 +456,28 @@ def test_ivf_np_assignment_matches_expression_path(emb):
     X.assert_no_python_row_udf(assigned)
 
 
+def test_ivf_np_assignment_tolerates_null_vectors(spark):
+    """Review r6: a NULL embedding in the corpus must not kill the
+    Arrow-batched assignment — null vectors assign to no cell and drop
+    from the probe join, like the expression path tolerates them."""
+    rows = [(i, [float(i % 5), 1.0, 0.5, 2.0]) for i in range(40)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float(j == i) for j in range(4)] for i in range(4)]
+    assigned = emb.select(
+        "vec_id",
+        F.element_at(SS.nearest_lists_np(cents, 1)(F.col("embedding")), 1)
+        .alias("list_id"))
+    got = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert got[99] is None
+    assert all(v is not None for k, v in got.items() if k != 99)
+    out = SS._topk_ivf_det_np(
+        emb.filter(F.col("vec_id") != 99).unionByName(
+            emb.filter(F.col("vec_id") == 99)),
+        emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", 3, 2, cents)
+    assert out.count() > 0  # job survives the dirty row
+
+
 def test_dup_clusters_transitive_and_canonical(spark):
     """Pairs (1,2),(2,3) collapse transitively into one cluster named
     by the minimum id, disjoint (5,6) stays separate, and

@@ -197,6 +197,22 @@ def test_relation_ordered_declarative_dispatch(spark):
             assert va == pytest.approx(vb, rel=1e-12)
 
 
+def test_relation_ordered_declarative_descending(spark):
+    """Review r6: the '-col' descending syntax must survive the
+    declarative dispatch (it previously reached grouped_running as a
+    raw string and raised UNRESOLVED_COLUMN)."""
+    from andl_spark.relation import Relation
+
+    df = _zipf_df(spark, n=2_000)
+    got = Relation(df).ordered(
+        ["-seq"], group=["g"], run_max=("max", "x")).df
+    w = Window.partitionBy("g").orderBy(F.col("seq").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    exp = df.select("g", "seq", "x", F.max("x").over(w).alias("run_max"))
+    assert sorted(map(tuple, got.select(*exp.columns).collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
 def test_relation_running_equals_ordered(spark):
     """Relation.running (skew-safe API form) matches Relation.ordered's
     single-window-per-group output on the same folds."""

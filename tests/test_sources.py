@@ -181,3 +181,36 @@ def test_streaming_index_compaction_preserves_ingest(spark, tmp_path):
     neardup_ingest_batch(b2, 1, idx, pairs, kind="minhash", threshold=0.5)
     got = spark.read.parquet(pairs).filter(F.col("_batch_id") == 1)
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == want_set
+
+
+def test_catalog_gc_keep_last_zero_and_reseed_clears_stale(spark, tmp_path):
+    """Review r6 fixes: (1) gc(keep_last=0) reclaims everything except
+    the current pointer (versions[-0:] used to protect ALL versions);
+    (2) seed_neardup_index is a FULL overwrite — re-seeding an index
+    path with prior _batch_id>=0 partitions must clear them, or a
+    restarted stream would read stale rows as historical corpus."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.sources.catalog import Catalog
+    from andl_spark.streaming.events import (
+        neardup_ingest_batch, seed_neardup_index)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for _ in range(4):
+        cat.put("t", df)
+    assert sorted(cat.gc("t", keep_last=0)) == [1, 2, 3]
+    assert cat.history("t") == [4] and cat.get("t").count() == 1
+
+    docs = spark.createDataFrame(
+        [(i, f"re seed text body {i % 3}") for i in range(20)],
+        "doc_id long, text string")
+    old, new = docs.filter(F.col("doc_id") < 10), docs.filter(F.col("doc_id") >= 10)
+    idx, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    neardup_ingest_batch(new, 0, idx, pairs, kind="minhash", threshold=0.5)
+    assert spark.read.parquet(idx).count() == 20
+    # restart the experiment: re-seed must leave ONLY the seed partition
+    seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    after = spark.read.parquet(idx)
+    assert after.count() == 10
+    assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}

@@ -144,14 +144,19 @@ def main() -> None:
             t0 = time.monotonic()
             out = qs[k](spark, sf_dir)
             if rowcap is not None:
-                # one execution: collect cap+1 rows; only oversized
-                # results pay a second (count-only) run, and times[k]
-                # records just the first so sf-scale tables stay
-                # comparable with the non-rowcap mode
+                # under-cap results: the limit probe IS the full single
+                # execution, so its time is the query time. OVERSIZED
+                # results: CollectLimit short-circuits after cap+1 rows
+                # and its probe time means nothing on its own (review
+                # r6) — record builder + probe + count cumulatively,
+                # which reduces to the count execution for lazy plans
+                # and to the (dominant) eager-builder cost for the
+                # near-dup ops that localCheckpoint at build time.
                 sdf = out.limit(rowcap + 1).toPandas()
                 times[k] = round(time.monotonic() - t0, 3)
                 if len(sdf) > rowcap:
                     n = out.count()
+                    times[k] = round(time.monotonic() - t0, 3)
                     nrows[k] = n
                     if spark_only or k not in osql:
                         print(f"# {k}: rows-only ({n}, >cap) {times[k]}s",
