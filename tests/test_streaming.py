@@ -393,3 +393,29 @@ def test_neardup_ingest_stream_embedding(spark, tmp_path):
         (r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in df.collect()}
     assert key(got) == key(want) and want.count() > 0
     assert spark.read.parquet(index_path).count() == emb.count()
+
+
+def test_neardup_ingest_batch_simhash_leg(spark, tmp_path):
+    """The simhash leg of the ingest loop routes through the same
+    batch machinery: one ingested batch's pair set (with hamming)
+    equals the one-shot simhash_against_index."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        neardup_ingest_batch, seed_neardup_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"sphinx of black quartz judge my vow {i % 4} t{i % 2}")
+         for i in range(30)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 15)
+    new = docs.filter(F.col("doc_id") >= 15)
+    idx, pairs = str(tmp_path / "shidx"), str(tmp_path / "shpairs")
+    seed_neardup_index(D.simhash_signatures(old, "doc_id", "text"), idx)
+    neardup_ingest_batch(new, 0, idx, pairs, kind="simhash", max_hamming=3)
+    got = spark.read.parquet(pairs)
+    want, _ = D.simhash_against_index(
+        new, D.simhash_signatures(old, "doc_id", "text"), max_hamming=3)
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
+    assert key(got) == key(want) and want.count() > 0
+    assert spark.read.parquet(idx).count() == 30
