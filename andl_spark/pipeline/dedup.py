@@ -1326,3 +1326,183 @@ WITH RECURSIVE und AS (
 )
 SELECT n AS id, MIN(m) AS cluster_id FROM reach GROUP BY n
 """
+
+
+# ---------------------------------------------------------------------
+# exact repeated-span (substring) dedup — Lee et al. 2022
+# ---------------------------------------------------------------------
+
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    hash_fn: str | None = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide EXACT repeated-span dedup: every later occurrence of
+    any ``window``-token span that appears anywhere else in the corpus
+    (including elsewhere in the same document) is removed; the first
+    occurrence in (doc id, position) order survives. This is the
+    operator of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022 — their ExactSubstr on suffix arrays),
+    re-expressed for Spark with rolling token windows instead of a
+    suffix array: same guarantee at span granularity ``window`` (any
+    repeated substring of ≥ window tokens contains a repeated
+    window-token span, so it is caught; single-pass semantics — spans
+    formed by newly-adjacent tokens after removal are not re-examined,
+    matching the published single-pass tools).
+
+    Returns (id, clean_text, n_tokens, n_removed), order-preserving,
+    NULL text treated as '' (row never dropped).
+
+    Plan shape (all JVM expressions, no Python):
+      1. tokenize once per doc (split on ' ' — the corpus' own token
+         separator, mirrored exactly by the oracle);
+      2. emit every window start: (id, start, key) where key is the
+         span's xxhash64 (8-byte shuffle key) or the raw span string
+         (``hash_fn=None`` — bit-exact oracle-parity mode);
+      3. first occurrence per key via min(struct(id, start)) — a HASH
+         AGGREGATE with map-side partial combine, deliberately NOT a
+         row_number window: a boilerplate span occurring in every doc
+         would funnel a window partition into one task (the r5 skew
+         lesson), while partial aggregation of min() is skew-immune;
+         the join back on key is AQE-skew-splittable;
+      4. coverage mask per doc via the diff-array trick: +1 at each
+         removed span's start, −1 at start+window, one running sum per
+         doc ordered by (position, deltas-before-token) — a doc-sized
+         window partition (same boundedness as sessionization), never
+         a corpus-sized one;
+      5. reassemble surviving tokens in order.
+
+    At 100 TB the span table is corpus_tokens rows of (id, start,
+    8-byte key) — the one big shuffle; everything after the frequency
+    join is per-doc bounded."""
+    from pyspark.sql import Window
+
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    base = docs.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
+        "n", F.size("arr")
+    )
+    span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("arr"), i, window))  # noqa: E731
+    key_of = (
+        (lambda i: F.xxhash64(span_txt(i))) if hash_fn == "xxhash64"
+        else (lambda i: span_txt(i))
+    )
+    spans = (
+        base.filter(F.col("n") >= window)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - window + 1),
+                    lambda i: F.struct((i - 1).alias("start"), key_of(i).alias("key")),
+                )
+            ).alias("s"),
+        )
+        .select("id", "s.start", "s.key")
+    )
+    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
+    marked = (
+        spans.join(first, "key")
+        .filter((F.col("id") != F.col("f.id")) | (F.col("start") != F.col("f.start")))
+        .select("id", "start")
+    )
+
+    toks = base.select("id", "n", F.posexplode("arr").alias("p", "tok")).select(
+        "id", "p", "tok", F.lit(0).alias("d"), F.lit(1).alias("t")
+    )
+    deltas = marked.select(
+        "id", F.col("start").alias("p"), F.lit(1).alias("d"), F.lit(0).alias("t"),
+        F.lit(None).cast("string").alias("tok"),
+    ).unionByName(
+        marked.select(
+            "id", (F.col("start") + window).alias("p"), F.lit(-1).alias("d"),
+            F.lit(0).alias("t"), F.lit(None).cast("string").alias("tok"),
+        )
+    )
+    ev = toks.unionByName(deltas.select("id", "p", "tok", "d", "t"))
+    # deltas (t=0) sort before the token (t=1) at the same position, so
+    # a span's start covers its own token and its end (exclusive) frees
+    # the token AT start+window
+    wcov = (
+        Window.partitionBy("id")
+        .orderBy("p", "t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        ev.withColumn("cov", F.sum("d").over(wcov))
+        .filter((F.col("t") == 1) & (F.col("cov") <= 0))
+        .select("id", "p", "tok")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("id", F.col("n").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def dedup_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> str:
+    """DuckDB mirror of dedup_spans (hash_fn=None raw-string keys —
+    exact same winners, coverage and reassembly)."""
+    w = window
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split(COALESCE({text_col}, ''), ' ') AS arr
+  FROM {table}
+), sized AS (
+  SELECT id, arr, len(arr) AS n FROM base
+), spans AS (
+  SELECT id, i - 1 AS start, array_to_string(arr[i : i + {w} - 1], ' ') AS key
+  FROM sized, UNNEST(generate_series(1, n - {w} + 1)) AS g(i)
+  WHERE n >= {w}
+), firsts AS (
+  SELECT key, MIN(ROW(id, start)) AS f FROM spans GROUP BY key
+), marked AS (
+  SELECT s.id, s.start
+  FROM spans s JOIN firsts USING (key)
+  WHERE ROW(s.id, s.start) <> f
+), toks AS (
+  SELECT id, generate_subscripts(arr, 1) - 1 AS p, UNNEST(arr) AS tok,
+         0 AS d, 1 AS t
+  FROM sized
+), ev AS (
+  SELECT id, p, tok, d, t FROM toks
+  UNION ALL
+  SELECT id, start AS p, NULL AS tok, 1 AS d, 0 AS t FROM marked
+  UNION ALL
+  SELECT id, start + {w} AS p, NULL AS tok, -1 AS d, 0 AS t FROM marked
+), cov AS (
+  SELECT *, SUM(d) OVER (PARTITION BY id ORDER BY p, t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM ev
+), kept AS (
+  SELECT id, p, tok FROM cov WHERE t = 1 AND c <= 0
+), rebuilt AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT s.id, COALESCE(r.clean_text, '') AS clean_text,
+       s.n AS n_tokens, s.n - COALESCE(r.n_kept, 0) AS n_removed
+FROM sized s LEFT JOIN rebuilt r USING (id)
+"""

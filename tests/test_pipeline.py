@@ -842,3 +842,47 @@ def test_embedding_incremental_index_equals_full_recompute(emb, spark, tmp_path)
     cat.put("emb_index", cat.get("emb_index").unionByName(new_index))
     assert cat.get("emb_index").count() == emb.count()
     assert cat.get("emb_index", version=1).count() == old.count()
+
+
+def test_dedup_spans_matches_sql_oracle(spark, duck):
+    """Exact repeated-span dedup (Lee et al. 2022 ExactSubstr at span
+    granularity, §2.8 row 60): Spark output equals the DuckDB mirror
+    row-for-row on the REAL documents table (raw-string keys), the
+    production xxhash64 mode makes identical decisions, and the core
+    guarantees hold: first occurrence survives, later occurrences
+    (cross-doc AND within-doc) are removed, short/NULL docs pass
+    through untouched."""
+    from andl_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    w = 12
+    got = D.dedup_spans(docs, window=w, hash_fn=None)
+    grows = sorted(map(tuple, got.collect()))
+    orows = sorted(map(tuple, duck.execute(
+        D.dedup_spans_sql(window=w)).fetchall()))
+    assert len(grows) == len(orows) > 0
+    assert grows == orows
+    # production hash mode decides identically (xxhash64 on 64-bit keys)
+    goth = sorted(map(tuple, D.dedup_spans(docs, window=w).collect()))
+    assert goth == grows
+    # some real duplication must exist at this window on this corpus
+    # (the generator plants shared phrases) — the op must both remove
+    # something and keep the majority
+    removed = sum(r[3] for r in grows)
+    total = sum(r[2] for r in grows)
+    assert 0 < removed < total
+
+    # synthetic guarantees
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h i j z"),
+        (4, "a b c d e f g h i j a b c d e f g h i j"),
+        (5, None),
+    ]
+    sdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in D.dedup_spans(sdocs, window=10).collect()}
+    assert out[1] == ("a b c d e f g h i j", 0)   # first occurrence kept
+    assert out[2] == ("x y z", 10)                # cross-doc later occurrence cut
+    assert out[4] == ("", 20)                     # within-doc repeat cut too
+    assert out[5][0] == "" and out[5][1] == 0     # NULL text survives empty
