@@ -10,6 +10,8 @@ training-ready packed sequences out.
       → exact + near dedup            (dedup.exact_dedup,
                                        minhash pairs → dup_clusters →
                                        keep_canonical)
+      → repeated-span dedup, optional (dedup.dedup_spans — Lee et al.
+                                       ExactSubstr; span_dedup_window)
       → benchmark decontamination     (exact fingerprint antijoin +
                                        curate.decontaminate shingles)
       → token-budget mixture          (split.sample_by_budget)
@@ -45,6 +47,7 @@ def curate_corpus(
     decontaminate_n: int = 8,
     eager: bool = True,
     anchor_degree: int | None = None,
+    span_dedup_window: int | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one row per surviving
     document with its packed-sequence placement:
@@ -117,6 +120,23 @@ def curate_corpus(
     pairs = dedup.minhash_lsh_dedup(uniq, id_col, text_col, threshold=0.7,
                                     anchor_degree=anchor_degree)
     canonical = dedup.keep_canonical(uniq, pairs, id_col)
+
+    # 3b. optional exact repeated-span dedup (Lee et al. 2022) — runs
+    # AFTER document-level dedup (cheaper: only canonical docs emit
+    # spans; a doc-level near-dup's spans are already gone with the
+    # doc) and BEFORE decontamination/hashing, which must see the
+    # final text. Docs whose every token was a later occurrence drop
+    # out here (an empty doc has no training value and would pack a
+    # zero-token row).
+    if span_dedup_window is not None:
+        sd = dedup.dedup_spans(
+            canonical, id_col, text_col, window=span_dedup_window)
+        canonical = canonical.drop(text_col).join(
+            sd.filter(F.col("clean_text") != "").select(
+                F.col("id").alias(id_col),
+                F.col("clean_text").alias(text_col)),
+            id_col,
+        )
 
     # 4. decontamination — exact first (verbatim copies of any length,
     # incl. eval docs too short to shingle), then fuzzy n-gram overlap

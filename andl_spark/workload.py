@@ -1180,10 +1180,20 @@ def _bench_dedup_simhash_prod(spark, sf_dir):
     return D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
 
 
+def _bench_dedup_spans(spark, sf_dir):
+    """Exact repeated-span dedup (§2.8 row 59a, xxhash64 production
+    keys) — timed by bench.py; value parity holds via the row-exact
+    DuckDB mirror in tests/test_pipeline.py (beyond the fixed driver
+    budget)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return D.dedup_spans(docs, "doc_id", "text", window=20)
+
+
 #: bench-only production variants (timed by bench.py, never declared)
 BENCH_EXTRA = {
     "q_dedup_minhash_prod": _bench_dedup_minhash_prod,
     "q_dedup_simhash_prod": _bench_dedup_simhash_prod,
+    "q_dedup_spans": _bench_dedup_spans,
 }
 
 

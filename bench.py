@@ -149,9 +149,11 @@ R5_ANCHOR: dict[str, float] = {
 }
 
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
+#: q_dedup_spans is new in r6 — timed, no r5 anchor yet (next round's
+#: warm medians pick it up)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
-    "r1": (R1_ANCHOR, ANCHORLESS),
-    "r5": (R5_ANCHOR, set()),
+    "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
+    "r5": (R5_ANCHOR, {"q_dedup_spans"}),
 }
 DEFAULT_ANCHORS = "r5"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors

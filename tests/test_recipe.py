@@ -103,3 +103,42 @@ def test_curate_corpus_anchor_mode_same_output(spark):
     a = sorted(map(tuple, exact.collect()))
     b = sorted(map(tuple, anchored.collect()))
     assert a == b and a
+
+
+def test_curate_corpus_span_dedup_stage(spark):
+    """span_dedup_window engages the exact repeated-span stage (r6):
+    a later doc repeating another doc's span loses exactly that span
+    (not the whole doc), a doc that is ALL later-occurrence spans
+    drops out entirely, and the recipe invariants (gapless packing,
+    exactly-once, eval exclusion) still hold on the rewritten text."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, shared + " unique tail one two three four five six seven", "web"),
+        # doc 2: shared 10-span + its own distinct words -> span cut, doc kept
+        (2, "prefix words here now " + shared + " suffix piece ok fine", "web"),
+        # doc 3: nothing but the shared span -> disappears at this stage
+        (3, shared, "web"),
+        (4, "completely unrelated training text about parts suppliers "
+            "warehouses logistics shipping and procurement", "web"),
+        (9, "held out benchmark question nobody copied anywhere", "eval_set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(
+        docs, eval_pred=F.col("source") == "eval_set",
+        budgets={"web": 10_000}, lm_floor=-99.0, seq_block=64,
+        span_dedup_window=10,
+    ).cache()
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in kept and shared in kept[1]["clean_text"]   # first occurrence
+    assert 2 in kept and shared not in kept[2]["clean_text"]
+    assert "prefix words here now" in kept[2]["clean_text"]
+    assert 3 not in kept                                   # all-span doc gone
+    assert 4 in kept and 9 not in kept                     # eval excluded
+    # packing invariants survive the rewrite: gapless, toks match text
+    ordered = sorted(kept.values(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in ordered:
+        assert r["start_tok"] == pos
+        assert r["toks"] == len(r["clean_text"].split())
+        pos += r["toks"]
+    out.unpersist()
