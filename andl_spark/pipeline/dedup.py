@@ -1338,6 +1338,7 @@ def dedup_spans(
     text_col: str = "text",
     window: int = 20,
     hash_fn: str | None = "xxhash64",
+    eager: bool = True,
 ) -> DataFrame:
     """Corpus-wide EXACT repeated-span dedup: every later occurrence of
     any ``window``-token span that appears anywhere else in the corpus
@@ -1353,14 +1354,22 @@ def dedup_spans(
     matching the published single-pass tools).
 
     Returns (id, clean_text, n_tokens, n_removed), order-preserving,
-    NULL text treated as '' (row never dropped).
+    NULL/empty text yields (id, '', 0, 0) — the row never drops and
+    never contributes phantom tokens.
+
+    Key modes: ``hash_fn='xxhash64'`` (default — 8-byte shuffle key;
+    64-bit birthday collisions are negligible through ~10^9 corpus
+    tokens but at ~10^13 spans would falsely delete on the order of
+    thousands of unique spans), ``'xxhash128'`` (two independently
+    seeded xxhash64 as a 16-byte struct key — collision-negligible at
+    ANY corpus scale; the 100 TB setting), or ``None`` (the raw span
+    string — bit-exact, what the DuckDB oracle mirrors; widest shuffle
+    key). All three are pinned decision-identical on test corpora.
 
     Plan shape (all JVM expressions, no Python):
       1. tokenize once per doc (split on ' ' — the corpus' own token
          separator, mirrored exactly by the oracle);
-      2. emit every window start: (id, start, key) where key is the
-         span's xxhash64 (8-byte shuffle key) or the raw span string
-         (``hash_fn=None`` — bit-exact oracle-parity mode);
+      2. emit every window start: (id, start, key);
       3. first occurrence per key via min(struct(id, start)) — a HASH
          AGGREGATE with map-side partial combine, deliberately NOT a
          row_number window: a boilerplate span occurring in every doc
@@ -1374,20 +1383,38 @@ def dedup_spans(
          a corpus-sized one;
       5. reassemble surviving tokens in order.
 
-    At 100 TB the span table is corpus_tokens rows of (id, start,
-    8-byte key) — the one big shuffle; everything after the frequency
-    join is per-doc bounded."""
+    ``eager`` (the sibling ops' convention) persists the two
+    multi-consumer intermediates — the tokenized base (three consumers)
+    and the span table (aggregate + join probe) — and materializes the
+    result before unpersisting; without it the corpus re-tokenizes and
+    the spans regenerate per consumer. Pass ``eager=False`` at true
+    corpus scale and let the sink's single consumption drive it."""
     from pyspark.sql import Window
 
-    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # empty text → EMPTY array (split('', ' ') would yield [''] — one
+    # phantom token per empty doc, and a negative n_removed once the
+    # kept '' token outnumbered n_tokens=0; review r6)
+    arr = F.when(txt == "", F.array().cast("array<string>")).otherwise(
+        F.split(txt, " "))
     base = docs.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
         "n", F.size("arr")
     )
+    if eager:
+        base = base.persist()
     span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("arr"), i, window))  # noqa: E731
-    key_of = (
-        (lambda i: F.xxhash64(span_txt(i))) if hash_fn == "xxhash64"
-        else (lambda i: span_txt(i))
-    )
+    if hash_fn == "xxhash64":
+        key_of = lambda i: F.xxhash64(span_txt(i))  # noqa: E731
+    elif hash_fn == "xxhash128":
+        key_of = lambda i: F.struct(  # noqa: E731
+            F.xxhash64(span_txt(i)).alias("h1"),
+            F.xxhash64(F.lit(1), span_txt(i)).alias("h2"),
+        )
+    elif hash_fn is None:
+        key_of = span_txt
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} "
+                         "(xxhash64 | xxhash128 | None)")
     spans = (
         base.filter(F.col("n") >= window)
         .select(
@@ -1401,6 +1428,8 @@ def dedup_spans(
         )
         .select("id", "s.start", "s.key")
     )
+    if eager:
+        spans = spans.persist()
     first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
     marked = (
         spans.join(first, "key")
@@ -1444,7 +1473,7 @@ def dedup_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
+    out = (
         base.select("id", F.col("n").alias("n_tokens"))
         .join(rebuilt, "id", "left")
         .select(
@@ -1454,6 +1483,11 @@ def dedup_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        spans.unpersist()
+        base.unpersist()
+    return out
 
 
 def dedup_spans_sql(
@@ -1467,7 +1501,10 @@ def dedup_spans_sql(
     w = window
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, string_split(COALESCE({text_col}, ''), ' ') AS arr
+  SELECT {id_col} AS id,
+         CASE WHEN COALESCE({text_col}, '') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split({text_col}, ' ') END AS arr
   FROM {table}
 ), sized AS (
   SELECT id, arr, len(arr) AS n FROM base

@@ -128,9 +128,17 @@ def curate_corpus(
     # final text. Docs whose every token was a later occurrence drop
     # out here (an empty doc has no training value and would pack a
     # zero-token row).
+    spanned = None
     if span_dedup_window is not None:
+        # canonical sits on the gate+dedup join chain above the
+        # persisted base and now has two consumers (dedup_spans'
+        # internals — themselves eager-persisted — and the rejoin's
+        # left side): persist it so the chain runs once (review r6)
+        if eager:
+            canonical = spanned = canonical.persist()
         sd = dedup.dedup_spans(
-            canonical, id_col, text_col, window=span_dedup_window)
+            canonical, id_col, text_col, window=span_dedup_window,
+            eager=eager)
         canonical = canonical.drop(text_col).join(
             sd.filter(F.col("clean_text") != "").select(
                 F.col("id").alias(id_col),
@@ -170,5 +178,7 @@ def curate_corpus(
     if eager:
         out = out.localCheckpoint(eager=True)
         mixed.unpersist()
+        if spanned is not None:
+            spanned.unpersist()
         base.unpersist()
     return out

@@ -846,12 +846,12 @@ def test_embedding_incremental_index_equals_full_recompute(emb, spark, tmp_path)
 
 def test_dedup_spans_matches_sql_oracle(spark, duck):
     """Exact repeated-span dedup (Lee et al. 2022 ExactSubstr at span
-    granularity, §2.8 row 60): Spark output equals the DuckDB mirror
+    granularity, §2.8 row 59a): Spark output equals the DuckDB mirror
     row-for-row on the REAL documents table (raw-string keys), the
-    production xxhash64 mode makes identical decisions, and the core
-    guarantees hold: first occurrence survives, later occurrences
-    (cross-doc AND within-doc) are removed, short/NULL docs pass
-    through untouched."""
+    production xxhash64 AND 128-bit (100 TB posture) modes make
+    identical decisions, and the core guarantees hold: first occurrence
+    survives, later occurrences (cross-doc AND within-doc) are removed,
+    short/NULL docs pass through untouched with ZERO phantom tokens."""
     from andl_spark.session import load_tables
 
     docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
@@ -862,9 +862,12 @@ def test_dedup_spans_matches_sql_oracle(spark, duck):
         D.dedup_spans_sql(window=w)).fetchall()))
     assert len(grows) == len(orows) > 0
     assert grows == orows
-    # production hash mode decides identically (xxhash64 on 64-bit keys)
+    # production hash modes decide identically (64- and 128-bit keys)
     goth = sorted(map(tuple, D.dedup_spans(docs, window=w).collect()))
     assert goth == grows
+    goth128 = sorted(map(tuple, D.dedup_spans(
+        docs, window=w, hash_fn="xxhash128").collect()))
+    assert goth128 == grows
     # some real duplication must exist at this window on this corpus
     # (the generator plants shared phrases) — the op must both remove
     # something and keep the majority
@@ -880,9 +883,9 @@ def test_dedup_spans_matches_sql_oracle(spark, duck):
         (5, None),
     ]
     sdocs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r["id"]: (r["clean_text"], r["n_removed"])
+    out = {r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
            for r in D.dedup_spans(sdocs, window=10).collect()}
-    assert out[1] == ("a b c d e f g h i j", 0)   # first occurrence kept
-    assert out[2] == ("x y z", 10)                # cross-doc later occurrence cut
-    assert out[4] == ("", 20)                     # within-doc repeat cut too
-    assert out[5][0] == "" and out[5][1] == 0     # NULL text survives empty
+    assert out[1] == ("a b c d e f g h i j", 10, 0)  # first occurrence kept
+    assert out[2] == ("x y z", 13, 10)            # cross-doc later occurrence cut
+    assert out[4] == ("", 20, 20)                 # within-doc repeat cut too
+    assert out[5] == ("", 0, 0)                   # NULL text: zero tokens
