@@ -45,12 +45,17 @@ _BUILTINS = {
     "trim": lambda s: s.strip(),
     "tolower": lambda s: s.lower(),
     "toupper": lambda s: s.upper(),
-    "left": lambda s, n: s[: max(0, int(n))],
-    "right": lambda s, n: s[len(s) - max(0, int(n)):] if int(n) > 0 else "",
+    # left/right PAD to width n when the string is shorter — same
+    # semantics as the native interpreter (interp.py:922-930) and the
+    # reference (Builtin.cs:917-930 PadRight/PadLeft); n <= 0 -> ''.
+    "left": lambda s, n: (s.ljust(int(n)) if int(n) >= len(s)
+                          else s[: max(int(n), 0)]),
+    "right": lambda s, n: (s.rjust(int(n)) if int(n) >= len(s)
+                           else s[len(s) - int(n):]) if int(n) > 0 else "",
     "before": lambda s, sub: s.split(sub, 1)[0] if sub in s else s,
     "after": lambda s, sub: s.split(sub, 1)[1] if sub in s else "",
     "fill": lambda s, n: (s * (int(n) // max(1, len(s)) + 1))[: int(n)]
-    if s else "",
+    if s and int(n) > 0 else "",
     "abs": lambda x: abs(float(x)),
     "max": lambda a, b: max(a, b),
     "min": lambda a, b: min(a, b),
@@ -183,18 +188,42 @@ def register_catalog_sql(session, spark, prefix: str = "andl_") -> list[str]:
             val.rel.df.createOrReplaceTempView(vname)
 
     registered: list[str] = []
-    bridged: dict = {}  # name → callable; shared so defs can recurse
+    # Shared late-lookup table so defs can recurse AND call each other
+    # regardless of definition order (forward references and mutual
+    # recursion both bridge). Pre-seed EVERY def name before compiling:
+    # `call` compilation only checks membership, the actual callable is
+    # looked up at invocation time.
+    bridged: dict = {name: None for name in session.defs}
+    compiled: dict = {}
+    failed: dict[str, str] = {}
     for name, overloads in session.defs.items():
         fd = overloads[-1]  # latest overload wins (reference redefine rule)
-        bridged[name] = None  # pre-bind so the body can self-reference
         try:
-            bridged[name] = _bridge_def(fd, bridged)
+            bridged[name] = compiled[name] = _bridge_def(fd, bridged)
         except ValueError as e:
-            del bridged[name]
-            _LOG.warning("def %s not bridged to Spark SQL: %s", name, e)
-            continue
+            failed[name] = str(e)
+    # A def that compiled but (transitively) calls a failed def would
+    # raise TypeError at invocation (None is not callable) — drop those
+    # too, iterating until the dependency closure is stable.
+    while failed:
+        for name in failed:
+            bridged.pop(name, None)
+            compiled.pop(name, None)
+            _LOG.warning("def %s not bridged to Spark SQL: %s",
+                         name, failed[name])
+        failed = {}
+        for name, fd_overloads in session.defs.items():
+            if name not in compiled:
+                continue
+            fd = fd_overloads[-1]
+            try:
+                bridged[name] = compiled[name] = _bridge_def(fd, bridged)
+            except ValueError as e:
+                failed[name] = f"depends on an unbridged def: {e}"
+    for name in compiled:
+        fd = session.defs[name][-1]
         rtype = _RTYPE.get(fd.rtype, "double")
-        fn = bridged[name]
+        fn = compiled[name]
         spark.udf.register(
             f"{prefix}{name}",
             (lambda *args, fn=fn: fn(list(args))),

@@ -121,3 +121,47 @@ def test_catalog_operators_reachable_from_spark_sql(spark, tmp_path):
     # relation-typed operators do NOT bridge (the PL boundary):
     # suppliersbyname stays interpreter-side, with a logged skip
     assert "andl_suppliersbyname" not in names
+
+
+def test_bridged_builtins_match_native_semantics(spark):
+    """ADVICE r6 (medium): bridged left/right must PAD to width n when
+    the string is shorter — identical results via spark.sql and via the
+    native interpreter (Builtin.cs:917-930 PadRight/PadLeft;
+    interp.py:922-930). Also: forward references between defs bridge
+    regardless of insertion order (late lookup), and a def depending on
+    an unbridgeable def is dropped instead of failing at call time."""
+    from andl_spark.lang.sqlbridge import register_catalog_sql
+
+    s = AndlSession(spark, Path("."))
+    s.run(
+        "def padl(s:'', n:0) => left(s, n)\n"
+        "def padr(s:'', n:0) => right(s, n)\n"
+        # 'fwd' calls 'later', defined AFTER it — insertion-order test
+        "def fwd(x:0) => later(x) + 1\n"
+        "def later(x:0) => x * 2\n"
+        # 'bad' uses a relational construct (doesn't bridge); 'dep'
+        # calls it, so dep must be dropped too, not explode at runtime
+        "def bad(x:0) => fold(+, x)\n"
+        "def dep(x:0) => bad(x) + 1\n"
+    )
+    assert s.failures == []
+    names = register_catalog_sql(s, spark)
+    assert "andl_fwd" in names and "andl_later" in names
+    assert "andl_bad" not in names and "andl_dep" not in names
+
+    row = spark.sql(
+        "SELECT andl_padl('abc', 5) AS l_pad, andl_padl('abcdef', 3) AS l_cut,"
+        " andl_padr('abc', 5) AS r_pad, andl_padr('abcdef', 3) AS r_cut,"
+        " andl_padr('abc', 0) AS r_zero, andl_fwd(10.0) AS f"
+    ).first()
+    assert row["l_pad"] == "abc  "      # padded, not truncated-only
+    assert row["l_cut"] == "abc"
+    assert row["r_pad"] == "  abc"      # padded LEFT, not 'bc'
+    assert row["r_cut"] == "def"
+    assert row["r_zero"] == ""
+    assert row["f"] == 21.0
+
+    # native interpreter gives the same strings (no spark.sql/native split)
+    s2 = AndlSession(spark, Path("."))
+    s2.run("check := left('abc', 5) & '|' & right('abc', 5)")
+    assert s2.globals["check"] == "abc  |  abc"
