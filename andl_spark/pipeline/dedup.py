@@ -224,39 +224,65 @@ AUTO_ANCHOR_BOUND = 1_000_000_000
 AUTO_ANCHOR_DEGREE = 8
 
 
+#: Stats hook (ADVICE r6): every _fanout_guard run records its
+#: decision here, keyed by the op label — {"estimated_pairs", "bound",
+#: "anchor_degree"} with anchor_degree=None meaning exact semantics
+#: were kept. Pipelines that must DETECT a non-exact pair set (rather
+#: than grepping logs) read this right after building the pair plan.
+FANOUT_STATS: dict[str, dict] = {}
+
+
 def _fanout_guard(
     exploded: DataFrame, keys: list[str], what: str,
     bound: int | None = None,
+    probe: DataFrame | None = None,
 ) -> int | None:
-    """Estimate a bucket self-join's candidate fan-out — Σ n·(n−1)/2
-    over bucket-key counts, ONE cheap aggregate over the (cached
-    upstream) bucket table — and return the anchor degree to engage
-    when it exceeds ``bound``, else None (exact semantics).
+    """Estimate a bucket join's candidate fan-out — for a SELF-join,
+    Σ n·(n−1)/2 over bucket-key counts; for an incremental
+    probe×corpus join (``probe`` given), Σ n_probe·n_corpus per shared
+    bucket — ONE cheap aggregate over the (cached upstream) bucket
+    table(s) — and return the anchor degree to engage when it exceeds
+    ``bound``, else None (exact semantics).
 
     Duplicate-dense corpora make the exact join quadratic in cluster
     size; at sf10's 100-way dup density the simhash chunk join OOMs a
     128 GiB heap (SCALE_r05.md). Rather than letting a data property
     crash the job, the guard trades exactness for the measured
-    decision-identical anchored mode and LOGS the switch — callers
-    needing guaranteed-exact pairs at any cost pass an explicit
-    anchor_degree or raise the bound."""
+    decision-identical anchored mode, LOGS the switch, and records it
+    in :data:`FANOUT_STATS` — callers needing guaranteed-exact pairs
+    at any cost pass an explicit anchor_degree or raise the bound."""
     bound = AUTO_ANCHOR_BOUND if bound is None else bound
-    est = (
-        exploded.groupBy(*keys).count()
-        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
-        .first()["p"]
-    )
-    if est is not None and est > bound:
+    if probe is None:
+        est = (
+            exploded.groupBy(*keys).count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .first()["p"]
+        )
+    else:
+        bc = exploded.groupBy(*keys).agg(F.count("*").alias("__nb"))
+        pc = probe.groupBy(*keys).agg(F.count("*").alias("__np"))
+        est = (
+            pc.join(bc, on=keys)
+            .agg(F.sum(F.col("__np") * F.col("__nb")).alias("p"))
+            .first()["p"]
+        )
+    engaged = (AUTO_ANCHOR_DEGREE
+               if est is not None and est > bound else None)
+    FANOUT_STATS[what] = {
+        "estimated_pairs": None if est is None else float(est),
+        "bound": float(bound),
+        "anchor_degree": engaged,
+    }
+    if engaged is not None:
         import logging
 
         logging.getLogger("andl_spark.dedup").warning(
             "%s: estimated %.3g candidate pairs exceeds the %.3g exact-join "
             "bound — auto-engaging anchor_degree=%d (bounded fan-out, "
             "cluster-connectivity-preserving; pass anchor_degree explicitly "
-            "to override)", what, float(est), float(bound), AUTO_ANCHOR_DEGREE,
+            "to override)", what, float(est), float(bound), engaged,
         )
-        return AUTO_ANCHOR_DEGREE
-    return None
+    return engaged
 
 
 def lsh_candidate_pairs(
@@ -776,6 +802,7 @@ def embedding_dup_pairs(
     dim: int | None = None,
     seed: int = 42,
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
@@ -797,7 +824,15 @@ def embedding_dup_pairs(
     showed the join's MATCHED-ROW count is this operator's real cost
     (SCALE_r05.md: ~1.3B matched rows at 200k vectors, and cheapening
     per-row work measured slower) — this is the lever that shrinks it.
-    Exact pair parity (what the oracle checks) requires None.
+
+    ``anchor_degree=None`` (default) means "exact unless unaffordable"
+    — the same fan-out auto-guard as the MinHash/SimHash siblings
+    estimates the bucket join's candidate count first and engages
+    anchors above ``auto_bound`` (default AUTO_ANCHOR_BOUND; logged
+    and recorded in FANOUT_STATS). ``anchor_degree=0`` opts out (exact
+    at any cost — what strict oracle pair parity requires if the
+    corpus is dup-dense enough to trip the guard; the default bound
+    never trips at oracle scales).
 
     bucket_bits=0 compares all pairs (correctness baseline for tests
     only — a cartesian product, never the declared path at scale).
@@ -821,6 +856,15 @@ def embedding_dup_pairs(
         e = v.select("id", "vec", "nrm", F.explode(tables).alias("tb")).select(
             "id", "vec", "nrm", "tb.tbl", "tb.bucket"
         )
+        if anchor_degree is not None and anchor_degree <= 0:
+            anchor_degree = None  # explicit "no anchors, no guard"
+        elif anchor_degree is None:
+            # fan-out auto-guard (r7): the estimate scans only
+            # (tbl,bucket) — column pruning keeps the wide vectors out
+            # of the aggregate's shuffle
+            anchor_degree = _fanout_guard(
+                e.select("tbl", "bucket"), ["tbl", "bucket"],
+                "embedding_dup_pairs", bound=auto_bound)
         left = e
         if anchor_degree is not None:
             from pyspark.sql import Window
@@ -970,8 +1014,10 @@ def minhash_against_index(
     must not try to broadcast a corpus-sized side). Pair order is
     normalized with least/greatest since a new id may sort before an
     old one. ``anchor_degree=D`` caps fan-out per (band,bucket) on the
-    index side for duplicate-dense corpora (see lsh_candidate_pairs;
-    exact pair parity requires None)."""
+    index side for duplicate-dense corpora (see lsh_candidate_pairs);
+    ``anchor_degree=None`` (default) auto-guards on the probe×corpus
+    estimate (Σ n_new·n_all per shared bucket, logged + FANOUT_STATS);
+    ``anchor_degree=0`` opts out — exact pair parity at any cost."""
     rows_per_band = num_perm // num_bands
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, num_perm, shingle_k, hash_fn=hash_fn
@@ -981,6 +1027,13 @@ def minhash_against_index(
     )
     new_b = _band_buckets(new_sigs, id_col, num_bands, rows_per_band)
     all_b = _band_buckets(all_sigs, id_col, num_bands, rows_per_band)
+    if anchor_degree is not None and anchor_degree <= 0:
+        anchor_degree = None  # explicit "no anchors, no guard"
+    elif anchor_degree is None:
+        anchor_degree = _fanout_guard(
+            all_b.select("band", "bucket"), ["band", "bucket"],
+            "minhash_against_index",
+            probe=new_b.select("band", "bucket"))
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1020,7 +1073,10 @@ def simhash_against_index(
     (id, sh_lo, sh_hi — 2 longs per doc). Returns ``(pairs,
     new_sigs)`` where pairs is every Hamming ≤ max_hamming pair
     touching the new batch (lossless by the pigeonhole chunk cover,
-    exactly as the full recompute — pytest proves set equality)."""
+    exactly as the full recompute — pytest proves set equality).
+    ``anchor_degree``: None (default) = exact unless the probe×corpus
+    fan-out guard trips (logged + FANOUT_STATS); 0 = exact at any
+    cost; D caps the index side's per-(chunk,val) fan-out."""
     chunks = _simhash_chunk_col(max_hamming)
     new_sigs = simhash_signatures(
         new_docs, id_col, text_col, hash_fn=hash_fn
@@ -1035,6 +1091,13 @@ def simhash_against_index(
         ).select(id_col, "sh_lo", "sh_hi", "c.chunk", "c.val")
 
     new_e, all_e = _explode(new_sigs), _explode(all_sigs)
+    if anchor_degree is not None and anchor_degree <= 0:
+        anchor_degree = None  # explicit "no anchors, no guard"
+    elif anchor_degree is None:
+        anchor_degree = _fanout_guard(
+            all_e.select("chunk", "val"), ["chunk", "val"],
+            "simhash_against_index",
+            probe=new_e.select("chunk", "val"))
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1112,6 +1175,7 @@ def embedding_dup_against_index(
     dim: int | None = None,
     seed: int = 42,
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding near-dup, the third leg of the
     ``*_against_index`` family (exact: dedup_against_index, MinHash:
@@ -1142,8 +1206,11 @@ def embedding_dup_against_index(
     corpus side's fan-out per (tbl,bucket) to its D smallest ids —
     same duplicate-dense lever and same caveat as the other
     ``*_against_index`` ops and embedding_dup_pairs: the
-    dup-cluster DECISION is preserved for dense clusters, exact pair
-    parity requires None."""
+    dup-cluster DECISION is preserved for dense clusters.
+    ``anchor_degree=None`` (default) auto-guards: the probe×corpus
+    fan-out (Σ n_new·n_all per shared bucket) is estimated first and
+    anchors engage above ``auto_bound`` (logged + FANOUT_STATS);
+    ``anchor_degree=0`` opts out — exact pair parity at any cost."""
     from .simsearch import cosine_n_expr
 
     new_index = embedding_index(
@@ -1159,6 +1226,17 @@ def embedding_dup_against_index(
         ).select("id", "vec", "nrm", "tb.tbl", "tb.bucket")
 
     corpus_side = _explode(all_index)
+    new_e = _explode(new_index)
+    if anchor_degree is not None and anchor_degree <= 0:
+        anchor_degree = None  # explicit "no anchors, no guard"
+    elif anchor_degree is None:
+        # fan-out auto-guard (r7): probe×corpus estimate on the slim
+        # (tbl,bucket) projections; the corpus side's bucket counts
+        # come from the PERSISTED index — no vector re-hash
+        anchor_degree = _fanout_guard(
+            corpus_side.select("tbl", "bucket"), ["tbl", "bucket"],
+            "embedding_dup_against_index", bound=auto_bound,
+            probe=new_e.select("tbl", "bucket"))
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1168,7 +1246,7 @@ def embedding_dup_against_index(
             .filter(F.col("__rk") <= anchor_degree)
             .drop("__rk")
         )
-    a = _explode(new_index).alias("a")
+    a = new_e.alias("a")
     b = corpus_side.alias("b").hint("shuffle_hash")
     cos = cosine_n_expr(
         F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")

@@ -750,6 +750,72 @@ def test_embed_anchor_degree_bounds_fanout_preserves_clusters(spark):
         assert (r["id_a"], r["id_b"]) in ep
 
 
+def test_embedding_fanout_auto_guard_engages_anchors(spark, monkeypatch, caplog):
+    """r7 (VERDICT r6 item 1): the embedding pair joins get the same
+    fan-out auto-guard as their minhash/simhash siblings —
+    anchor_degree=None estimates the bucket join's candidate count
+    first and auto-engages anchors above AUTO_ANCHOR_BOUND (logged +
+    FANOUT_STATS), output identical to the explicit anchored call;
+    anchor_degree<=0 opts out (exact at any cost); the dup_clusters
+    DECISION is identical either way for dense clusters."""
+    import logging
+
+    n_copies, dim = 30, 16
+    rows = []
+    for base in range(3):
+        for k in range(n_copies):
+            vec = [1.0 if j % 3 == base else 0.05 for j in range(dim)]
+            vec[k % dim] += 0.01
+            rows.append((base * 1000 + k, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.95, bucket_bits=6, n_tables=4, dim=dim)
+
+    monkeypatch.setattr(D, "AUTO_ANCHOR_BOUND", 10)
+    with caplog.at_level(logging.WARNING, logger="andl_spark.dedup"):
+        guarded = D.embedding_dup_pairs(emb, "vec_id", "embedding", **kw)
+        n_guarded = guarded.count()
+    assert any("auto-engaging anchor_degree" in r.message for r in caplog.records)
+    st = D.FANOUT_STATS["embedding_dup_pairs"]
+    assert st["anchor_degree"] == D.AUTO_ANCHOR_DEGREE and st["estimated_pairs"] > 10
+    anchored = D.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                     anchor_degree=D.AUTO_ANCHOR_DEGREE, **kw)
+    assert _pair_set(guarded) == _pair_set(anchored)
+
+    exact = D.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                  anchor_degree=0, **kw)
+    assert exact.count() > n_guarded  # opt-out keeps quadratic exactness
+    assert ({tuple(r) for r in D.dup_clusters(exact.select("id_a", "id_b")).collect()}
+            == {tuple(r) for r in D.dup_clusters(guarded.select("id_a", "id_b")).collect()})
+
+    # incremental leg: probe×corpus estimate trips the guard too
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    index = D.embedding_index(old, "vec_id", "embedding",
+                              bucket_bits=6, n_tables=4, dim=dim)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="andl_spark.dedup"):
+        g_incr, _ = D.embedding_dup_against_index(
+            new, index, "vec_id", "embedding", **kw)
+    assert any("embedding_dup_against_index" in r.message for r in caplog.records)
+    assert (D.FANOUT_STATS["embedding_dup_against_index"]["anchor_degree"]
+            == D.AUTO_ANCHOR_DEGREE)
+    a_incr, _ = D.embedding_dup_against_index(
+        new, index, "vec_id", "embedding",
+        anchor_degree=D.AUTO_ANCHOR_DEGREE, **kw)
+    assert _pair_set(g_incr) == _pair_set(a_incr)
+    # opt-out reproduces the r6 exact incremental semantics
+    e_incr, _ = D.embedding_dup_against_index(
+        new, index, "vec_id", "embedding", anchor_degree=0, **kw)
+    assert e_incr.count() >= g_incr.count()
+
+    # below the (restored) default bound the guard never engages:
+    # exact semantics, stats record the pass-through
+    monkeypatch.setattr(D, "AUTO_ANCHOR_BOUND", 1_000_000_000)
+    quiet = D.embedding_dup_pairs(emb, "vec_id", "embedding", **kw)
+    assert _pair_set(quiet) == _pair_set(exact)
+    assert D.FANOUT_STATS["embedding_dup_pairs"]["anchor_degree"] is None
+
+
 # ---------------------------------------------------------------------
 # incremental near-dup index (VERDICT r4 item 4)
 # ---------------------------------------------------------------------
