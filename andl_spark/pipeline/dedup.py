@@ -1467,19 +1467,43 @@ def dedup_spans(
     result before unpersisting; without it the corpus re-tokenizes and
     the spans regenerate per consumer. Pass ``eager=False`` at true
     corpus scale and let the sink's single consumption drive it."""
-    from pyspark.sql import Window
+    base = _span_base(docs, id_col, text_col)
+    if eager:
+        base = base.persist()
+    spans = _span_table(base, window, hash_fn)
+    if eager:
+        spans = spans.persist()
+    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
+    marked = (
+        spans.join(first, "key")
+        .filter((F.col("id") != F.col("f.id")) | (F.col("start") != F.col("f.start")))
+        .select("id", "start")
+    )
+    out = _span_rebuild(base, marked, window)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        spans.unpersist()
+        base.unpersist()
+    return out
 
+
+def _span_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, arr, n) tokenized base for the span ops — split on ' ',
+    the corpus' own token separator, mirrored exactly by the oracle."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     # empty text → EMPTY array (split('', ' ') would yield [''] — one
     # phantom token per empty doc, and a negative n_removed once the
     # kept '' token outnumbered n_tokens=0; review r6)
     arr = F.when(txt == "", F.array().cast("array<string>")).otherwise(
         F.split(txt, " "))
-    base = docs.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
+    return docs.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
         "n", F.size("arr")
     )
-    if eager:
-        base = base.persist()
+
+
+def _span_table(base: DataFrame, window: int, hash_fn: str | None) -> DataFrame:
+    """(id, start, key) — every window start, keyed per hash_fn (see
+    dedup_spans' key-mode docs)."""
     span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("arr"), i, window))  # noqa: E731
     if hash_fn == "xxhash64":
         key_of = lambda i: F.xxhash64(span_txt(i))  # noqa: E731
@@ -1493,7 +1517,7 @@ def dedup_spans(
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} "
                          "(xxhash64 | xxhash128 | None)")
-    spans = (
+    return (
         base.filter(F.col("n") >= window)
         .select(
             "id",
@@ -1506,14 +1530,13 @@ def dedup_spans(
         )
         .select("id", "s.start", "s.key")
     )
-    if eager:
-        spans = spans.persist()
-    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
-    marked = (
-        spans.join(first, "key")
-        .filter((F.col("id") != F.col("f.id")) | (F.col("start") != F.col("f.start")))
-        .select("id", "start")
-    )
+
+
+def _span_rebuild(base: DataFrame, marked: DataFrame, window: int) -> DataFrame:
+    """Coverage mask + token reassembly (steps 4–5 of dedup_spans'
+    plan): ±1 deltas at each removed span's ends, one running sum per
+    doc — a DOC-sized window partition, never a corpus-sized one."""
+    from pyspark.sql import Window
 
     toks = base.select("id", "n", F.posexplode("arr").alias("p", "tok")).select(
         "id", "p", "tok", F.lit(0).alias("d"), F.lit(1).alias("t")
@@ -1551,7 +1574,7 @@ def dedup_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    out = (
+    return (
         base.select("id", F.col("n").alias("n_tokens"))
         .join(rebuilt, "id", "left")
         .select(
@@ -1561,11 +1584,85 @@ def dedup_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def dedup_spans_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    hash_fn: str | None = "xxhash64",
+    eager: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental repeated-span dedup — the fourth leg of the
+    ``*_against_index`` family (exact: dedup_against_index, MinHash /
+    SimHash / embedding: their ``*_against_index`` twins): span ONLY
+    the new batch, remove every occurrence of a span key already
+    CLAIMED by an earlier arrival (the persisted first-occurrence
+    index) or by an earlier (id, start) within the batch, and append
+    the batch's own new first occurrences to the index. The historical
+    corpus text never moves — only its span keys (8 bytes each at
+    xxhash64) live in the index, the 100 TB re-crawl contract shared
+    by the whole family (cf. minhash_against_index).
+
+    ``index`` is a (key, id, start) table — this function's second
+    return value from prior batches, unioned (persist with Catalog.put;
+    versioning keeps every pre-ingest state time-travelable). The key
+    type must match ``hash_fn`` across batches (long / struct(h1,h2) /
+    raw string — parameters are part of the index identity, exactly as
+    embedding_index's hyperplane seeds are).
+
+    Returns ``(clean, new_index_rows)``:
+
+    - ``clean`` — (id, clean_text, n_tokens, n_removed) for the NEW
+      batch only, same schema/guarantees as :func:`dedup_spans`.
+    - ``new_index_rows`` — the batch's first occurrences for keys not
+      already in the index; append to the stored index for the next
+      ingest (key-unique by construction).
+
+    Semantics: first-ARRIVAL occurrence survives. When batches arrive
+    in ascending id order (the crawl setting), the drained result
+    equals the one-shot :func:`dedup_spans` over the concatenated
+    corpus row-for-row (pytest pins this, plus replay idempotence);
+    out-of-order ids keep the arrival-order contract instead — a span
+    key once claimed is never re-awarded.
+
+    Join shape: every join is on ``key`` — the batch-side aggregate
+    and both probes reuse one exchange; the corpus-sized index side
+    carries a shuffle_hash hint (AQE must not broadcast a corpus). The
+    per-doc coverage/reassembly stages are identical to dedup_spans
+    (doc-sized window partitions, skew-immune min-struct aggregate)."""
+    base = _span_base(new_docs, id_col, text_col)
+    if eager:
+        base = base.persist()
+    spans = _span_table(base, window, hash_fn)
+    if eager:
+        spans = spans.persist()
+    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
+    known = index.select("key").withColumn("__known", F.lit(1))
+    marked = (
+        spans.join(first, "key")
+        .join(known.hint("shuffle_hash"), "key", "left")
+        .filter(
+            F.col("__known").isNotNull()
+            | (F.col("id") != F.col("f.id"))
+            | (F.col("start") != F.col("f.start"))
+        )
+        .select("id", "start")
+    )
+    out = _span_rebuild(base, marked, window)
+    new_index = (
+        first.select("key", F.col("f.id").alias("id"),
+                     F.col("f.start").alias("start"))
+        .join(index.select("key").hint("shuffle_hash"), "key", "leftanti")
+    )
     if eager:
         out = out.localCheckpoint(eager=True)
+        new_index = new_index.localCheckpoint(eager=True)
         spans.unpersist()
         base.unpersist()
-    return out
+    return out, new_index
 
 
 def dedup_spans_sql(

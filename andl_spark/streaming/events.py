@@ -284,6 +284,10 @@ def neardup_ingest_batch(
         "minhash": D.minhash_against_index,
         "simhash": D.simhash_against_index,
         "embedding": D.embedding_dup_against_index,
+        # spans: "pairs" is the batch's CLEAN output (id, clean_text,
+        # n_tokens, n_removed); the index holds first-occurrence span
+        # keys instead of signatures — same replay contract
+        "spans": D.dedup_spans_against_index,
     }[kind]
     pairs, new_rows = fn(batch_df, index, **kw)
     for df, path in ((pairs, pairs_path), (new_rows, index_path)):
@@ -318,9 +322,14 @@ def neardup_ingest_stream(
     cross-micro-batch new×new pairs are found exactly as a one-shot
     ``*_against_index`` over the concatenated batches would find them
     (tests/test_streaming.py pins drained-stream set == batch set).
-    ``kind``: minhash | simhash | embedding; ``kw`` forwards to the
-    matching ``*_against_index`` op (threshold, num_perm,
-    anchor_degree, dim, ...). Returns the started query (availableNow
+    ``kind``: minhash | simhash | embedding | spans; ``kw`` forwards
+    to the matching ``*_against_index`` op (threshold, num_perm,
+    anchor_degree, dim, window, hash_fn, ...). For ``spans`` the
+    per-batch output written to ``pairs_path`` is the batch's CLEAN
+    text (dedup_spans schema) and the index holds first-occurrence
+    span keys; with ascending-id arrival the drained clean output
+    equals the one-shot dedup_spans over the concatenated corpus
+    (pinned in tests). Returns the started query (availableNow
     trigger; caller awaits termination)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:

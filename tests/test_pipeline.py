@@ -955,3 +955,55 @@ def test_dedup_spans_matches_sql_oracle(spark, duck):
     assert out[2] == ("x y z", 13, 10)            # cross-doc later occurrence cut
     assert out[4] == ("", 20, 20)                 # within-doc repeat cut too
     assert out[5] == ("", 0, 0)                   # NULL text: zero tokens
+
+
+def test_dedup_spans_incremental_index_equals_full_recompute(spark, tmp_path):
+    """Spans leg of the *_against_index family (VERDICT r6 item 2):
+    batches arriving in ascending id order reproduce the one-shot
+    dedup_spans over the concatenated corpus row-for-row; the
+    first-occurrence key index stays key-unique, round-trips the
+    versioned catalog, and a replayed batch claims nothing new."""
+    import random
+
+    from andl_spark.sources.catalog import Catalog
+
+    words = ("red orange yellow green blue indigo violet cyan magenta "
+             "umber ochre teal maroon olive navy coral").split()
+    boiler = " ".join(words[i % len(words)] for i in range(15))
+    rows = []
+    for i in range(45):
+        rnd = random.Random(1000 + i)
+        body = " ".join(rnd.choice(words) for _ in range(22))
+        rows.append((i, (boiler + " " + body) if i % 3 == 0 else body))
+    rows[7] = (7, None)  # NULL text: kept, zero tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 7
+
+    for hash_fn, key_type in [("xxhash64", "key long"),
+                              (None, "key string")]:
+        one = D.dedup_spans(docs, "doc_id", "text", window=W,
+                            hash_fn=hash_fn)
+        want = {tuple(r) for r in one.collect()}
+
+        cat = Catalog(spark, str(tmp_path / f"cat_{hash_fn}"))
+        cat.put("span_index",
+                spark.createDataFrame([], f"{key_type}, id long, start int"))
+        got = set()
+        for lo, hi in [(0, 15), (15, 30), (30, 45)]:
+            b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            clean, new_idx = D.dedup_spans_against_index(
+                b, cat.get("span_index"), "doc_id", "text",
+                window=W, hash_fn=hash_fn)
+            got |= {tuple(r) for r in clean.collect()}
+            cat.put("span_index",
+                    cat.get("span_index").unionByName(new_idx))
+        assert got == want
+        idx = cat.get("span_index")
+        assert idx.count() == idx.select("key").distinct().count()
+        # replay of the middle batch claims nothing (keys already owned)
+        b2 = docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 30))
+        _, replay_idx = D.dedup_spans_against_index(
+            b2, idx, "doc_id", "text", window=W, hash_fn=hash_fn)
+        assert replay_idx.count() == 0
+        # time travel keeps the pre-ingest index states
+        assert cat.get("span_index", version=1).count() == 0
