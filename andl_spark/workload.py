@@ -396,20 +396,6 @@ def _cust_orders(t):
 # was retired to fit the correctness budget.)
 
 
-@q("q_compose", """
-SELECT DISTINCT c_mktsegment, o_orderpriority
-FROM customer JOIN orders ON c_custkey = o_custkey
-""")
-def q_compose(spark, sf_dir):
-    """Andl `compose` — join dropping the common attributes."""
-    t = _t(spark, sf_dir)
-    cust = t["customer"].select("c_custkey", "c_mktsegment")
-    orders = t["orders"].select(
-        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
-    )
-    return J.compose(cust, orders)
-
-
 @q("q_semi_anti_join", """
 SELECT 'semi' AS kind, s_suppkey AS k, s_name AS name
 FROM supplier s
@@ -442,16 +428,40 @@ def q_semi_anti_join(spark, sf_dir):
 
 
 @q("q_join_proj", """
-SELECT DISTINCT o_orderpriority
-FROM customer JOIN orders ON c_custkey = o_custkey
-WHERE c_mktsegment = 'BUILDING'
+SELECT 'joinr' AS kind, o_orderpriority AS a, CAST(NULL AS VARCHAR) AS b
+FROM (SELECT DISTINCT o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'compose', c_mktsegment, o_orderpriority
+FROM (SELECT DISTINCT c_mktsegment, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey)
 """)
 def q_join_proj(spark, sf_dir):
-    """Andl `joinr` — join projected onto right-only attributes (set)."""
+    """Andl `joinr` — join projected onto right-only attributes (set) —
+    AND `compose` — join dropping the common attributes — in one
+    kind-tagged result (SURVEY §2 rows 13, 15; merged r7 — both are
+    single natural-join projections — to free a correctness slot for
+    q_dedup_spans, VERDICT r6 item 3). The two branches stay
+    independent scans joined by a zero-cost unionByName."""
     t = _t(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority")
-    return J.natural_join(cust, orders, keep="right")
+    joinr = J.natural_join(cust, orders, keep="right").select(
+        F.lit("joinr").alias("kind"),
+        F.col("o_orderpriority").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    )
+    cust2 = t["customer"].select("c_custkey", "c_mktsegment")
+    orders2 = t["orders"].select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    )
+    comp = J.compose(cust2, orders2).select(
+        F.lit("compose").alias("kind"),
+        F.col("c_mktsegment").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    return joinr.unionByName(comp)
 
 
 @q("q_cross", """
@@ -1187,6 +1197,23 @@ def _bench_dedup_spans(spark, sf_dir):
     budget)."""
     docs = _t(spark, sf_dir)["documents"]
     return D.dedup_spans(docs, "doc_id", "text", window=20)
+
+
+@q("q_dedup_spans", D.dedup_spans_sql("documents", "doc_id", "text", window=20))
+def q_dedup_spans(spark, sf_dir):
+    """Exact repeated-span dedup (Lee et al. 2022 ExactSubstr at span
+    granularity, §2.8 row 59a) — declared with hash_fn=None (raw-string
+    keys), the mode the DuckDB mirror reproduces bit-exactly; the bench
+    times the xxhash64 production-key variant (_bench_dedup_spans),
+    pinned decision-identical in tests. Declared r7 (VERDICT r6 item 3)
+    in the slot freed by merging q_compose into q_join_proj."""
+    docs = _t(spark, sf_dir)["documents"]
+    out = D.dedup_spans(docs, "doc_id", "text", window=20, hash_fn=None)
+    return out.select(
+        "id", "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
 
 
 #: bench-only production variants (timed by bench.py, never declared)

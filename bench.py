@@ -146,14 +146,16 @@ R5_ANCHOR: dict[str, float] = {
     "q_events_session": 0.617,
     "q_dedup_minhash_prod": 2.844,
     "q_dedup_simhash_prod": 2.058,
+    # r6 warm median (BENCH_WARM_r06.json) — q_dedup_spans landed in
+    # r6, so its anchor joins the standing set one round later
+    # (VERDICT r6 item 8)
+    "q_dedup_spans": 2.186,
 }
 
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
-#: q_dedup_spans is new in r6 — timed, no r5 anchor yet (next round's
-#: warm medians pick it up)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
-    "r5": (R5_ANCHOR, {"q_dedup_spans"}),
+    "r5": (R5_ANCHOR, set()),
 }
 DEFAULT_ANCHORS = "r5"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
@@ -177,7 +179,10 @@ def _headline():
         and name not in exclude
     ]
     names += list(workload.BENCH_EXTRA)
-    return names
+    # dedupe, keeping first occurrence: q_dedup_spans is BOTH declared
+    # (raw-string oracle keys) and in BENCH_EXTRA (xxhash64 production
+    # keys) — it must be timed once, on the production variant
+    return list(dict.fromkeys(names))
 
 
 def run_bench(warm: bool = False) -> dict:
@@ -198,7 +203,10 @@ def run_bench(warm: bool = False) -> dict:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in _headline():
-        fn = workload.QUERIES.get(name) or workload.BENCH_EXTRA.get(name)
+        # BENCH_EXTRA wins a name collision: the bench times production
+        # variants (xxhash64 keys), the QUERIES twin is the oracle-
+        # parity declaration (see _headline's dedup note)
+        fn = workload.BENCH_EXTRA.get(name) or workload.QUERIES.get(name)
         if fn is None:
             continue
         samples = []
