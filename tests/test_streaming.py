@@ -289,7 +289,8 @@ def test_neardup_ingest_stream_matches_batch(spark, tmp_path):
     rewrite its own partitions, never append duplicates."""
     from andl_spark.pipeline import dedup as D
     from andl_spark.streaming.events import (
-        neardup_ingest_batch, neardup_ingest_stream, seed_neardup_index)
+        neardup_ingest_batch, neardup_ingest_stream, read_neardup_index,
+        seed_neardup_index)
 
     # dup-dense corpus: 5 clusters × 12 near-identical members; the
     # first 6 of each cluster are "historical", the rest stream in
@@ -330,7 +331,7 @@ def test_neardup_ingest_stream_matches_batch(spark, tmp_path):
     assert got.count() == got.dropDuplicates(["id_a", "id_b"]).count()
     assert key(got) == key(want) and want.count() > 0
     # the index grew by exactly the new batch's signature rows
-    idx = spark.read.parquet(index_path)
+    idx = read_neardup_index(spark, index_path)
     assert idx.count() == docs.count()
     assert idx.filter(F.col("_batch_id") == -1).count() == old.count()
 
@@ -347,7 +348,7 @@ def test_neardup_ingest_stream_matches_batch(spark, tmp_path):
     after = spark.read.parquet(pairs_path)
     assert key(after) == before_pairs
     assert after.count() == len(before_pairs)
-    assert spark.read.parquet(index_path).count() == before_idx
+    assert read_neardup_index(spark, index_path).count() == before_idx
 
 
 def test_neardup_ingest_stream_embedding(spark, tmp_path):
@@ -355,7 +356,7 @@ def test_neardup_ingest_stream_embedding(spark, tmp_path):
     (with exact cosines) == one-shot embedding_dup_against_index."""
     from andl_spark.pipeline import dedup as D
     from andl_spark.streaming.events import (
-        neardup_ingest_stream, seed_neardup_index)
+        neardup_ingest_stream, read_neardup_index, seed_neardup_index)
 
     dim, n_copies = 16, 10
     rows = []
@@ -392,7 +393,7 @@ def test_neardup_ingest_stream_embedding(spark, tmp_path):
     key = lambda df: {  # noqa: E731
         (r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in df.collect()}
     assert key(got) == key(want) and want.count() > 0
-    assert spark.read.parquet(index_path).count() == emb.count()
+    assert read_neardup_index(spark, index_path).count() == emb.count()
 
 
 def test_neardup_ingest_batch_simhash_leg(spark, tmp_path):
@@ -401,7 +402,7 @@ def test_neardup_ingest_batch_simhash_leg(spark, tmp_path):
     equals the one-shot simhash_against_index."""
     from andl_spark.pipeline import dedup as D
     from andl_spark.streaming.events import (
-        neardup_ingest_batch, seed_neardup_index)
+        neardup_ingest_batch, read_neardup_index, seed_neardup_index)
 
     docs = spark.createDataFrame(
         [(i, f"sphinx of black quartz judge my vow {i % 4} t{i % 2}")
@@ -418,7 +419,7 @@ def test_neardup_ingest_batch_simhash_leg(spark, tmp_path):
     key = lambda df: {  # noqa: E731
         (r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
     assert key(got) == key(want) and want.count() > 0
-    assert spark.read.parquet(idx).count() == 30
+    assert read_neardup_index(spark, idx).count() == 30
 
 
 def test_neardup_ingest_stream_spans(spark, tmp_path):
@@ -432,7 +433,8 @@ def test_neardup_ingest_stream_spans(spark, tmp_path):
 
     from andl_spark.pipeline import dedup as D
     from andl_spark.streaming.events import (
-        neardup_ingest_batch, neardup_ingest_stream, seed_neardup_index)
+        neardup_ingest_batch, neardup_ingest_stream, read_neardup_index,
+        seed_neardup_index)
 
     import random
 
@@ -481,7 +483,7 @@ def test_neardup_ingest_stream_spans(spark, tmp_path):
     assert key(got) == key(want) and got.count() == new.count()
     assert got.filter(F.col("n_removed") > 0).count() > 0  # dedup happened
     # index holds exactly the corpus' distinct span keys, key-unique
-    idx = spark.read.parquet(index_path)
+    idx = read_neardup_index(spark, index_path)
     base = D._span_base(docs, "doc_id", "text")
     n_keys = (D._span_table(base, W, "xxhash64")
               .select("key").distinct().count())
@@ -496,5 +498,5 @@ def test_neardup_ingest_stream_spans(spark, tmp_path):
         new.filter(F.col("doc_id") >= 50), last_bid,
         index_path, clean_path, kind="spans", window=W)
     assert key(spark.read.parquet(clean_path)) == before_clean
-    assert spark.read.parquet(index_path).count() == before_idx
+    assert read_neardup_index(spark, index_path).count() == before_idx
     assert replay_ids  # the last batch did claim some first occurrences
