@@ -413,15 +413,24 @@ def nearest_lists_cosine(
     vn = vec_norm if vec_norm is not None else norm_expr(v)
     cents = F.expr("array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")")
     cnorms = F.array(*[F.lit(_py_norm(c)) for c in centroids])
+
+    def _negc(i):
+        # zero-norm guard (ADVICE r6): under ANSI mode (Spark 4
+        # default) a bare 0-divisor division THROWS — a zero vector or
+        # zero centroid must instead score NaN, which sorts LAST in
+        # the ascending struct order (ties fall back to list_id), the
+        # exact behavior numpy's stable argsort gives nearest_lists_np
+        denom = vn * F.element_at(cnorms, i)
+        cos = F.when(
+            denom != 0,
+            F.round(dot_expr(v, F.element_at(cents, i)) / denom
+                    + F.lit(1e-9), 4),
+        ).otherwise(F.lit(float("nan")))
+        return -cos
+
     scored = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
-        lambda i: F.struct(
-            (-F.round(
-                dot_expr(v, F.element_at(cents, i))
-                / (vn * F.element_at(cnorms, i))
-                + F.lit(1e-9), 4)).alias("negc"),
-            (i - 1).alias("list_id"),
-        ),
+        lambda i: F.struct(_negc(i).alias("negc"), (i - 1).alias("list_id")),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
 
@@ -477,12 +486,20 @@ def nearest_lists_np(centroids: list[list[float]], nprobe: int):
     nearest_lists_cosine; numpy's summation order can differ from the
     JVM fold in the last ulp, which the 4-decimal rounding absorbs
     except exactly AT a rounding boundary — why the oracle-checked
-    fixed-nlist path keeps the literal expression."""
+    fixed-nlist path keeps the literal expression.
+
+    Zero norms are NOT clamped (ADVICE r6): a zero-norm vector (or
+    zero centroid) yields 0/0 = NaN cosine exactly as the JVM
+    expression does, and both engines then rank it the same way —
+    NaN sorts as the largest double in Spark's struct ordering (so
+    negc=NaN lands last / all-NaN falls back to list_id order) and
+    numpy's stable argsort places NaN last / keeps index order for an
+    all-NaN row. The old clamp silently turned NaN into cosine 0 on
+    this path only, diverging the two assignments on dirty data."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
-    cn[cn == 0.0] = 1.0
 
     @pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
@@ -496,8 +513,8 @@ def nearest_lists_np(centroids: list[list[float]], nprobe: int):
             return pd.Series([None] * len(v))
         m = np.array(v[valid].tolist(), dtype=np.float64)
         vn = np.sqrt((m * m).sum(axis=1))
-        vn[vn == 0.0] = 1.0
-        cos = np.round((m @ C.T) / vn[:, None] / cn[None, :] + 1e-9, 4)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round((m @ C.T) / vn[:, None] / cn[None, :] + 1e-9, 4)
         idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
         out = [None] * len(v)
         for pos, lists in zip(np.flatnonzero(valid), idx.astype("int32")):
@@ -518,11 +535,18 @@ def topk_ivf_det(
     centroids: list[list[float]] | None = None,
     corpus_count: int | None = None,
     quantize: bool = False,
+    use_np: bool | None = None,
 ) -> DataFrame:
     """IVF ANN over the deterministic seed quantizer: corpus rows are
     assigned to their rounded-cosine-nearest centroid (shuffle-free
     literal math), queries probe their ``nprobe`` nearest cells.
-    Fully mirrored by topk_ivf_det_sql (at explicit nlist/nprobe).
+    Fully mirrored by topk_ivf_det_sql at explicit nlist/nprobe — an
+    explicit nlist ALWAYS takes the JVM literal-expression assignment
+    (exact oracle parity), however large; the numpy-matmul assignment
+    engages only in the √N auto-scale regime (``nlist=None`` with
+    auto_nlist ≥ NP_ASSIGN_MIN_NLIST) or under an explicit
+    ``use_np=True`` (ADVICE r6 — the old centroid-count gate silently
+    broke the documented mirror for nlist ≥ 64).
 
     ``nlist=None`` engages the √N auto-scale (auto_nlist over
     ``corpus_count``, counted once if not supplied); ``nprobe=None``
@@ -533,6 +557,7 @@ def topk_ivf_det(
     changes only by the quantization noise (recall pinned ≥0.9 in
     tests). Assignment still reads the raw vector (bucketing is an
     index-build step; codes are the stored payload)."""
+    auto_scale = nlist is None
     if nlist is None:
         if corpus_count is None:
             corpus_count = corpus.count()
@@ -541,10 +566,13 @@ def topk_ivf_det(
         nprobe = auto_nprobe(nlist)
     if centroids is None:
         centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+    if use_np is None:
+        use_np = auto_scale and len(centroids) >= NP_ASSIGN_MIN_NLIST
     if quantize:
         return _topk_ivf_det_quantized(
-            corpus, queries, id_col, vec_col, k, nprobe, centroids)
-    if len(centroids) >= NP_ASSIGN_MIN_NLIST:
+            corpus, queries, id_col, vec_col, k, nprobe, centroids,
+            use_np=use_np)
+    if use_np:
         return _topk_ivf_det_np(
             corpus, queries, id_col, vec_col, k, nprobe, centroids)
     # Two-stage projection: the row norm is computed ONCE and fed to the
@@ -616,14 +644,17 @@ def _topk_ivf_det_np(
 
 
 def _topk_ivf_det_quantized(
-    corpus, queries, id_col, vec_col, k, nprobe, centroids
+    corpus, queries, id_col, vec_col, k, nprobe, centroids,
+    use_np: bool = False,
 ) -> DataFrame:
     """Quantized-payload IVF probe (see topk_ivf_det quantize=True).
     Cell assignment uses the raw vector (same cells as the float path);
     the join payload is the int8 code array + its norm — cosine's
     per-vector scale invariance means cos(q, codes) == cos(q, codes·s),
-    so no dequantization happens anywhere."""
-    big = len(centroids) >= NP_ASSIGN_MIN_NLIST
+    so no dequantization happens anywhere. ``use_np`` is resolved by
+    topk_ivf_det (auto-scale regime or explicit flag — never inferred
+    from the centroid count here)."""
+    big = use_np
     if big:  # √N regime: matmul assignment (see NP_ASSIGN_MIN_NLIST)
         assign1 = F.element_at(
             nearest_lists_np(centroids, 1)(F.col("__raw")), 1)

@@ -1007,3 +1007,48 @@ def test_dedup_spans_incremental_index_equals_full_recompute(spark, tmp_path):
         assert replay_idx.count() == 0
         # time travel keeps the pre-ingest index states
         assert cat.get("span_index", version=1).count() == 0
+
+
+def test_ivf_np_gating_and_zero_norm_alignment(spark):
+    """ADVICE r6: (1) an EXPLICIT nlist — however large — keeps the
+    JVM literal-expression assignment (the documented
+    topk_ivf_det_sql mirror); the numpy path engages only in the √N
+    auto-scale regime or under use_np=True. (2) Zero-norm vectors get
+    NaN cosine on BOTH assignment paths (no clamp-to-0 divergence):
+    the two paths assign every vector, including a zero one,
+    identically."""
+    import numpy as np
+
+    from andl_spark.plans import explain as X
+
+    rows = [(i, [float((i * 3 + j) % 7) - 3.0 for j in range(8)])
+            for i in range(200)]
+    rows.append((300, [0.0] * 8))  # zero-norm vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # explicit nlist=64 (>= NP_ASSIGN_MIN_NLIST): plan must contain NO
+    # Python at all — pure JVM expression assignment
+    out = SS.topk_ivf_det(emb, queries, k=3, nlist=64, nprobe=8)
+    prof = X.plan_report(out)
+    assert prof["arrow_python"] == 0 and prof["row_python_udf"] == 0
+    # auto-scale with a large corpus_count engages the numpy path
+    auto = SS.topk_ivf_det(emb, queries, k=3, nlist=None, nprobe=8,
+                           corpus_count=10_000)
+    assert X.plan_report(auto)["arrow_python"] > 0
+    # use_np=True forces it at explicit nlist
+    forced = SS.topk_ivf_det(emb, queries, k=3, nlist=64, nprobe=8,
+                             use_np=True)
+    assert X.plan_report(forced)["arrow_python"] > 0
+
+    # zero-norm alignment: both assignment paths agree on EVERY vector
+    cents = SS.seed_centroids(emb, nlist=16)
+    jvm = emb.select(
+        "vec_id",
+        SS.nearest_lists_cosine("embedding", cents, 3).alias("lists"))
+    npp = emb.select(
+        "vec_id", SS.nearest_lists_np(cents, 3)(F.col("embedding")).alias("lists"))
+    jd = {r["vec_id"]: list(r["lists"]) for r in jvm.collect()}
+    nd = {r["vec_id"]: list(r["lists"]) for r in npp.collect()}
+    assert jd == nd
+    assert 300 in jd  # the zero vector got a (deterministic) assignment
