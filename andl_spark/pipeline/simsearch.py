@@ -444,9 +444,10 @@ def nearest_lists_cosine(
 #: rehearsal pins recall@5 ≥ 0.9 at sf1 AND sf10 under this fraction.
 AUTO_PROBE_FRAC = 0.08
 #: auto_nlist clamp: below 16 cells probing saves nothing; above 4096
-#: the flat literal assignment expression (nlist dots per row) is the
-#: wrong tool (a hierarchical coarse quantizer or BLAS assignment takes
-#: over — documented closure, not a silent ceiling).
+#: flat assignment (√N dots per row) is the wrong tool — the √N
+#: auto-scale AUTO-DISPATCHES to the two-level coarse quantizer
+#: (topk_ivf_hier, r7: n1·n2 ≈ √N cells at n1+n2 ≈ 2·N^(1/4) dots per
+#: row; recall@5 = 1.0 pinned at 20M vectors, SCALE_r07.md).
 AUTO_NLIST_MIN, AUTO_NLIST_MAX = 16, 4096
 
 
@@ -561,6 +562,11 @@ def topk_ivf_det(
     if nlist is None:
         if corpus_count is None:
             corpus_count = corpus.count()
+        if corpus_count > AUTO_NLIST_MAX ** 2 and not quantize:
+            # √N exceeds the flat clamp: two-level coarse quantizer
+            # (AUTO-dispatch, r7 — VERDICT r6 item 4)
+            return topk_ivf_hier(corpus, queries, id_col, vec_col, k,
+                                 corpus_count=corpus_count)
         nlist = auto_nlist(corpus_count)
     if nprobe is None:
         nprobe = auto_nprobe(nlist)
@@ -693,6 +699,204 @@ def _topk_ivf_det_quantized(
                               F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------
+# two-level (hierarchical) IVF — the regime ABOVE the flat √N clamp
+# ---------------------------------------------------------------------
+
+def hier_params(corpus_count: int) -> tuple[int, int, int]:
+    """(n1, n2, p1) for the two-level coarse quantizer: n1 ≈ n2 ≈
+    N^(1/4), so n1·n2 ≈ √N total cells (the FAISS guideline the flat
+    auto_nlist follows) while per-row assignment costs n1 + n2 dots —
+    two bounded matmuls — instead of √N. p1 holds the probed TOP-cell
+    fraction at AUTO_PROBE_FRAC (every sub-cell of a probed top cell is
+    probed, so probed corpus fraction ≈ p1/n1, the same operating point
+    the flat auto-scale holds)."""
+    n1 = max(AUTO_NLIST_MIN, int(round(corpus_count ** 0.25)))
+    p1 = max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
+    return n1, n1, p1
+
+
+def hier_seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n1: int = 64,
+    n2: int = 64,
+    train_cap: int = 262_144,
+    version: object = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Deterministic two-level coarse quantizer (the hierarchy FAISS
+    calls a residual/IMI-style coarse stage): level 1 = the n1
+    smallest-id vectors (exactly seed_centroids' rule); level 2 = per
+    top cell, the first n2 TRAINING vectors assigned to that cell (id
+    order), cycled if the cell is smaller and degenerating to the top
+    centroid itself for empty cells. Training reads a bounded
+    deterministic sample (the train_cap smallest ids — a distributed
+    top-K by id, never a full sort) and runs driver-side in numpy:
+    at most train_cap·dim doubles, a build-time artifact cached per
+    corpus identity like seed_centroids."""
+    key = ("hier", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, n1, n2, train_cap, corpus.semanticHash(),
+           version)
+    if key not in _CENTROID_CACHE:
+        while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:  # bounded FIFO
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+                .limit(train_cap).collect())
+        sample = np.asarray([r[1] for r in rows], dtype=np.float64)
+        C1 = sample[:n1].copy()
+        c1n = np.sqrt((C1 * C1).sum(axis=1))
+        sn = np.sqrt((sample * sample).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(sample @ C1.T / sn[:, None] / c1n[None, :]
+                           + 1e-9, 4)
+        top = np.argmax(cos, axis=1)  # first max → ties to smaller id
+        dim = sample.shape[1]
+        C2 = np.empty((n1, n2, dim), dtype=np.float64)
+        for t in range(n1):
+            members = sample[top == t]
+            if len(members) == 0:
+                C2[t] = C1[t]  # empty cell: sub-quantizer degenerates
+            else:
+                reps = -(-n2 // len(members))  # ceil-cycle small cells
+                C2[t] = np.tile(members, (reps, 1))[:n2]
+        _CENTROID_CACHE[key] = (C1.tolist(), C2.tolist())
+    return _CENTROID_CACHE[key]
+
+
+def hier_assign_np(C1: list[list[float]], C2: list[list[list[float]]]):
+    """Corpus-side two-level assignment: ``list_id = top·n2 + sub``
+    where top = rounded-cosine-nearest level-1 centroid and sub = the
+    nearest of THAT cell's n2 sub-centroids. Per Arrow batch this is
+    one (batch × n1) matmul plus ≤ n1 small per-cell matmuls — still a
+    pure shuffle-free map, but O(n1 + n2) dots per row instead of the
+    flat quantizer's O(n1·n2). Same rounding/tie rules as
+    nearest_lists_np; NULL vectors assign to no cell."""
+    from pyspark.sql.functions import pandas_udf
+
+    C1a = np.asarray(C1, dtype=np.float64)
+    C2a = np.asarray(C2, dtype=np.float64)
+    n1, n2, _ = C2a.shape
+    c1n = np.sqrt((C1a * C1a).sum(axis=1))
+    c2n = np.sqrt((C2a * C2a).sum(axis=2))  # (n1, n2)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        valid = v.notna().to_numpy()
+        if not valid.any():
+            return pd.Series([None] * len(v))
+        m = np.array(v[valid].tolist(), dtype=np.float64)
+        vn = np.sqrt((m * m).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos1 = np.round(m @ C1a.T / vn[:, None] / c1n[None, :]
+                            + 1e-9, 4)
+        top = np.argmax(cos1, axis=1)
+        lids = np.empty(len(m), dtype=np.int64)
+        for t in np.unique(top):
+            rows = top == t
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sub = np.round(
+                    m[rows] @ C2a[t].T / vn[rows, None] / c2n[t][None, :]
+                    + 1e-9, 4)
+            lids[rows] = t * n2 + np.argmax(sub, axis=1)
+        out = [None] * len(v)
+        for pos, lid in zip(np.flatnonzero(valid), lids):
+            out[pos] = int(lid)
+        return pd.Series(out)
+
+    return assign
+
+
+def hier_probe_np(C1: list[list[float]], C2: list[list[list[float]]],
+                  p1: int):
+    """Query-side probe set: the p1 rounded-cosine-nearest TOP cells,
+    each contributing ALL its n2 sub-cell list_ids — the probe rule is
+    aligned with hier_assign_np's assignment rule (a corpus vector's
+    top cell decides its list_id, so probing whole top cells cannot
+    miss a member of a probed cell). array<int> of p1·n2 list_ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    C1a = np.asarray(C1, dtype=np.float64)
+    n1, n2, _ = np.asarray(C2, dtype=np.float64).shape
+    c1n = np.sqrt((C1a * C1a).sum(axis=1))
+    subs = np.arange(n2, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        valid = v.notna().to_numpy()
+        if not valid.any():
+            return pd.Series([None] * len(v))
+        m = np.array(v[valid].tolist(), dtype=np.float64)
+        vn = np.sqrt((m * m).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos1 = np.round(m @ C1a.T / vn[:, None] / c1n[None, :]
+                            + 1e-9, 4)
+        tops = np.argsort(-cos1, axis=1, kind="stable")[:, :p1]
+        out = [None] * len(v)
+        for pos, ts in zip(np.flatnonzero(valid), tops):
+            out[pos] = (ts[:, None] * n2 + subs[None, :]).ravel().astype(
+                "int32")
+        return pd.Series(out)
+
+    return probe
+
+
+def topk_ivf_hier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n1: int | None = None,
+    n2: int | None = None,
+    p1: int | None = None,
+    corpus_count: int | None = None,
+    cents: tuple | None = None,
+) -> DataFrame:
+    """Two-level IVF ANN — the regime ABOVE the flat quantizer's 4096
+    clamp (VERDICT r6 item 4): at √N > AUTO_NLIST_MAX cells, flat
+    assignment costs √N dots per row; the hierarchy keeps the SAME
+    ≈√N total cells (n1·n2) but assigns with n1 + n2 ≈ 2·N^(1/4) dots
+    — two bounded matmuls per Arrow batch, still a pure shuffle-free
+    map. Join/probe shape is identical to _topk_ivf_det_np (broadcast
+    queries, cell-equi probe join, per-query window top-k).
+    topk_ivf_det auto-dispatches here when the √N auto-scale exceeds
+    the clamp; explicit small-nlist and oracle-mirrored paths are
+    untouched."""
+    if corpus_count is None and (n1 is None or n2 is None):
+        corpus_count = corpus.count()
+    a1, a2, ap = hier_params(corpus_count or 0)
+    n1 = n1 or a1
+    n2 = n2 or a2
+    p1 = p1 or max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
+    if cents is None:
+        cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+    C1, C2 = cents
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+        F.explode(hier_probe_np(C1, C2, p1)(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

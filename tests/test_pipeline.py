@@ -1052,3 +1052,57 @@ def test_ivf_np_gating_and_zero_norm_alignment(spark):
     nd = {r["vec_id"]: list(r["lists"]) for r in npp.collect()}
     assert jd == nd
     assert 300 in jd  # the zero vector got a (deterministic) assignment
+
+
+@pytest.mark.slow
+def test_ivf_hier_recall_above_flat_clamp(spark):
+    """Two-level IVF (VERDICT r6 item 4): a 20M-vector corpus whose
+    √N (≈4472) exceeds the flat quantizer's 4096-cell clamp must
+    auto-dispatch to the hierarchical coarse quantizer and hold
+    recall@5 ≥ 0.9. Ground truth is ANALYTIC (each base vector has 100
+    copies whose coord-0 perturbation grows with copy number, so the
+    true top-5 of query q is exactly q + c·N_BASE for c=1..5) — pinned
+    equal to topk_bruteforce at this exact generation in the r7 scale
+    rehearsal (SCALE_r07.md; brute force itself costs ~120s, so the
+    test asserts against the validated analytic set). Assignment stays
+    a shuffle-free Arrow-batched map: two bounded matmuls per batch,
+    n1+n2 ≈ 2·N^(1/4) dots per row instead of the flat √N."""
+    import andl_spark.pipeline.simsearch as SS2
+    from andl_spark.plans import explain as X
+
+    N_BASE, COPIES, DIM = 200_000, 100, 8
+    N = N_BASE * COPIES
+    assert SS2.auto_nlist(N) == SS2.AUTO_NLIST_MAX  # above the clamp
+    base = F.col("id") % N_BASE
+    copy = (F.col("id") / N_BASE).cast("long")
+
+    def coord(j):
+        c = ((base * (2 * j + 3)) % 101 - 50).cast("double") / 10.0
+        if j == 0:
+            c = c + copy.cast("double") * 0.001  # copies: same cluster
+        if j == 1:
+            c = c + (base % 2003).cast("double") * 0.01  # per-base jitter
+        return c
+
+    emb = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[coord(j) for j in range(DIM)]).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    n1, n2, p1 = SS2.hier_params(N)
+    assert n1 * n2 > SS2.AUTO_NLIST_MAX  # ≈√N cells, beyond the clamp
+    # the auto-scale entry point dispatches to the hierarchy itself
+    out = SS2.topk_ivf_det(emb, queries, k=5, nlist=None, nprobe=None,
+                           corpus_count=N)
+    prof = X.plan_report(out)
+    assert prof["row_python_udf"] == 0 and prof["arrow_python"] > 0
+    # corpus-side assignment is a pure map — zero shuffles
+    cents = SS2.hier_seed_centroids(emb, n1=n1, n2=n2)
+    assigned = emb.select(
+        SS2.hier_assign_np(*cents)(F.col("embedding")).alias("list_id"))
+    assert X.count_shuffles(assigned) == 0
+
+    got = {(r["query_id"], r["cand_id"]) for r in out.collect()}
+    want = {(q, q + c * N_BASE) for q in range(10) for c in range(1, 6)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"hier IVF recall {recall} at N={N}"
