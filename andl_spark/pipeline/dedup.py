@@ -314,8 +314,13 @@ def lsh_candidate_pairs(
     ``anchor_degree=None`` (default) means "exact unless unaffordable":
     the fan-out auto-guard estimates the candidate count first and
     engages anchors above ``auto_bound`` (default AUTO_ANCHOR_BOUND,
-    logged). Callers needing guaranteed-exact pairs AT ANY COST pass
-    ``anchor_degree=0`` (no anchors, no guard) or raise ``auto_bound``."""
+    logged + FANOUT_STATS). Callers needing guaranteed-exact pairs AT
+    ANY COST pass ``anchor_degree=0`` (no anchors, no guard) or raise
+    ``auto_bound``. The guard's estimate is an extra aggregate over the
+    signature-derived bucket table — PERSIST the input signatures
+    (minhash_lsh_dedup, the sole internal caller, does) or the
+    signature Pandas UDF runs once for the estimate and once per join
+    side."""
     exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
