@@ -983,6 +983,28 @@ def dedup_against_index(
     )
 
 
+def exact_dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`dedup_against_index` in the ``(out, new_index_rows)``
+    tuple convention the other ``*_against_index`` legs share, so the
+    exact-fingerprint leg plugs into ``neardup_ingest_stream`` as
+    ``kind="exact"``: ``out`` is the batch's SURVIVING rows (fingerprint
+    absent from the index and unique within the batch, min-id winner)
+    and ``new_index_rows`` is their (fp, id) fingerprints — fp-unique by
+    construction — to append to the stored index. The corpus text never
+    moves; only 16-byte digests live in the index."""
+    kept = dedup_against_index(
+        new_docs, index, id_col, text_col).localCheckpoint(eager=True)
+    new_fps = kept.select(
+        fingerprint(text_col).alias("fp"), F.col(id_col).alias("id")
+    ).localCheckpoint(eager=True)
+    return kept, new_fps
+
+
 def minhash_against_index(
     new_docs: DataFrame,
     index_sigs: DataFrame,

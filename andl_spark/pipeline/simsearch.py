@@ -562,11 +562,12 @@ def topk_ivf_det(
     if nlist is None:
         if corpus_count is None:
             corpus_count = corpus.count()
-        if corpus_count > AUTO_NLIST_MAX ** 2 and not quantize:
+        if corpus_count > AUTO_NLIST_MAX ** 2:
             # √N exceeds the flat clamp: two-level coarse quantizer
             # (AUTO-dispatch, r7 — VERDICT r6 item 4)
             return topk_ivf_hier(corpus, queries, id_col, vec_col, k,
-                                 corpus_count=corpus_count)
+                                 corpus_count=corpus_count,
+                                 quantize=quantize)
         nlist = auto_nlist(corpus_count)
     if nprobe is None:
         nprobe = auto_nprobe(nlist)
@@ -858,6 +859,7 @@ def topk_ivf_hier(
     p1: int | None = None,
     corpus_count: int | None = None,
     cents: tuple | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Two-level IVF ANN — the regime ABOVE the flat quantizer's 4096
     clamp (VERDICT r6 item 4): at √N > AUTO_NLIST_MAX cells, flat
@@ -868,7 +870,10 @@ def topk_ivf_hier(
     queries, cell-equi probe join, per-query window top-k).
     topk_ivf_det auto-dispatches here when the √N auto-scale exceeds
     the clamp; explicit small-nlist and oracle-mirrored paths are
-    untouched."""
+    untouched. ``quantize=True`` carries the corpus payload as int8
+    codes through the candidate join (8× smaller shuffle/broadcast;
+    cell assignment still reads the raw vector), the same contract as
+    topk_ivf_det's flat quantized path."""
     if corpus_count is None and (n1 is None or n2 is None):
         corpus_count = corpus.count()
     a1, a2, ap = hier_params(corpus_count or 0)
@@ -878,11 +883,22 @@ def topk_ivf_hier(
     if cents is None:
         cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
     C1, C2 = cents
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
-        hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
-    )
+    if quantize:
+        qz = quantize_embeddings(
+            corpus.select(F.col(id_col).alias("cand_id"),
+                          F.col(vec_col).alias("__raw")), "__raw")
+        c = qz.select(
+            "cand_id",
+            F.col("q_vec").alias("cvec"),
+            norm_expr(F.col("q_vec")).alias("cn"),
+            hier_assign_np(C1, C2)(F.col("__raw")).alias("list_id"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+            hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qn"),

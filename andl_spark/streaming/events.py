@@ -389,6 +389,9 @@ def neardup_ingest_batch(
         # n_tokens, n_removed); the index holds first-occurrence span
         # keys instead of signatures — same replay contract
         "spans": D.dedup_spans_against_index,
+        # exact: "pairs" is the batch's SURVIVING rows; the index holds
+        # (fp, id) content fingerprints
+        "exact": D.exact_dedup_against_index,
     }[kind]
     pairs, new_rows = fn(batch_df, index, **kw)
     for df, path in ((pairs, pairs_path), (new_rows, data_path)):
@@ -423,15 +426,19 @@ def neardup_ingest_stream(
     cross-micro-batch new×new pairs are found exactly as a one-shot
     ``*_against_index`` over the concatenated batches would find them
     (tests/test_streaming.py pins drained-stream set == batch set).
-    ``kind``: minhash | simhash | embedding | spans; ``kw`` forwards
-    to the matching ``*_against_index`` op (threshold, num_perm,
-    anchor_degree, dim, window, hash_fn, ...). For ``spans`` the
-    per-batch output written to ``pairs_path`` is the batch's CLEAN
-    text (dedup_spans schema) and the index holds first-occurrence
-    span keys; with ascending-id arrival the drained clean output
-    equals the one-shot dedup_spans over the concatenated corpus
-    (pinned in tests). Returns the started query (availableNow
-    trigger; caller awaits termination)."""
+    ``kind``: minhash | simhash | embedding | spans | exact; ``kw``
+    forwards to the matching ``*_against_index`` op (threshold,
+    num_perm, anchor_degree, dim, window, hash_fn, ...). For ``spans``
+    the per-batch output written to ``pairs_path`` is the batch's
+    CLEAN text (dedup_spans schema) and the index holds
+    first-occurrence span keys; with ascending-id arrival the drained
+    clean output equals the one-shot dedup_spans over the concatenated
+    corpus (pinned in tests). For ``exact`` the per-batch output is
+    the batch's SURVIVING rows and the index holds (fp, id) content
+    fingerprints; the drained survivor set equals the one-shot
+    exact_dedup over the concatenated corpus (earliest-arrival winner;
+    pinned in tests). Returns the started query (availableNow trigger;
+    caller awaits termination)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         neardup_ingest_batch(

@@ -1106,3 +1106,23 @@ def test_ivf_hier_recall_above_flat_clamp(spark):
     want = {(q, q + c * N_BASE) for q in range(10) for c in range(1, 6)}
     recall = len(got & want) / len(want)
     assert recall >= 0.9, f"hier IVF recall {recall} at N={N}"
+
+
+def test_ivf_hier_quantized_payload(spark):
+    """The hierarchical path carries the int8 payload end-to-end like
+    its flat sibling (no dispatch asymmetry): quantize=True keeps ≥0.9
+    of the float path's top-k on the same centroids, the corpus join
+    payload is tinyint, and assignment still reads the raw vector."""
+    rows = [(i, [float((i * 3 + j) % 7) - 3.0 for j in range(8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, n1=6, n2=6, p1=3, corpus_count=300)
+    fl = SS.topk_ivf_hier(emb, queries, **kw)
+    qz = SS.topk_ivf_hier(emb, queries, quantize=True, **kw)
+    a = {(r["query_id"], r["cand_id"]) for r in fl.collect()}
+    b = {(r["query_id"], r["cand_id"]) for r in qz.collect()}
+    assert a and len(a & b) / len(a) >= 0.9
+    # int8 payload in the plan (tinyint array), raw assignment intact
+    plan = qz._jdf.queryExecution().toString()
+    assert "tinyint" in plan.lower()

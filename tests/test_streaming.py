@@ -500,3 +500,75 @@ def test_neardup_ingest_stream_spans(spark, tmp_path):
     assert key(spark.read.parquet(clean_path)) == before_clean
     assert read_neardup_index(spark, index_path).count() == before_idx
     assert replay_ids  # the last batch did claim some first occurrences
+
+
+def test_neardup_ingest_stream_exact(spark, tmp_path):
+    """Exact-fingerprint leg of the streaming crawl loop (r7 — the
+    fifth kind): micro-batches keep only rows whose content fingerprint
+    is absent from the persisted index and unique within the batch; the
+    drained survivor set equals the one-shot exact dedup over the
+    concatenated corpus (ascending-id arrival = min-id winner), and a
+    replayed micro-batch rewrites its partitions byte-stably."""
+    import time
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        neardup_ingest_batch, neardup_ingest_stream, read_neardup_index,
+        seed_neardup_index)
+
+    def text_of(i):
+        if i < 20 or i % 5 >= 2:
+            return f"exact body {i % 7}"      # groups claimed by old
+        if i % 5 == 0:
+            return f"fresh solo {i}"          # unique: survives
+        return f"fresh group {i // 20}"       # new group: min id wins
+    docs = spark.createDataFrame(
+        [(i, text_of(i)) for i in range(70)], "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 20)
+    new = docs.filter(F.col("doc_id") >= 20)
+
+    empty = spark.createDataFrame([], "fp string, id long")
+    _, seed_fps = D.exact_dedup_against_index(old, empty)
+    index_path = str(tmp_path / "fp_index")
+    kept_path = str(tmp_path / "fp_kept")
+    docs_dir = str(tmp_path / "fp_incoming")
+    seed_neardup_index(seed_fps, index_path)
+
+    for lo, hi in [(20, 40), (40, 55), (55, 70)]:
+        (new.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .repartition(1).write.mode("append").parquet(docs_dir))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+    )
+    q = neardup_ingest_stream(
+        stream, index_path, kept_path, str(tmp_path / "ckpt"),
+        kind="exact")
+    q.awaitTermination(180)
+
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(kept_path).collect()}
+    # one-shot truth: a NEW row survives iff it is the min-id holder of
+    # its fingerprint across the WHOLE corpus
+    full = D.exact_dedup(docs, "doc_id", "text")
+    want_ids = {r["doc_id"] for r in full.filter(
+        (~F.col("is_dup")) & (F.col("doc_id") >= 20)).collect()}
+    assert want_ids and got == {
+        (r["doc_id"], r["text"])
+        for r in new.filter(F.col("doc_id").isin(list(want_ids))).collect()}
+    # index is fp-unique and covers exactly the corpus' distinct texts
+    idx = read_neardup_index(spark, index_path)
+    n_groups = docs.select("text").distinct().count()
+    assert idx.count() == idx.select("fp").distinct().count() == n_groups
+
+    # replay idempotence: re-run the LAST micro-batch with its own id
+    last_bid = idx.agg(F.max("_batch_id")).first()[0]
+    assert last_bid >= 0  # the stream really claimed new groups
+    before = got
+    neardup_ingest_batch(
+        new.filter(F.col("doc_id") >= 55), last_bid, index_path,
+        kept_path, kind="exact")
+    assert {(r["doc_id"], r["text"])
+            for r in spark.read.parquet(kept_path).collect()} == before
+    assert read_neardup_index(spark, index_path).count() == n_groups
