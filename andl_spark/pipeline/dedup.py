@@ -1613,6 +1613,23 @@ def _span_rebuild(base: DataFrame, marked: DataFrame, window: int) -> DataFrame:
     )
 
 
+def empty_span_index(spark, hash_fn: str | None = "xxhash64") -> DataFrame:
+    """Cold-start index for :func:`dedup_spans_against_index` /
+    ``neardup_ingest_stream(kind="spans")`` — empty (key, id, start)
+    with the key type matching ``hash_fn`` (the key type is part of
+    the index identity, like embedding_index's hyperplane seeds)."""
+    key_type = {"xxhash64": "key long",
+                "xxhash128": "key struct<h1:bigint,h2:bigint>",
+                None: "key string"}[hash_fn]
+    return spark.createDataFrame([], f"{key_type}, id long, start int")
+
+
+def empty_fp_index(spark) -> DataFrame:
+    """Cold-start index for :func:`exact_dedup_against_index` /
+    ``neardup_ingest_stream(kind="exact")`` — empty (fp, id)."""
+    return spark.createDataFrame([], "fp string, id long")
+
+
 def dedup_spans_against_index(
     new_docs: DataFrame,
     index: DataFrame,

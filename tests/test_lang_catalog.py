@@ -165,3 +165,22 @@ def test_bridged_builtins_match_native_semantics(spark):
     s2 = AndlSession(spark, Path("."))
     s2.run("check := left('abc', 5) & '|' & right('abc', 5)")
     assert s2.globals["check"] == "abc  |  abc"
+
+
+def test_bridged_mutual_recursion(spark):
+    """ADVICE r6 (cross-def ordering): mutual recursion bridges — the
+    pre-seeded late-lookup table lets is_even/is_odd call each other
+    regardless of definition order."""
+    from andl_spark.lang.sqlbridge import register_catalog_sql
+
+    s = AndlSession(spark, Path("."))
+    s.run(
+        "def is_even(n:0) => if(n = 0, 1, is_odd(n - 1))\n"
+        "def is_odd(n:0) => if(n = 0, 0, is_even(n - 1))\n"
+    )
+    assert s.failures == []
+    names = register_catalog_sql(s, spark)
+    assert "andl_is_even" in names and "andl_is_odd" in names
+    row = spark.sql(
+        "SELECT andl_is_even(10.0) AS e, andl_is_odd(7.0) AS o").first()
+    assert row["e"] == 1.0 and row["o"] == 1.0

@@ -979,15 +979,13 @@ def test_dedup_spans_incremental_index_equals_full_recompute(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     W = 7
 
-    for hash_fn, key_type in [("xxhash64", "key long"),
-                              (None, "key string")]:
+    for hash_fn in ("xxhash64", None):
         one = D.dedup_spans(docs, "doc_id", "text", window=W,
                             hash_fn=hash_fn)
         want = {tuple(r) for r in one.collect()}
 
         cat = Catalog(spark, str(tmp_path / f"cat_{hash_fn}"))
-        cat.put("span_index",
-                spark.createDataFrame([], f"{key_type}, id long, start int"))
+        cat.put("span_index", D.empty_span_index(spark, hash_fn))
         got = set()
         for lo, hi in [(0, 15), (15, 30), (30, 45)]:
             b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

@@ -452,7 +452,7 @@ def test_neardup_ingest_stream_spans(spark, tmp_path):
     old = docs.filter(F.col("doc_id") < 20)
     new = docs.filter(F.col("doc_id") >= 20)
 
-    empty_idx = spark.createDataFrame([], "key long, id long, start int")
+    empty_idx = D.empty_span_index(spark)
     _, seed_rows = D.dedup_spans_against_index(
         old, empty_idx, "doc_id", "text", window=W)
     index_path = str(tmp_path / "span_index")
@@ -527,7 +527,7 @@ def test_neardup_ingest_stream_exact(spark, tmp_path):
     old = docs.filter(F.col("doc_id") < 20)
     new = docs.filter(F.col("doc_id") >= 20)
 
-    empty = spark.createDataFrame([], "fp string, id long")
+    empty = D.empty_fp_index(spark)
     _, seed_fps = D.exact_dedup_against_index(old, empty)
     index_path = str(tmp_path / "fp_index")
     kept_path = str(tmp_path / "fp_kept")
