@@ -729,7 +729,7 @@ def hier_seed_centroids(
     vec_col: str = "embedding",
     n1: int = 64,
     n2: int = 64,
-    train_cap: int = 262_144,
+    train_cap: int | None = None,
     version: object = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Deterministic two-level coarse quantizer (the hierarchy FAISS
@@ -739,9 +739,13 @@ def hier_seed_centroids(
     order), cycled if the cell is smaller and degenerating to the top
     centroid itself for empty cells. Training reads a bounded
     deterministic sample (the train_cap smallest ids — a distributed
-    top-K by id, never a full sort) and runs driver-side in numpy:
-    at most train_cap·dim doubles, a build-time artifact cached per
+    top-K by id, never a full sort; default ≈ 4 samples per final
+    cell, the FAISS training-size guideline, clamped to
+    [65536, 262144] so the driver-side numpy stays ≤ cap·dim doubles)
+    and runs driver-side in numpy — a build-time artifact cached per
     corpus identity like seed_centroids."""
+    if train_cap is None:
+        train_cap = min(262_144, max(4 * n1 * n2, 65_536))
     key = ("hier", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, n1, n2, train_cap, corpus.semanticHash(),
            version)
