@@ -236,21 +236,33 @@ def _fanout_guard(
     exploded: DataFrame, keys: list[str], what: str,
     bound: int | None = None,
     probe: DataFrame | None = None,
+    weight: float = 1.0,
 ) -> int | None:
     """Estimate a bucket join's candidate fan-out — for a SELF-join,
     Σ n·(n−1)/2 over bucket-key counts; for an incremental
     probe×corpus join (``probe`` given), Σ n_probe·n_corpus per shared
     bucket — ONE cheap aggregate over the (cached upstream) bucket
-    table(s) — and return the anchor degree to engage when it exceeds
-    ``bound``, else None (exact semantics).
+    table(s) — and return the anchor degree to engage when
+    ``est · weight`` exceeds ``bound``, else None (exact semantics).
+
+    ``weight`` normalizes PER-CANDIDATE cost to the bound's
+    calibration unit (a minhash/simhash candidate: a band compare or
+    two xor+bit_counts, ~8 cheap ops). The embedding ops pass
+    ``dim/8``: each of their candidates evaluates a dim-wide cosine
+    and moves two vectors through the join, so 6.5e8 embedding
+    candidates cost far more than 6.5e8 simhash candidates (measured:
+    615s for the sf10 exact embedding join vs 26s anchored,
+    SCALE_r07.md — same 1.87e9-unit neighborhood where the simhash
+    guard already trips).
 
     Duplicate-dense corpora make the exact join quadratic in cluster
     size; at sf10's 100-way dup density the simhash chunk join OOMs a
     128 GiB heap (SCALE_r05.md). Rather than letting a data property
-    crash the job, the guard trades exactness for the measured
-    decision-identical anchored mode, LOGS the switch, and records it
-    in :data:`FANOUT_STATS` — callers needing guaranteed-exact pairs
-    at any cost pass an explicit anchor_degree or raise the bound."""
+    crash (or dominate) the job, the guard trades exactness for the
+    measured decision-identical anchored mode, LOGS the switch, and
+    records it in :data:`FANOUT_STATS` — callers needing
+    guaranteed-exact pairs at any cost pass an explicit anchor_degree
+    or raise the bound."""
     bound = AUTO_ANCHOR_BOUND if bound is None else bound
     if probe is None:
         est = (
@@ -266,10 +278,12 @@ def _fanout_guard(
             .agg(F.sum(F.col("__np") * F.col("__nb")).alias("p"))
             .first()["p"]
         )
+    weighted = None if est is None else float(est) * weight
     engaged = (AUTO_ANCHOR_DEGREE
-               if est is not None and est > bound else None)
+               if weighted is not None and weighted > bound else None)
     FANOUT_STATS[what] = {
         "estimated_pairs": None if est is None else float(est),
+        "weight": weight,
         "bound": float(bound),
         "anchor_degree": engaged,
     }
@@ -277,10 +291,11 @@ def _fanout_guard(
         import logging
 
         logging.getLogger("andl_spark.dedup").warning(
-            "%s: estimated %.3g candidate pairs exceeds the %.3g exact-join "
-            "bound — auto-engaging anchor_degree=%d (bounded fan-out, "
-            "cluster-connectivity-preserving; pass anchor_degree explicitly "
-            "to override)", what, float(est), float(bound), engaged,
+            "%s: estimated %.3g candidate pairs (cost weight %g -> %.3g "
+            "units) exceeds the %.3g exact-join bound — auto-engaging "
+            "anchor_degree=%d (bounded fan-out, cluster-connectivity-"
+            "preserving; pass anchor_degree explicitly to override)",
+            what, float(est), weight, weighted, float(bound), engaged,
         )
     return engaged
 
@@ -869,7 +884,8 @@ def embedding_dup_pairs(
             # of the aggregate's shuffle
             anchor_degree = _fanout_guard(
                 e.select("tbl", "bucket"), ["tbl", "bucket"],
-                "embedding_dup_pairs", bound=auto_bound)
+                "embedding_dup_pairs", bound=auto_bound,
+                weight=max(1.0, dim / 8))
         left = e
         if anchor_degree is not None:
             from pyspark.sql import Window
@@ -1263,7 +1279,8 @@ def embedding_dup_against_index(
         anchor_degree = _fanout_guard(
             corpus_side.select("tbl", "bucket"), ["tbl", "bucket"],
             "embedding_dup_against_index", bound=auto_bound,
-            probe=new_e.select("tbl", "bucket"))
+            probe=new_e.select("tbl", "bucket"),
+            weight=max(1.0, (dim or 8) / 8))
     if anchor_degree is not None:
         from pyspark.sql import Window
 
