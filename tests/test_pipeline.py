@@ -1124,3 +1124,43 @@ def test_ivf_hier_quantized_payload(spark):
     # int8 payload in the plan (tinyint array), raw assignment intact
     plan = qz._jdf.queryExecution().toString()
     assert "tinyint" in plan.lower()
+
+
+def test_against_index_fanout_guard_minhash_simhash(spark, monkeypatch, caplog):
+    """r7: the minhash/simhash incremental legs carry the same
+    probe×corpus fan-out auto-guard as the embedding one — tripping it
+    yields the explicit-anchor result, opting out restores exact
+    incremental semantics, FANOUT_STATS records both decisions."""
+    import logging
+
+    n_copies = 20
+    rows = [(base * 1000 + k,
+             f"jinxed wizards pluck ivy from the big quilt "
+             f"{('markerino' + str(base) + ' ') * 10}"
+             + ("end" if k == 0 else f"end{k % 3}"))
+            for base in range(2) for k in range(n_copies)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 1000 < 12)
+    new = docs.filter(F.col("doc_id") % 1000 >= 12)
+    mh_idx = D.minhash_signatures(old, "doc_id", "text")
+    sh_idx = D.simhash_signatures(old, "doc_id", "text")
+
+    monkeypatch.setattr(D, "AUTO_ANCHOR_BOUND", 10)
+    with caplog.at_level(logging.WARNING, logger="andl_spark.dedup"):
+        g_mh, _ = D.minhash_against_index(new, mh_idx, threshold=0.5)
+        g_sh, _ = D.simhash_against_index(new, sh_idx, max_hamming=3)
+    for op in ("minhash_against_index", "simhash_against_index"):
+        assert any(op in r.message for r in caplog.records), op
+        assert D.FANOUT_STATS[op]["anchor_degree"] == D.AUTO_ANCHOR_DEGREE
+    a_mh, _ = D.minhash_against_index(new, mh_idx, threshold=0.5,
+                                      anchor_degree=D.AUTO_ANCHOR_DEGREE)
+    a_sh, _ = D.simhash_against_index(new, sh_idx, max_hamming=3,
+                                      anchor_degree=D.AUTO_ANCHOR_DEGREE)
+    assert _pair_set(g_mh) == _pair_set(a_mh)
+    assert _pair_set(g_sh, "hamming") == _pair_set(a_sh, "hamming")
+    # opt-out (exact at any cost) reproduces the r6 incremental pairs
+    e_mh, _ = D.minhash_against_index(new, mh_idx, threshold=0.5,
+                                      anchor_degree=0)
+    assert _pair_set(e_mh) >= _pair_set(g_mh)
+    assert D.FANOUT_STATS["minhash_against_index"]["anchor_degree"] == \
+        D.AUTO_ANCHOR_DEGREE  # stats reflect the LAST guarded call
