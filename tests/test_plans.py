@@ -256,3 +256,33 @@ def test_all_driver_queries_global_window_inventory(spark):
     assert offenders <= GLOBAL_WINDOW_EXCEPTIONS, (
         f"undocumented global windows: {offenders - GLOBAL_WINDOW_EXCEPTIONS}"
     )
+
+
+def test_span_ingest_plan_shapes(spark):
+    """r7 spans leg keeps the declared 100 TB shape: pure JVM
+    expressions (no Python at all), windows partition per DOC (never
+    globally, never per span KEY — a boilerplate key group must not
+    funnel one task), no cartesian/nested-loop joins, and the
+    corpus-key side of the probe joins is never broadcast."""
+    from andl_spark.pipeline import dedup as D
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    # eager=False keeps the full lazy plan inspectable
+    one = D.dedup_spans(docs, "doc_id", "text", window=20, eager=False)
+    plan = X.formatted_plan(one)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    X.assert_no_python_row_udf(one)
+    assert X.plan_report(one)["arrow_python"] == 0  # no Python, period
+    assert X.global_windows(one) == []  # coverage windows are per-doc
+
+    idx = D.empty_span_index(spark)
+    clean, new_idx = D.dedup_spans_against_index(
+        docs, idx, "doc_id", "text", window=20, eager=False)
+    for df in (clean, new_idx):
+        p = X.formatted_plan(df)
+        assert "CartesianProduct" not in p and "NestedLoop" not in p
+        X.assert_no_python_row_udf(df)
+        assert X.global_windows(df) == []
+    # the index antijoin stays a shuffled join (a corpus-sized key set
+    # must never ride a broadcast)
+    assert "BroadcastHashJoin" not in X.formatted_plan(new_idx)
