@@ -232,6 +232,16 @@ AUTO_ANCHOR_DEGREE = 8
 FANOUT_STATS: dict[str, dict] = {}
 
 
+def _record_fanout(what: str, anchor_degree: int | None, mode: str) -> None:
+    """Stats entry for a pair op whose guard did NOT run (explicit
+    anchors or anchor_degree<=0 opt-out) — without this, a consumer
+    reading FANOUT_STATS after an exact/explicit call would see the
+    PREVIOUS guarded call's stale decision (review r7)."""
+    FANOUT_STATS[what] = {"estimated_pairs": None, "weight": None,
+                          "bound": None, "anchor_degree": anchor_degree,
+                          "mode": mode}
+
+
 def _fanout_guard(
     exploded: DataFrame, keys: list[str], what: str,
     bound: int | None = None,
@@ -286,6 +296,7 @@ def _fanout_guard(
         "weight": weight,
         "bound": float(bound),
         "anchor_degree": engaged,
+        "mode": "guarded",
     }
     if engaged is not None:
         import logging
@@ -339,10 +350,13 @@ def lsh_candidate_pairs(
     exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
+        _record_fanout("minhash lsh_candidate_pairs", None, "exact")
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             exploded, ["band", "bucket"], "minhash lsh_candidate_pairs",
             bound=auto_bound)
+    else:
+        _record_fanout("minhash lsh_candidate_pairs", anchor_degree, "explicit")
     left = exploded
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -625,12 +639,15 @@ def simhash_near_pairs(
     )
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
+        _record_fanout("simhash_near_pairs", None, "exact")
     elif anchor_degree is None:
         # fan-out auto-guard (r6): estimate candidates before the pair
         # join; at sf10 dup density the exact chunk join OOMs a 128 GiB
         # heap — engage anchors (logged) instead of crashing
         anchor_degree = _fanout_guard(e, ["chunk", "val"],
                                       "simhash_near_pairs", bound=auto_bound)
+    else:
+        _record_fanout("simhash_near_pairs", anchor_degree, "explicit")
     left = e
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -878,14 +895,23 @@ def embedding_dup_pairs(
         )
         if anchor_degree is not None and anchor_degree <= 0:
             anchor_degree = None  # explicit "no anchors, no guard"
+            _record_fanout("embedding_dup_pairs", None, "exact")
         elif anchor_degree is None:
-            # fan-out auto-guard (r7): the estimate scans only
-            # (tbl,bucket) — column pruning keeps the wide vectors out
-            # of the aggregate's shuffle
+            # fan-out auto-guard (r7): the estimate is ONE extra map
+            # pass over the corpus (the buckets derive from the
+            # vectors, so the scan itself is not avoided — only the
+            # wide shuffle is, via the (tbl,bucket) projection). That
+            # pass is the guard's price: deliberately NOT persisted —
+            # at the 100 TB scale this op targets, caching the corpus
+            # to save one scan would spill the whole table to executor
+            # disks, costing more than the scan (cf. simhash, whose
+            # 16-byte signatures ARE cheap to cache)
             anchor_degree = _fanout_guard(
                 e.select("tbl", "bucket"), ["tbl", "bucket"],
                 "embedding_dup_pairs", bound=auto_bound,
                 weight=max(1.0, dim / 8))
+        else:
+            _record_fanout("embedding_dup_pairs", anchor_degree, "explicit")
         left = e
         if anchor_degree is not None:
             from pyspark.sql import Window
@@ -977,13 +1003,17 @@ def dedup_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     index_fp_col: str = "fp",
+    keep_fp: str | None = None,
 ) -> DataFrame:
     """Ingest-time dedup of a NEW batch against the historical corpus:
     keep rows whose normalized-content fingerprint is absent from the
     index AND unique within the batch (min-id winner). The index is a
     fingerprint-only table — at 100 TB the corpus column never moves,
     only its digests — and the antijoin shuffles the (small) new batch
-    against the bucketed/partitioned index."""
+    against the bucketed/partitioned index. ``keep_fp='col'`` exposes
+    the already-computed fingerprint on the output under that name —
+    callers that index the survivors (exact_dedup_against_index) reuse
+    it instead of hashing the text a second time."""
     from pyspark.sql import Window
 
     fp = fingerprint(text_col)
@@ -992,11 +1022,14 @@ def dedup_against_index(
         index.select(F.col(index_fp_col).alias("__fp")), on="__fp", how="leftanti"
     )
     w = Window.partitionBy("__fp")
-    return (
+    out = (
         fresh.withColumn("__min", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("__min"))
-        .drop("__fp", "__min")
+        .drop("__min")
     )
+    if keep_fp:
+        return out.withColumnRenamed("__fp", keep_fp)
+    return out.drop("__fp")
 
 
 def exact_dedup_against_index(
@@ -1012,12 +1045,15 @@ def exact_dedup_against_index(
     absent from the index and unique within the batch, min-id winner)
     and ``new_index_rows`` is their (fp, id) fingerprints — fp-unique by
     construction — to append to the stored index. The corpus text never
-    moves; only 16-byte digests live in the index."""
-    kept = dedup_against_index(
-        new_docs, index, id_col, text_col).localCheckpoint(eager=True)
-    new_fps = kept.select(
-        fingerprint(text_col).alias("fp"), F.col(id_col).alias("id")
+    moves; only 16-byte digests live in the index. One fingerprint pass
+    and ONE materialization: both outputs derive from a single
+    checkpointed (rows + fp) frame (review r7)."""
+    kept_fp = dedup_against_index(
+        new_docs, index, id_col, text_col, keep_fp="__kept_fp"
     ).localCheckpoint(eager=True)
+    kept = kept_fp.drop("__kept_fp")
+    new_fps = kept_fp.select(
+        F.col("__kept_fp").alias("fp"), F.col(id_col).alias("id"))
     return kept, new_fps
 
 
@@ -1072,11 +1108,14 @@ def minhash_against_index(
     all_b = _band_buckets(all_sigs, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
+        _record_fanout("minhash_against_index", None, "exact")
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             all_b.select("band", "bucket"), ["band", "bucket"],
             "minhash_against_index",
             probe=new_b.select("band", "bucket"))
+    else:
+        _record_fanout("minhash_against_index", anchor_degree, "explicit")
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1136,11 +1175,14 @@ def simhash_against_index(
     new_e, all_e = _explode(new_sigs), _explode(all_sigs)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
+        _record_fanout("simhash_against_index", None, "exact")
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             all_e.select("chunk", "val"), ["chunk", "val"],
             "simhash_against_index",
             probe=new_e.select("chunk", "val"))
+    else:
+        _record_fanout("simhash_against_index", anchor_degree, "explicit")
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1272,6 +1314,7 @@ def embedding_dup_against_index(
     new_e = _explode(new_index)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
+        _record_fanout("embedding_dup_against_index", None, "exact")
     elif anchor_degree is None:
         # fan-out auto-guard (r7): probe×corpus estimate on the slim
         # (tbl,bucket) projections; the corpus side's bucket counts
@@ -1281,6 +1324,8 @@ def embedding_dup_against_index(
             "embedding_dup_against_index", bound=auto_bound,
             probe=new_e.select("tbl", "bucket"),
             weight=max(1.0, (dim or 8) / 8))
+    else:
+        _record_fanout("embedding_dup_against_index", anchor_degree, "explicit")
     if anchor_degree is not None:
         from pyspark.sql import Window
 

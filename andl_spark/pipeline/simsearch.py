@@ -562,9 +562,17 @@ def topk_ivf_det(
     if nlist is None:
         if corpus_count is None:
             corpus_count = corpus.count()
-        if corpus_count > AUTO_NLIST_MAX ** 2:
+        if (corpus_count > AUTO_NLIST_MAX ** 2
+                and nprobe is None and centroids is None
+                and use_np is None):
             # √N exceeds the flat clamp: two-level coarse quantizer
-            # (AUTO-dispatch, r7 — VERDICT r6 item 4)
+            # (AUTO-dispatch, r7 — VERDICT r6 item 4). Only when the
+            # flat-quantizer-shaped knobs are untouched — an explicit
+            # nprobe / centroids list / use_np means FLAT semantics
+            # were asked for, and silently reinterpreting (or
+            # dropping) them in the hierarchy would change recall
+            # behind the caller's back (review r7); call topk_ivf_hier
+            # directly for explicit two-level control.
             return topk_ivf_hier(corpus, queries, id_col, vec_col, k,
                                  corpus_count=corpus_count,
                                  quantize=quantize)
@@ -754,8 +762,14 @@ def hier_seed_centroids(
             _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
         rows = (corpus.select(id_col, vec_col).orderBy(id_col)
                 .limit(train_cap).collect())
+        if not rows:
+            raise ValueError("hier_seed_centroids: empty corpus")
         sample = np.asarray([r[1] for r in rows], dtype=np.float64)
+        # a corpus smaller than n1 clamps level 1 to what exists
+        # (review r7 — C2[t] = C1[t] indexed past len(C1) otherwise);
+        # list_id arithmetic stays t·n2 + sub with the clamped n1
         C1 = sample[:n1].copy()
+        n1 = len(C1)
         c1n = np.sqrt((C1 * C1).sum(axis=1))
         sn = np.sqrt((sample * sample).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):

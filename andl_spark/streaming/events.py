@@ -212,7 +212,7 @@ def asof_enrich_stream(
 _GEN_POINTER = "_pointer.json"
 
 
-def _read_gen(index_path: str) -> int | None:
+def _read_pointer(index_path: str) -> dict | None:
     import json
     import os
 
@@ -220,10 +220,15 @@ def _read_gen(index_path: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f)["current"])
+        return json.load(f)
 
 
-def _flip_gen(index_path: str, gen: int) -> None:
+def _read_gen(index_path: str) -> int | None:
+    ptr = _read_pointer(index_path)
+    return None if ptr is None else int(ptr["current"])
+
+
+def _flip_gen(index_path: str, gen: int, schema_json: str | None = None) -> None:
     """Atomically commit ``gen`` as the current generation: write the
     pointer to a temp name, then os.replace — a single atomic rename,
     so a concurrent resolver sees either the old pointer or the new
@@ -236,8 +241,15 @@ def _flip_gen(index_path: str, gen: int) -> None:
 
     p = os.path.join(index_path, _GEN_POINTER)
     tmp = p + ".tmp"
+    doc = {"current": gen}
+    if schema_json is None:
+        prev = _read_pointer(index_path)
+        if prev and "schema" in prev:
+            doc["schema"] = prev["schema"]  # carry the seed schema
+    else:
+        doc["schema"] = schema_json
     with open(tmp, "w") as f:
-        json.dump({"current": gen}, f)
+        json.dump(doc, f)
     os.replace(tmp, p)
 
 
@@ -258,8 +270,23 @@ def resolve_neardup_index(index_path: str) -> str:
 
 def read_neardup_index(spark, index_path: str) -> DataFrame:
     """Current generation of a streaming index as a DataFrame (with
-    its ``_batch_id`` partition column)."""
-    return spark.read.parquet(resolve_neardup_index(index_path))
+    its ``_batch_id`` partition column). A COLD-START index (seeded
+    with an empty relation — a 0-row partitioned parquet write emits
+    no data files) reads back as an empty frame with the schema the
+    seed recorded in the pointer, so the first micro-batch's index
+    scan works instead of failing schema inference (review r7)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(resolve_neardup_index(index_path))
+    except AnalysisException:
+        ptr = _read_pointer(index_path)
+        if ptr and "schema" in ptr:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(__import__("json").loads(ptr["schema"])))
+        raise
 
 
 def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
@@ -277,27 +304,37 @@ def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
     generation is never disturbed. Generations older than the
     previous one are reclaimed (same keep-last discipline as
     Catalog.gc)."""
+    import json
     import os
 
     cur = _read_gen(index_path) or 0
     os.makedirs(index_path, exist_ok=True)
     target = os.path.join(index_path, f"gen={cur + 1}")
+    seeded = sigs.withColumn("_batch_id", F.lit(-1))
     (
-        sigs.withColumn("_batch_id", F.lit(-1))
+        seeded
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")  # explicit: a
         # session-level dynamic default must not resurrect stale batches
         .partitionBy("_batch_id")
         .parquet(target)
     )
-    _flip_gen(index_path, cur + 1)
+    # record the seed schema in the pointer: a COLD START (empty seed)
+    # writes no parquet data files, so readers need the schema to
+    # reconstruct the empty index (read_neardup_index; review r7)
+    _flip_gen(index_path, cur + 1,
+              schema_json=json.dumps(seeded.schema.jsonValue()))
     _reclaim_old_gens(index_path, keep_from=cur)
 
 
 def _reclaim_old_gens(index_path: str, keep_from: int) -> None:
     """Delete generation dirs STRICTLY OLDER than ``keep_from`` — the
     previous generation is always retained so in-flight readers that
-    resolved before the latest flip still see intact files."""
+    resolved before the latest flip still see intact files. A legacy
+    (pre-generation) tree's root ``_batch_id=*`` dirs are generation 0:
+    retained through the flip that superseded them (review r7 — an
+    in-flight reader of the legacy root must not lose its files) and
+    reclaimed by the NEXT flip like any other old generation."""
     import os
     import shutil
 
@@ -307,6 +344,9 @@ def _reclaim_old_gens(index_path: str, keep_from: int) -> None:
             if g < keep_from:
                 shutil.rmtree(os.path.join(index_path, name),
                               ignore_errors=True)
+        elif name.startswith("_batch_id=") and keep_from >= 1:
+            shutil.rmtree(os.path.join(index_path, name),
+                          ignore_errors=True)
 
 
 def compact_neardup_index(spark, index_path: str,
@@ -315,8 +355,14 @@ def compact_neardup_index(spark, index_path: str,
     every micro-batch appended its own ``_batch_id`` partition, so a
     long-running ingest accumulates one small file set per batch —
     file-listing and scan cost grow with BATCH COUNT, not data. This
-    folds all committed partitions into the seed partition
-    (``_batch_id=-1``) with ``target_files`` files. Row set is
+    folds the COMMITTED partitions into the seed partition
+    (``_batch_id=-1``) with ``target_files`` files, KEEPING the
+    highest-numbered batch partition as-is: foreachBatch commits the
+    checkpoint after each batch, so the newest batch is the only one
+    that can be half-written when a stream crashed mid-batch — folding
+    it into ``-1`` would defeat the replay guard's
+    ``filter(_batch_id != batch_id)`` exclusion and wrongly mark the
+    replaying batch's own claims as historical (review r7). Row set is
     unchanged, so ``*_against_index`` output is identical (pinned in
     tests).
 
@@ -331,28 +377,27 @@ def compact_neardup_index(spark, index_path: str,
 
     cur = _read_gen(index_path)
     src = resolve_neardup_index(index_path)
-    df = (
-        spark.read.parquet(src).drop("_batch_id")
+    raw = spark.read.parquet(src)
+    max_bid = raw.agg(F.max("_batch_id")).first()[0]
+    folded = (
+        raw.filter(F.col("_batch_id") != max_bid).drop("_batch_id")
         .withColumn("_batch_id", F.lit(-1))
         .coalesce(target_files)
-        .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     )
+    df = (
+        folded.unionByName(raw.filter(F.col("_batch_id") == max_bid))
+        if max_bid is not None and max_bid >= 0 else
+        raw.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
+        .coalesce(target_files)
+    ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     df.write.partitionBy("_batch_id").parquet(
         os.path.join(index_path, f"gen={new_gen}"))
     _flip_gen(index_path, new_gen)
-    if cur is None:
-        # legacy layout migration: the old tree's partition dirs live
-        # at the root; the rows were materialized (localCheckpoint)
-        # before the new generation committed, so reclaim them now
-        import shutil
-
-        for name in os.listdir(index_path):
-            if name.startswith("_batch_id="):
-                shutil.rmtree(os.path.join(index_path, name),
-                              ignore_errors=True)
-        return
-    _reclaim_old_gens(index_path, keep_from=cur)
+    # the superseded tree (generation `cur`, or the legacy root dirs
+    # when cur is None) is RETAINED until the next flip — in-flight
+    # readers keep intact files either way; older generations reclaim
+    _reclaim_old_gens(index_path, keep_from=cur or 0)
 
 
 def neardup_ingest_batch(
@@ -377,7 +422,7 @@ def neardup_ingest_batch(
     spark = batch_df.sparkSession
     data_path = resolve_neardup_index(index_path)
     index = (
-        spark.read.parquet(data_path)
+        read_neardup_index(spark, index_path)  # cold-start tolerant
         .filter(F.col("_batch_id") != batch_id)
         .drop("_batch_id")
     )

@@ -1159,8 +1159,14 @@ def test_against_index_fanout_guard_minhash_simhash(spark, monkeypatch, caplog):
     assert _pair_set(g_mh) == _pair_set(a_mh)
     assert _pair_set(g_sh, "hamming") == _pair_set(a_sh, "hamming")
     # opt-out (exact at any cost) reproduces the r6 incremental pairs
+    # AND refreshes the stats entry — a consumer reading FANOUT_STATS
+    # after an exact call must not see the previous guarded decision
     e_mh, _ = D.minhash_against_index(new, mh_idx, threshold=0.5,
                                       anchor_degree=0)
     assert _pair_set(e_mh) >= _pair_set(g_mh)
-    assert D.FANOUT_STATS["minhash_against_index"]["anchor_degree"] == \
-        D.AUTO_ANCHOR_DEGREE  # stats reflect the LAST guarded call
+    st = D.FANOUT_STATS["minhash_against_index"]
+    assert st["anchor_degree"] is None and st["mode"] == "exact"
+    # an explicit positive anchor_degree records as such
+    D.minhash_against_index(new, mh_idx, threshold=0.5, anchor_degree=3)
+    st = D.FANOUT_STATS["minhash_against_index"]
+    assert st["anchor_degree"] == 3 and st["mode"] == "explicit"

@@ -174,14 +174,21 @@ def test_streaming_index_compaction_preserves_ingest(spark, tmp_path):
     compact_neardup_index(spark, idx, target_files=1)
     after = read_neardup_index(spark, idx)
     assert {r["doc_id"] for r in after.select("doc_id").collect()} == rows_before
-    assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}
-    # count files in the CURRENT generation only — the previous
-    # generation is deliberately retained for in-flight readers (r7)
+    # the NEWEST batch partition is retained as-is (it is the only one
+    # that can be half-written after a crash — folding it would defeat
+    # the replay guard's own-partition exclusion, review r7); all
+    # older partitions fold into the seed
+    assert {r["_batch_id"] for r in
+            after.select("_batch_id").distinct().collect()} == {-1, 0}
+    # count files in the CURRENT generation's folded partition only —
+    # the previous generation is deliberately retained for in-flight
+    # readers (r7)
     from andl_spark.streaming.events import resolve_neardup_index
 
     cur = resolve_neardup_index(idx)
-    nfiles = len([f for root, _, fs in os.walk(cur) for f in fs
-                  if f.endswith(".parquet")])
+    nfiles = len([f for root, _, fs in os.walk(
+        os.path.join(cur, "_batch_id=-1")) for f in fs
+        if f.endswith(".parquet")])
     assert nfiles == 1
 
     neardup_ingest_batch(b2, 1, idx, pairs, kind="minhash", threshold=0.5)
@@ -262,7 +269,7 @@ def test_compaction_pointer_flip_never_breaks_readers(spark, tmp_path):
     after = read_neardup_index(spark, idx)
     assert after.count() == rows_before
     assert {r["_batch_id"] for r in
-            after.select("_batch_id").distinct().collect()} == {-1}
+            after.select("_batch_id").distinct().collect()} == {-1, 0}
 
     # ingest over the compacted index: pairs identical to the
     # fragmented-index run (the existing equality pin, now via pointer)

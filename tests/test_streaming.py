@@ -572,3 +572,103 @@ def test_neardup_ingest_stream_exact(spark, tmp_path):
     assert {(r["doc_id"], r["text"])
             for r in spark.read.parquet(kept_path).collect()} == before
     assert read_neardup_index(spark, index_path).count() == n_groups
+
+
+def test_neardup_ingest_cold_start_empty_seed(spark, tmp_path):
+    """Cold start (review r7): seeding with an EMPTY relation writes a
+    0-row partitioned parquet (no data files) — the seed schema rides
+    the generation pointer, so the first micro-batch's index read
+    reconstructs the empty frame instead of failing schema inference.
+    Drained output equals the one-shot op over the whole stream."""
+    import time
+
+    import random
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        neardup_ingest_stream, read_neardup_index, seed_neardup_index)
+
+    words = "zeta eta theta iota kappa lam mu nu xi omicron".split()
+    rows = []
+    boiler = " ".join(words[i % len(words)] for i in range(12))
+    for i in range(30):
+        rnd = random.Random(50 + i)
+        body = " ".join(rnd.choice(words) for _ in range(18))
+        rows.append((i, (boiler + " " + body) if i % 2 == 0 else body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 6
+
+    index_path = str(tmp_path / "cold_idx")
+    clean_path = str(tmp_path / "cold_clean")
+    docs_dir = str(tmp_path / "cold_incoming")
+    seed_neardup_index(D.empty_span_index(spark), index_path)
+    # tolerant read works on the data-file-less cold index
+    assert read_neardup_index(spark, index_path).count() == 0
+
+    for lo, hi in [(0, 15), (15, 30)]:
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .repartition(1).write.mode("append").parquet(docs_dir))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(docs_dir)
+    )
+    q = neardup_ingest_stream(
+        stream, index_path, clean_path, str(tmp_path / "ckpt"),
+        kind="spans", window=W)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(clean_path)
+           .select("id", "clean_text", "n_tokens", "n_removed").collect()}
+    want = {tuple(r) for r in
+            D.dedup_spans(docs, "doc_id", "text", window=W).collect()}
+    assert got == want
+
+    # the exact leg cold-starts the same way
+    fp_idx = str(tmp_path / "cold_fp_idx")
+    seed_neardup_index(D.empty_fp_index(spark), fp_idx)
+    assert read_neardup_index(spark, fp_idx).count() == 0
+
+
+def test_replay_after_compaction_stays_idempotent(spark, tmp_path):
+    """Review r7: compaction keeps the HIGHEST batch partition as-is —
+    folding it into the seed would defeat a replayed batch's
+    own-partition exclusion (its claims would look historical). A
+    batch replayed AFTER compaction must reproduce its outputs
+    byte-stably and leave the index row set unchanged."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        compact_neardup_index, neardup_ingest_batch, read_neardup_index,
+        seed_neardup_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"replay compact body {i % 6} tail{i % 2}")
+         for i in range(40)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 20)
+    b0 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    b1 = docs.filter(F.col("doc_id") >= 30)
+    idx, pairs = str(tmp_path / "rc_idx"), str(tmp_path / "rc_pairs")
+    seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    neardup_ingest_batch(b0, 0, idx, pairs, kind="minhash", threshold=0.5)
+    neardup_ingest_batch(b1, 1, idx, pairs, kind="minhash", threshold=0.5)
+
+    before_pairs = {tuple(r) for r in spark.read.parquet(pairs)
+                    .select("id_a", "id_b", "_batch_id").collect()}
+    before_rows = {r["doc_id"] for r in read_neardup_index(spark, idx)
+                   .select("doc_id").collect()}
+
+    compact_neardup_index(spark, idx, target_files=1)
+    after = read_neardup_index(spark, idx)
+    # batch 1 (the newest) kept its partition; batch 0 folded into -1
+    assert {r["_batch_id"] for r in
+            after.select("_batch_id").distinct().collect()} == {-1, 1}
+
+    # replay the newest batch with its own id (at-least-once contract)
+    neardup_ingest_batch(b1, 1, idx, pairs, kind="minhash", threshold=0.5)
+    assert {tuple(r) for r in spark.read.parquet(pairs)
+            .select("id_a", "id_b", "_batch_id").collect()} == before_pairs
+    again = read_neardup_index(spark, idx)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == before_rows
+    # index stays one-row-per-doc (no duplicate claims after replay)
+    assert again.count() == again.select("doc_id").distinct().count()
