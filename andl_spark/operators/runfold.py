@@ -147,6 +147,17 @@ def grouped_running(
     base = (
         df.repartitionByRange(nparts, *[F.col(g) for g in groups], *okeys)
         .withColumn("__pid", F.spark_partition_id())
+        # PIN the partitioning (r8): __pid is read by TWO subtrees (the
+        # per-slice partials and the offsets join-back). Range
+        # partitioning samples its boundaries per evaluation, so if
+        # Spark's exchange reuse fails to dedupe the two subtrees (AQE
+        # re-planning does this on complex DAGs — observed on the span
+        # monster-doc path), each subtree sees DIFFERENT boundaries and
+        # the offset join silently combines mismatched slices. The lazy
+        # localCheckpoint truncates both subtrees onto ONE materialized
+        # RDD: boundaries are sampled exactly once, __pid is consistent
+        # by construction, and nothing runs until the caller acts.
+        .localCheckpoint(eager=False)
     )
     wl = Window.partitionBy("__pid", *groups).orderBy(*okeys)
     frame = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)

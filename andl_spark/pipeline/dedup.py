@@ -229,17 +229,30 @@ AUTO_ANCHOR_DEGREE = 8
 #: "anchor_degree"} with anchor_degree=None meaning exact semantics
 #: were kept. Pipelines that must DETECT a non-exact pair set (rather
 #: than grepping logs) read this right after building the pair plan.
+#:
+#: SINGLE-PIPELINE convenience view only (ADVICE r7 / VERDICT r7
+#: item 4): the dict is process-global and keyed by op label, so two
+#: pipelines sharing a SparkSession (concurrent REST sessions,
+#: parallel notebook cells) overwrite each other's entries. Callers
+#: that must attribute a decision to THEIR OWN call pass
+#: ``stats_out={}`` to any pair op — the op writes the same record
+#: into that dict, in-band, immune to interleaving.
 FANOUT_STATS: dict[str, dict] = {}
 
 
-def _record_fanout(what: str, anchor_degree: int | None, mode: str) -> None:
+def _record_fanout(what: str, anchor_degree: int | None, mode: str,
+                   stats_out: dict | None = None) -> None:
     """Stats entry for a pair op whose guard did NOT run (explicit
     anchors or anchor_degree<=0 opt-out) — without this, a consumer
     reading FANOUT_STATS after an exact/explicit call would see the
-    PREVIOUS guarded call's stale decision (review r7)."""
-    FANOUT_STATS[what] = {"estimated_pairs": None, "weight": None,
-                          "bound": None, "anchor_degree": anchor_degree,
-                          "mode": mode}
+    PREVIOUS guarded call's stale decision (review r7). ``stats_out``
+    receives the same record in-band (per-call, no global aliasing)."""
+    rec = {"estimated_pairs": None, "weight": None,
+           "bound": None, "anchor_degree": anchor_degree,
+           "mode": mode}
+    FANOUT_STATS[what] = rec
+    if stats_out is not None:
+        stats_out[what] = rec
 
 
 def _fanout_guard(
@@ -247,6 +260,7 @@ def _fanout_guard(
     bound: int | None = None,
     probe: DataFrame | None = None,
     weight: float = 1.0,
+    stats_out: dict | None = None,
 ) -> int | None:
     """Estimate a bucket join's candidate fan-out — for a SELF-join,
     Σ n·(n−1)/2 over bucket-key counts; for an incremental
@@ -291,13 +305,16 @@ def _fanout_guard(
     weighted = None if est is None else float(est) * weight
     engaged = (AUTO_ANCHOR_DEGREE
                if weighted is not None and weighted > bound else None)
-    FANOUT_STATS[what] = {
+    rec = {
         "estimated_pairs": None if est is None else float(est),
         "weight": weight,
         "bound": float(bound),
         "anchor_degree": engaged,
         "mode": "guarded",
     }
+    FANOUT_STATS[what] = rec
+    if stats_out is not None:
+        stats_out[what] = rec
     if engaged is not None:
         import logging
 
@@ -318,6 +335,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     anchor_degree: int | None = None,
     auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) that share
     at least one band bucket. The join key is (band, band value string)
@@ -350,13 +368,15 @@ def lsh_candidate_pairs(
     exploded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
-        _record_fanout("minhash lsh_candidate_pairs", None, "exact")
+        _record_fanout("minhash lsh_candidate_pairs", None, "exact",
+                       stats_out)
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             exploded, ["band", "bucket"], "minhash lsh_candidate_pairs",
-            bound=auto_bound)
+            bound=auto_bound, stats_out=stats_out)
     else:
-        _record_fanout("minhash lsh_candidate_pairs", anchor_degree, "explicit")
+        _record_fanout("minhash lsh_candidate_pairs", anchor_degree,
+                       "explicit", stats_out)
     left = exploded
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -607,6 +627,7 @@ def simhash_near_pairs(
     signatures: DataFrame, id_col: str, max_hamming: int = 3,
     anchor_degree: int | None = None,
     auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by TRUE Hamming distance ≤ max_hamming.
 
@@ -639,15 +660,17 @@ def simhash_near_pairs(
     )
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
-        _record_fanout("simhash_near_pairs", None, "exact")
+        _record_fanout("simhash_near_pairs", None, "exact", stats_out)
     elif anchor_degree is None:
         # fan-out auto-guard (r6): estimate candidates before the pair
         # join; at sf10 dup density the exact chunk join OOMs a 128 GiB
         # heap — engage anchors (logged) instead of crashing
         anchor_degree = _fanout_guard(e, ["chunk", "val"],
-                                      "simhash_near_pairs", bound=auto_bound)
+                                      "simhash_near_pairs", bound=auto_bound,
+                                      stats_out=stats_out)
     else:
-        _record_fanout("simhash_near_pairs", anchor_degree, "explicit")
+        _record_fanout("simhash_near_pairs", anchor_degree, "explicit",
+                       stats_out)
     left = e
     if anchor_degree is not None:
         from pyspark.sql import Window
@@ -840,6 +863,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     anchor_degree: int | None = None,
     auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
@@ -895,7 +919,7 @@ def embedding_dup_pairs(
         )
         if anchor_degree is not None and anchor_degree <= 0:
             anchor_degree = None  # explicit "no anchors, no guard"
-            _record_fanout("embedding_dup_pairs", None, "exact")
+            _record_fanout("embedding_dup_pairs", None, "exact", stats_out)
         elif anchor_degree is None:
             # fan-out auto-guard (r7): the estimate is ONE extra map
             # pass over the corpus (the buckets derive from the
@@ -909,9 +933,10 @@ def embedding_dup_pairs(
             anchor_degree = _fanout_guard(
                 e.select("tbl", "bucket"), ["tbl", "bucket"],
                 "embedding_dup_pairs", bound=auto_bound,
-                weight=max(1.0, dim / 8))
+                weight=max(1.0, dim / 8), stats_out=stats_out)
         else:
-            _record_fanout("embedding_dup_pairs", anchor_degree, "explicit")
+            _record_fanout("embedding_dup_pairs", anchor_degree,
+                           "explicit", stats_out)
         left = e
         if anchor_degree is not None:
             from pyspark.sql import Window
@@ -1068,6 +1093,8 @@ def minhash_against_index(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental MinHash near-dup: sign ONLY the new batch and join
     its band buckets against a persisted signature index — the 100 TB
@@ -1108,14 +1135,15 @@ def minhash_against_index(
     all_b = _band_buckets(all_sigs, id_col, num_bands, rows_per_band)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
-        _record_fanout("minhash_against_index", None, "exact")
+        _record_fanout("minhash_against_index", None, "exact", stats_out)
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             all_b.select("band", "bucket"), ["band", "bucket"],
-            "minhash_against_index",
-            probe=new_b.select("band", "bucket"))
+            "minhash_against_index", bound=auto_bound,
+            probe=new_b.select("band", "bucket"), stats_out=stats_out)
     else:
-        _record_fanout("minhash_against_index", anchor_degree, "explicit")
+        _record_fanout("minhash_against_index", anchor_degree, "explicit",
+                       stats_out)
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1149,6 +1177,8 @@ def simhash_against_index(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
     anchor_degree: int | None = None,
+    auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental SimHash twin of :func:`minhash_against_index`:
     ``index_sigs`` is persisted :func:`simhash_signatures` output
@@ -1175,14 +1205,15 @@ def simhash_against_index(
     new_e, all_e = _explode(new_sigs), _explode(all_sigs)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
-        _record_fanout("simhash_against_index", None, "exact")
+        _record_fanout("simhash_against_index", None, "exact", stats_out)
     elif anchor_degree is None:
         anchor_degree = _fanout_guard(
             all_e.select("chunk", "val"), ["chunk", "val"],
-            "simhash_against_index",
-            probe=new_e.select("chunk", "val"))
+            "simhash_against_index", bound=auto_bound,
+            probe=new_e.select("chunk", "val"), stats_out=stats_out)
     else:
-        _record_fanout("simhash_against_index", anchor_degree, "explicit")
+        _record_fanout("simhash_against_index", anchor_degree, "explicit",
+                       stats_out)
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1261,6 +1292,7 @@ def embedding_dup_against_index(
     seed: int = 42,
     anchor_degree: int | None = None,
     auto_bound: int | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding near-dup, the third leg of the
     ``*_against_index`` family (exact: dedup_against_index, MinHash:
@@ -1314,7 +1346,8 @@ def embedding_dup_against_index(
     new_e = _explode(new_index)
     if anchor_degree is not None and anchor_degree <= 0:
         anchor_degree = None  # explicit "no anchors, no guard"
-        _record_fanout("embedding_dup_against_index", None, "exact")
+        _record_fanout("embedding_dup_against_index", None, "exact",
+                       stats_out)
     elif anchor_degree is None:
         # fan-out auto-guard (r7): probe×corpus estimate on the slim
         # (tbl,bucket) projections; the corpus side's bucket counts
@@ -1323,9 +1356,10 @@ def embedding_dup_against_index(
             corpus_side.select("tbl", "bucket"), ["tbl", "bucket"],
             "embedding_dup_against_index", bound=auto_bound,
             probe=new_e.select("tbl", "bucket"),
-            weight=max(1.0, (dim or 8) / 8))
+            weight=max(1.0, (dim or 8) / 8), stats_out=stats_out)
     else:
-        _record_fanout("embedding_dup_against_index", anchor_degree, "explicit")
+        _record_fanout("embedding_dup_against_index", anchor_degree,
+                       "explicit", stats_out)
     if anchor_degree is not None:
         from pyspark.sql import Window
 
@@ -1506,6 +1540,7 @@ def dedup_spans(
     window: int = 20,
     hash_fn: str | None = "xxhash64",
     eager: bool = True,
+    slice_tokens: int | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT repeated-span dedup: every later occurrence of
     any ``window``-token span that appears anywhere else in the corpus
@@ -1555,7 +1590,15 @@ def dedup_spans(
     and the span table (aggregate + join probe) — and materializes the
     result before unpersisting; without it the corpus re-tokenizes and
     the spans regenerate per consumer. Pass ``eager=False`` at true
-    corpus scale and let the sink's single consumption drive it."""
+    corpus scale and let the sink's single consumption drive it.
+
+    ``slice_tokens=T`` (r8) bounds the MONSTER-document case: the
+    coverage mask (step 4) is a per-doc window, i.e. one task per doc,
+    so a single 100M-token document would serialize its scan; docs
+    longer than T route through the runfold range-slice two-pass
+    combine instead (see _span_rebuild) — value-identical, pinned in
+    tests. None (default) keeps the plain plan; at corpus scale a few
+    million is a good T (a slice ≈ one task's comfortable row count)."""
     base = _span_base(docs, id_col, text_col)
     if eager:
         base = base.persist()
@@ -1568,7 +1611,7 @@ def dedup_spans(
         .filter((F.col("id") != F.col("f.id")) | (F.col("start") != F.col("f.start")))
         .select("id", "start")
     )
-    out = _span_rebuild(base, marked, window)
+    out = _span_rebuild(base, marked, window, slice_tokens)
     if eager:
         out = out.localCheckpoint(eager=True)
         spans.unpersist()
@@ -1621,14 +1664,30 @@ def _span_table(base: DataFrame, window: int, hash_fn: str | None) -> DataFrame:
     )
 
 
-def _span_rebuild(base: DataFrame, marked: DataFrame, window: int) -> DataFrame:
+def _span_rebuild(base: DataFrame, marked: DataFrame, window: int,
+                  slice_tokens: int | None = None) -> DataFrame:
     """Coverage mask + token reassembly (steps 4–5 of dedup_spans'
     plan): ±1 deltas at each removed span's ends, one running sum per
-    doc — a DOC-sized window partition, never a corpus-sized one."""
+    doc — a DOC-sized window partition, never a corpus-sized one.
+
+    ``slice_tokens`` (r8; VERDICT r7 item 5) bounds the MONSTER-doc
+    case: a window partition is one task, so a single 100M-token
+    document would funnel its whole coverage scan through one core.
+    With ``slice_tokens=T`` set, docs longer than T tokens route
+    through the runfold range-slice two-pass scheme
+    (operators/runfold.grouped_running — the same escape hatch grouped
+    running folds use for zipf-hot groups): the doc's event stream is
+    range-cut into ≈shuffle-partition-count contiguous slices, summed
+    locally, and offset-combined, so the hot doc spreads across as
+    many tasks as its row share demands. Docs at or under T keep the
+    plain single-window plan (no extra exchanges). Value-identical by
+    the runfold combine contract (pinned in tests). The final
+    reassembly row (one string per doc) is inherently doc-sized either
+    way — the bound is on the SCAN, which is where the work is."""
     from pyspark.sql import Window
 
     toks = base.select("id", "n", F.posexplode("arr").alias("p", "tok")).select(
-        "id", "p", "tok", F.lit(0).alias("d"), F.lit(1).alias("t")
+        "id", "n", "p", "tok", F.lit(0).alias("d"), F.lit(1).alias("t")
     )
     deltas = marked.select(
         "id", F.col("start").alias("p"), F.lit(1).alias("d"), F.lit(0).alias("t"),
@@ -1638,21 +1697,52 @@ def _span_rebuild(base: DataFrame, marked: DataFrame, window: int) -> DataFrame:
             "id", (F.col("start") + window).alias("p"), F.lit(-1).alias("d"),
             F.lit(0).alias("t"), F.lit(None).cast("string").alias("tok"),
         )
-    )
-    ev = toks.unionByName(deltas.select("id", "p", "tok", "d", "t"))
+    ).select("id", "p", "tok", "d", "t")
+
     # deltas (t=0) sort before the token (t=1) at the same position, so
     # a span's start covers its own token and its end (exclusive) frees
     # the token AT start+window
-    wcov = (
-        Window.partitionBy("id")
-        .orderBy("p", "t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept = (
-        ev.withColumn("cov", F.sum("d").over(wcov))
-        .filter((F.col("t") == 1) & (F.col("cov") <= 0))
-        .select("id", "p", "tok")
-    )
+    def _cov_window(ev):
+        wcov = (
+            Window.partitionBy("id")
+            .orderBy("p", "t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.withColumn("cov", F.sum("d").over(wcov))
+
+    if slice_tokens is None:
+        kept = (
+            _cov_window(toks.select("id", "p", "tok", "d", "t")
+                        .unionByName(deltas))
+            .filter((F.col("t") == 1) & (F.col("cov") <= 0))
+            .select("id", "p", "tok")
+        )
+    else:
+        from ..operators.runfold import grouped_running
+
+        # monster docs are FEW by construction — their id set broadcasts
+        # to tag the (id-only) delta rows; token rows carry n already
+        big_ids = base.filter(F.col("n") > slice_tokens).select("id")
+        ev_small = (
+            toks.filter(F.col("n") <= slice_tokens)
+            .select("id", "p", "tok", "d", "t")
+            .unionByName(deltas.join(F.broadcast(big_ids), "id", "left_anti"))
+        )
+        ev_big = (
+            toks.filter(F.col("n") > slice_tokens)
+            .select("id", "p", "tok", "d", "t")
+            .unionByName(deltas.join(F.broadcast(big_ids), "id", "left_semi"))
+        )
+        kept = (
+            _cov_window(ev_small)
+            .filter((F.col("t") == 1) & (F.col("cov") <= 0))
+            .select("id", "p", "tok")
+        ).unionByName(
+            grouped_running(ev_big, ["id"], ["p", "t"],
+                            {"cov": ("sum", "d")})
+            .filter((F.col("t") == 1) & (F.col("cov") <= 0))
+            .select("id", "p", "tok")
+        )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             " ",
@@ -1700,6 +1790,7 @@ def dedup_spans_against_index(
     window: int = 20,
     hash_fn: str | None = "xxhash64",
     eager: bool = True,
+    slice_tokens: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental repeated-span dedup — the fourth leg of the
     ``*_against_index`` family (exact: dedup_against_index, MinHash /
@@ -1738,7 +1829,8 @@ def dedup_spans_against_index(
     and both probes reuse one exchange; the corpus-sized index side
     carries a shuffle_hash hint (AQE must not broadcast a corpus). The
     per-doc coverage/reassembly stages are identical to dedup_spans
-    (doc-sized window partitions, skew-immune min-struct aggregate)."""
+    (doc-sized window partitions, skew-immune min-struct aggregate),
+    including the ``slice_tokens`` monster-doc escape hatch (r8)."""
     base = _span_base(new_docs, id_col, text_col)
     if eager:
         base = base.persist()
@@ -1757,7 +1849,7 @@ def dedup_spans_against_index(
         )
         .select("id", "start")
     )
-    out = _span_rebuild(base, marked, window)
+    out = _span_rebuild(base, marked, window, slice_tokens)
     new_index = (
         first.select("key", F.col("f.id").alias("id"),
                      F.col("f.start").alias("start"))

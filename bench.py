@@ -152,12 +152,58 @@ R5_ANCHOR: dict[str, float] = {
     "q_dedup_spans": 2.186,
 }
 
+# ---------------------------------------------------------------------
+# r7 anchors (VERDICT r7 item 7): the round-7 warm medians
+# (BENCH_WARM_r07.json, sf0.1) as the standing default — two rounds of
+# drift against the r5 set had widened the noise window a real
+# regression could hide in. r1/r5 stay above for history. The one
+# known-noisy row is q_top_ngrams (1.048 here vs 0.765 in r5): three
+# idle-machine r8 warm runs measured 0.705/0.913/0.703 — the r7 value
+# was container variance, triaged in BASELINE.md.
+# ---------------------------------------------------------------------
+R7_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 0.620,
+    "q3_shipping_priority": 1.198,
+    "q5_local_supplier": 1.581,
+    "q10_returned_items": 0.846,
+    "q14_promo_revenue": 0.444,
+    "q18_large_orders": 0.780,
+    "q_text_quality": 0.347,
+    "q_top_ngrams": 1.048,
+    "q_agg_fold": 0.271,
+    "q_topk_orders": 0.408,
+    "q_window_running": 0.222,
+    "q_rdivide": 0.657,
+    "q_image_agg": 0.302,
+    "q_while_closure": 3.580,
+    "q_nest_unnest": 0.390,
+    "q_clean_corpus": 0.645,
+    "q_train_split": 0.238,
+    "q_corpus_profile": 0.341,
+    "q_asof_join": 0.385,
+    "q_decontaminate": 1.348,
+    "q_pii_scrub": 0.418,
+    "q_dedup_exact": 0.197,
+    "q_token_count": 0.180,
+    "q_lang_id": 0.268,
+    "q_ngram_jaccard": 2.102,
+    "q_ann_bruteforce": 0.834,
+    "q_dedup_spans": 2.106,
+    "q_ann_ivf": 2.353,
+    "q_ann_lsh": 1.284,
+    "q_events_window": 0.346,
+    "q_events_session": 0.390,
+    "q_dedup_minhash_prod": 2.396,
+    "q_dedup_simhash_prod": 2.349,
+}
+
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
     "r5": (R5_ANCHOR, set()),
+    "r7": (R7_ANCHOR, set()),
 }
-DEFAULT_ANCHORS = "r5"
+DEFAULT_ANCHORS = "r7"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
 
 

@@ -17,16 +17,31 @@ def test_anchor_table_matches_baseline_md_total():
     assert round(sum(bench.R1_ANCHOR.values()) + 0.625, 3) == 41.785
 
 
+def test_r7_anchor_set_is_the_default_gate():
+    """VERDICT r7 item 7: the standing default anchors are the r7 warm
+    medians (BENCH_WARM_r07.json) — two rounds of drift against r5 had
+    widened the noise window; r1/r5 stay available for history."""
+    doc7 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r07.json"))
+    assert bench.DEFAULT_ANCHORS == "r7"
+    assert set(doc7["queries"]) == set(bench.R7_ANCHOR)
+    for k, v in bench.R7_ANCHOR.items():
+        assert abs(doc7["queries"][k] - v) < 1e-9, k
+    # self-comparison: ratio exactly 1.0 through the DEFAULT gate,
+    # everything anchored
+    res = bench.compare(doc7)
+    assert res["anchors"] == "r7" and res["gate_pass"]
+    assert abs(res["ratio"] - 1.0) < 1e-6
+    assert res["unanchored_total"] == 0
+
+
 def test_r5_anchor_set_covers_every_timed_query():
-    """VERDICT r5 item 8: the standing anchors are the r5 warm medians
-    and every timed headline query has an explicit anchor — no prose
-    name map, no unanchored ops. The default gate uses them; r1 stays
-    available for history."""
+    """VERDICT r5 item 8 (history): the r5 anchors are the r5 warm
+    medians and every timed headline query has an explicit anchor — no
+    prose name map, no unanchored ops."""
     doc = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r05.json"))
     # q_dedup_spans landed in r6; its anchor (the r6 warm median) joins
     # the standing set one round later (VERDICT r6 item 8)
     assert set(doc["queries"]) | {"q_dedup_spans"} == set(bench.R5_ANCHOR)
-    assert bench.DEFAULT_ANCHORS == "r5"
     # the anchors ARE those warm medians
     for k, v in bench.R5_ANCHOR.items():
         if k == "q_dedup_spans":
@@ -35,19 +50,20 @@ def test_r5_anchor_set_covers_every_timed_query():
     doc6 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r06.json"))
     assert abs(doc6["queries"]["q_dedup_spans"]
                - bench.R5_ANCHOR["q_dedup_spans"]) < 1e-9
-    # self-comparison: ratio exactly 1.0, everything anchored — and
-    # q_dedup_spans gets a RATIO, not a "new" row (VERDICT r6 item 8)
-    res = bench.compare(doc6)
+    # r6 self-comparison vs the r5 anchors: q_dedup_spans gets a
+    # RATIO, not a "new" row (VERDICT r6 item 8)
+    res = bench.compare(doc6, anchors="r5")
     assert res["anchors"] == "r5" and res["gate_pass"]
     assert res["unanchored_total"] == 0
     by_name = {r[0]: r for r in res["rows"]}
     assert by_name["q_dedup_spans"][4] != "new"
-    res = bench.compare(doc)
+    res = bench.compare(doc, anchors="r5")
     assert res["gate_pass"] and abs(res["ratio"] - 1.0) < 0.05
     assert res["unanchored_total"] == 0
     # the r5 single-shot suite lands at the documented ~1.2x warm-vs-
     # single-shot calibration, comfortably inside the 2x gate
-    res5 = bench.compare(bench.load_bench(os.path.join(REPO, "BENCH_r05.json")))
+    res5 = bench.compare(bench.load_bench(os.path.join(REPO, "BENCH_r05.json")),
+                         anchors="r5")
     assert res5["gate_pass"] and 1.0 < res5["ratio"] < 1.5
 
 
@@ -74,9 +90,9 @@ def test_compare_accepts_raw_bench_line(tmp_path):
     res = bench.compare(bench.load_bench(str(p)), anchors="r1")
     assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
     assert res["rows"][0][3] == round(9.9 / 1.442, 2)
-    res5 = bench.compare(bench.load_bench(str(p)))  # default r5 anchors
-    assert not res5["gate_pass"]
-    assert res5["rows"][0][3] == round(9.9 / bench.R5_ANCHOR["q1_pricing_summary"], 2)
+    res7 = bench.compare(bench.load_bench(str(p)))  # default r7 anchors
+    assert not res7["gate_pass"]
+    assert res7["rows"][0][3] == round(9.9 / bench.R7_ANCHOR["q1_pricing_summary"], 2)
 
 
 def test_oracle_check_compare_catches_null_divergence():

@@ -1170,3 +1170,118 @@ def test_against_index_fanout_guard_minhash_simhash(spark, monkeypatch, caplog):
     D.minhash_against_index(new, mh_idx, threshold=0.5, anchor_degree=3)
     st = D.FANOUT_STATS["minhash_against_index"]
     assert st["anchor_degree"] == 3 and st["mode"] == "explicit"
+
+
+def test_stats_out_in_band_no_cross_talk(spark, monkeypatch):
+    """VERDICT r7 item 4 / ADVICE r7: FANOUT_STATS is a process-global
+    convenience keyed by op label, so two interleaved pipelines alias
+    each other's entries. ``stats_out`` returns the SAME record
+    in-band, per call: two calls of the same op with opposite guard
+    outcomes, interleaved, each read their OWN decision from their own
+    dict — while the global shows only the last writer."""
+    n_copies = 16
+    rows = [(base * 1000 + k,
+             f"inband wizard text {('statmark' + str(base) + ' ') * 8}"
+             + ("end" if k == 0 else f"end{k % 3}"))
+            for base in range(2) for k in range(n_copies)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 1000 < 8)
+    new = docs.filter(F.col("doc_id") % 1000 >= 8)
+    idx = D.minhash_signatures(old, "doc_id", "text")
+
+    # pipeline A: tiny bound -> the guard trips (anchored)
+    monkeypatch.setattr(D, "AUTO_ANCHOR_BOUND", 10)
+    st_a: dict = {}
+    pairs_a, _ = D.minhash_against_index(new, idx, threshold=0.5,
+                                         stats_out=st_a)
+    # pipeline B interleaves: explicit opt-out (exact) — overwrites the
+    # GLOBAL entry for the same op label
+    st_b: dict = {}
+    pairs_b, _ = D.minhash_against_index(new, idx, threshold=0.5,
+                                         anchor_degree=0, stats_out=st_b)
+
+    rec_a = st_a["minhash_against_index"]
+    rec_b = st_b["minhash_against_index"]
+    assert rec_a["mode"] == "guarded"
+    assert rec_a["anchor_degree"] == D.AUTO_ANCHOR_DEGREE
+    assert rec_a["estimated_pairs"] > 10
+    assert rec_b["mode"] == "exact" and rec_b["anchor_degree"] is None
+    # the global view aliased to the LAST call — exactly the hazard the
+    # in-band records close (documented single-pipeline assumption)
+    assert D.FANOUT_STATS["minhash_against_index"] is rec_b
+    # raising auto_bound on the against-index legs (ADVICE r7: the
+    # family asymmetry) keeps exact semantics under the same corpus
+    st_c: dict = {}
+    pairs_c, _ = D.minhash_against_index(new, idx, threshold=0.5,
+                                         auto_bound=10**9, stats_out=st_c)
+    rec_c = st_c["minhash_against_index"]
+    assert rec_c["mode"] == "guarded" and rec_c["anchor_degree"] is None
+    assert _pair_set(pairs_c) == _pair_set(pairs_b)
+    st_d: dict = {}
+    D.simhash_against_index(new, D.simhash_signatures(old, "doc_id", "text"),
+                            auto_bound=10**9, stats_out=st_d)
+    rec_d = st_d["simhash_against_index"]
+    assert rec_d["mode"] == "guarded" and rec_d["anchor_degree"] is None
+    assert rec_d["bound"] == float(10**9)
+
+
+def test_dedup_spans_monster_doc_slice(spark):
+    """VERDICT r7 item 5: the coverage mask partitions per doc, so one
+    giant document is one task. With ``slice_tokens`` set, docs above
+    the threshold route through the runfold range-slice two-pass
+    combine — value-IDENTICAL to the single-window path on a synthetic
+    giant doc (pinned row-for-row) and plan-asserted sliced
+    (RangePartitioning + spark_partition_id present; absent from the
+    default plan)."""
+    from andl_spark.plans.explain import formatted_plan
+
+    phrase = " ".join(f"rep{j}" for j in range(12))
+    big_tokens = []
+    for i in range(6000):
+        big_tokens.append(f"tok{i % 977}_{(i * 7) % 41}")
+        if i % 500 == 250:
+            big_tokens.append(phrase)  # repeated spans inside the doc
+    rows = [(1, " ".join(big_tokens)),
+            (2, f"small doc with {phrase} inside"),
+            (3, f"another small doc also containing {phrase} here"),
+            (4, "tiny"), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 10
+    plain = D.dedup_spans(docs, window=W)
+    sliced = D.dedup_spans(docs, window=W, slice_tokens=1000)
+    prow = sorted(map(tuple, plain.collect()))
+    srow = sorted(map(tuple, sliced.collect()))
+    assert srow == prow
+    # the giant doc actually had repeats removed (non-trivial pin)
+    by_id = {r[0]: r for r in prow}
+    assert by_id[1][3] > 0
+    # plan shape: the sliced path range-partitions and carries the
+    # runfold pid marker; the big-doc window partitions on (pid, id),
+    # never on the bare doc id (localCheckpoint in dedup_spans would
+    # hide the lineage — build the un-checkpointed plan directly)
+    base = D._span_base(docs, "doc_id", "text")
+    spans = D._span_table(base, W, "xxhash64")
+    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
+    marked = (
+        spans.join(first, "key")
+        .filter((F.col("id") != F.col("f.id"))
+                | (F.col("start") != F.col("f.start")))
+        .select("id", "start")
+    )
+    # the runfold two-pass pins its range partitioning behind a lazy
+    # localCheckpoint (one boundary sample for both consumers — see
+    # runfold.py), so the exchange itself is lineage-truncated out of
+    # the downstream plan; the visible markers are the slice-local
+    # windows partitioned by (__pid, id) instead of the bare doc id
+    plan_sliced = formatted_plan(D._span_rebuild(base, marked, W, 1000))
+    assert "__pid" in plan_sliced          # slice-local combine present
+    assert "existingrdd" in plan_sliced.lower()  # the pinned partitioning
+    plan_plain = formatted_plan(D._span_rebuild(base, marked, W, None))
+    assert "__pid" not in plan_plain
+    # incremental twin honors the same knob (plumbed through)
+    idx = D.empty_span_index(spark)
+    c_plain, _ = D.dedup_spans_against_index(docs, idx, window=W)
+    c_sliced, _ = D.dedup_spans_against_index(docs, idx, window=W,
+                                              slice_tokens=1000)
+    assert (sorted(map(tuple, c_sliced.collect()))
+            == sorted(map(tuple, c_plain.collect())))
