@@ -1038,19 +1038,27 @@ def dedup_against_index(
     against the bucketed/partitioned index. ``keep_fp='col'`` exposes
     the already-computed fingerprint on the output under that name —
     callers that index the survivors (exact_dedup_against_index) reuse
-    it instead of hashing the text a second time."""
-    from pyspark.sql import Window
+    it instead of hashing the text a second time.
 
+    The within-batch winner is ``min_by(struct(row), id)`` per
+    fingerprint — a hash aggregate with MAP-SIDE partial combine, not
+    a per-fingerprint window (r8; VERDICT r7 item 9): a boilerplate
+    batch putting 30% of its rows under ONE fingerprint would funnel a
+    window partition into a single task, while the aggregate reduces
+    the hot group on every mapper first (the same skew lesson as
+    dedup_spans' first-occurrence aggregate). Measured at sf10 scale
+    in SCALE_r08.md."""
     fp = fingerprint(text_col)
     tagged = new_docs.withColumn("__fp", fp)
     fresh = tagged.join(
         index.select(F.col(index_fp_col).alias("__fp")), on="__fp", how="leftanti"
     )
-    w = Window.partitionBy("__fp")
+    data_cols = [c for c in tagged.columns if c != "__fp"]
     out = (
-        fresh.withColumn("__min", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__min"))
-        .drop("__min")
+        fresh.groupBy("__fp")
+        .agg(F.min_by(F.struct(*data_cols), F.col(id_col)).alias("__w"))
+        .select("__fp", "__w.*")
+        .select(*data_cols, "__fp")  # original column order, fp last
     )
     if keep_fp:
         return out.withColumnRenamed("__fp", keep_fp)

@@ -298,13 +298,18 @@ def topk_lsh(
         norm_expr(F.col(vec_col)).alias("qn"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket0"),
     )
+    # probe every bucket at Hamming distance ≤ multiprobe (r8: was
+    # silently capped at 2 — on NON-clustered corpora the recall dial
+    # is the probed-bucket fraction, so mp must actually extend;
+    # Σ C(bits,d) for d ≤ mp buckets out of 2^bits are probed)
+    import itertools
+
     probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
-    if multiprobe >= 2:
+    for dist in range(1, min(multiprobe, bits) + 1):
         probes += [
-            F.col("bucket0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(bits) for j in range(i + 1, bits)
+            F.col("bucket0").bitwiseXOR(
+                F.lit(sum(1 << b for b in combo)))
+            for combo in itertools.combinations(range(bits), dist)
         ]
     q = qb.select(
         "query_id", "qvec", "qn", F.explode(F.array(*probes)).alias("bucket")
@@ -375,6 +380,57 @@ def seed_centroids(
             _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
         rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
         _CENTROID_CACHE[key] = [[float(x) for x in r[1]] for r in rows]
+    return _CENTROID_CACHE[key]
+
+
+def trained_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    version: object = None,
+    train_cap: int = 262_144,
+    seed: int = 42,
+) -> list[list[float]]:
+    """TRAINED coarse quantizer with seed_centroids' caching /
+    determinism contract (r8; VERDICT r7 item 3): MLlib k-means
+    (distributed Lloyd, fixed seed) over the ``train_cap`` smallest-id
+    vectors — a deterministic bounded sample, never a full sort or a
+    partition-order-dependent ``limit``. Training rows are L2-NORMALIZED
+    first (spherical k-means) because assignment ranks by COSINE —
+    training the same metric the probe uses; centroids are returned in
+    canonical (lexicographic) order so the cell numbering is engine-
+    and run-stable.
+
+    Why it exists: the smallest-id seed quantizer is free and
+    oracle-reproducible, and on duplicate-clustered corpora its recall
+    is indistinguishable from trained (1.0 pinned through sf10/20M).
+    On a SMOOTH corpus (no dup clusters — the regime VERDICT r7 item 3
+    asked to measure) the seed cells are unbalanced enough to cost
+    recall at every probe fraction: measured at 50k mixture vectors,
+    trained crosses recall@5 = 0.95 at nprobe = 40%·nlist where seed
+    reaches 0.89 (SCALE_r08.md). Pass ``quantizer='trained'`` to
+    topk_ivf_det to engage it; the oracle-mirrored explicit-nlist path
+    keeps the seed rule."""
+    key = ("trained", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, nlist, train_cap, seed,
+           corpus.semanticHash(), version)
+    if key not in _CENTROID_CACHE:
+        while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:  # bounded FIFO
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        v = F.col(vec_col).cast("array<double>")
+        unit = F.transform(v, lambda x: x / norm_expr(v))
+        train = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(train_cap)
+            .where(norm_expr(v) > 0)
+            .select(array_to_vector(unit).alias("features"))
+        )
+        model = KMeans(k=nlist, seed=seed, maxIter=8).fit(train)
+        cents = [[float(x) for x in c] for c in model.clusterCenters()]
+        _CENTROID_CACHE[key] = sorted(cents)
     return _CENTROID_CACHE[key]
 
 
@@ -537,6 +593,7 @@ def topk_ivf_det(
     corpus_count: int | None = None,
     quantize: bool = False,
     use_np: bool | None = None,
+    quantizer: str = "seed",
 ) -> DataFrame:
     """IVF ANN over the deterministic seed quantizer: corpus rows are
     assigned to their rounded-cosine-nearest centroid (shuffle-free
@@ -557,7 +614,16 @@ def topk_ivf_det(
     shuffle/broadcast bytes; cosine is scale-invariant so ranking
     changes only by the quantization noise (recall pinned ≥0.9 in
     tests). Assignment still reads the raw vector (bucketing is an
-    index-build step; codes are the stored payload)."""
+    index-build step; codes are the stored payload).
+
+    ``quantizer='trained'`` (r8; VERDICT r7 item 3) resolves the
+    centroids with MLlib k-means (trained_centroids — same caching /
+    determinism contract as the seed rule) instead of the smallest-id
+    seed. On duplicate-clustered corpora the two are recall-identical;
+    on SMOOTH corpora trained holds a better recall/probe curve
+    (measured in SCALE_r08.md), and on such corpora the recall dial is
+    ``nprobe`` — the 8% auto fraction is calibrated for clustered
+    data, non-clustered corpora need ~40% for recall@5 ≈ 0.95."""
     auto_scale = nlist is None
     if nlist is None:
         if corpus_count is None:
@@ -575,12 +641,18 @@ def topk_ivf_det(
             # directly for explicit two-level control.
             return topk_ivf_hier(corpus, queries, id_col, vec_col, k,
                                  corpus_count=corpus_count,
-                                 quantize=quantize)
+                                 quantize=quantize, quantizer=quantizer)
         nlist = auto_nlist(corpus_count)
     if nprobe is None:
         nprobe = auto_nprobe(nlist)
     if centroids is None:
-        centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+        if quantizer == "trained":
+            centroids = trained_centroids(corpus, id_col, vec_col, nlist)
+        elif quantizer == "seed":
+            centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r} "
+                             "(seed | trained)")
     if use_np is None:
         use_np = auto_scale and len(centroids) >= NP_ASSIGN_MIN_NLIST
     if quantize:
@@ -789,6 +861,91 @@ def hier_seed_centroids(
     return _CENTROID_CACHE[key]
 
 
+def _np_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic driver-side k-means (seeded k-means++ init + Lloyd)
+    over a bounded sample — the trained twin of the hierarchy's
+    smallest-id seeding. Rows are expected L2-normalized (spherical
+    k-means: the assignment UDFs rank by cosine, so training matches
+    the probe metric). Cells smaller than k cycle; distances use the
+    ||x||² − 2x·c + ||c||² expansion (one matmul per iteration)."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    if n <= k:
+        reps = -(-k // n)
+        return np.tile(X, (reps, 1))[:k].copy()
+    idx = [int(rng.integers(n))]
+    d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        tot = d2.sum()
+        nxt = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[idx].copy()
+    xsq = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d = xsq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def hier_trained_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n1: int = 64,
+    n2: int = 64,
+    train_cap: int | None = None,
+    version: object = None,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """TRAINED two-level coarse quantizer (r8; VERDICT r7 item 3):
+    level 1 = spherical k-means over the deterministic bounded sample
+    (same smallest-id sampling, caching and clamping contract as
+    hier_seed_centroids), level 2 = per top cell, k-means over that
+    cell's sample members (cycled when small, degenerate for empty
+    cells). All training is driver-side numpy on the ≤262k-row sample
+    — a build-time artifact, never on the query path. Engage with
+    ``topk_ivf_hier(quantizer='trained')`` on smooth (non-clustered)
+    corpora, where the seed quantizer's recall/probe curve is measured
+    worse (SCALE_r08.md); on duplicate-clustered corpora both are
+    recall-1.0 and the seed rule stays the cheap default."""
+    if train_cap is None:
+        train_cap = min(262_144, max(4 * n1 * n2, 65_536))
+    key = ("hier-trained", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, n1, n2, train_cap, seed,
+           corpus.semanticHash(), version)
+    if key not in _CENTROID_CACHE:
+        while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:  # bounded FIFO
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+                .limit(train_cap).collect())
+        if not rows:
+            raise ValueError("hier_trained_centroids: empty corpus")
+        sample = np.asarray([r[1] for r in rows], dtype=np.float64)
+        nrm = np.sqrt((sample * sample).sum(axis=1))
+        sample = sample[nrm > 0] / nrm[nrm > 0, None]  # spherical
+        C1 = _np_lloyd(sample, n1, seed)
+        n1 = len(C1)
+        c1n = np.sqrt((C1 * C1).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(sample @ C1.T / c1n[None, :] + 1e-9, 4)
+        top = np.argmax(cos, axis=1)  # sample is unit-norm already
+        dim = sample.shape[1]
+        C2 = np.empty((n1, n2, dim), dtype=np.float64)
+        for t in range(n1):
+            members = sample[top == t]
+            if len(members) == 0:
+                C2[t] = C1[t]
+            else:
+                C2[t] = _np_lloyd(members, n2, seed + 1 + t)
+        _CENTROID_CACHE[key] = (C1.tolist(), C2.tolist())
+    return _CENTROID_CACHE[key]
+
+
 def hier_assign_np(C1: list[list[float]], C2: list[list[list[float]]]):
     """Corpus-side two-level assignment: ``list_id = top·n2 + sub``
     where top = rounded-cosine-nearest level-1 centroid and sub = the
@@ -878,6 +1035,7 @@ def topk_ivf_hier(
     corpus_count: int | None = None,
     cents: tuple | None = None,
     quantize: bool = False,
+    quantizer: str = "seed",
 ) -> DataFrame:
     """Two-level IVF ANN — the regime ABOVE the flat quantizer's 4096
     clamp (VERDICT r6 item 4): at √N > AUTO_NLIST_MAX cells, flat
