@@ -427,8 +427,14 @@ def trained_centroids(
             corpus.select(id_col, vec_col).orderBy(id_col).limit(train_cap)
             .where(norm_expr(v) > 0)
             .select(array_to_vector(unit).alias("features"))
-        )
-        model = KMeans(k=nlist, seed=seed, maxIter=8).fit(train)
+        ).persist()
+        # a corpus smaller than nlist clamps k to what exists (the seed
+        # rule's implicit clamp; KMeans raises on k > n) — downstream
+        # nprobe slicing caps at len(centroids) on both assign paths
+        n_train = train.count()
+        model = KMeans(k=min(nlist, max(1, n_train)), seed=seed,
+                       maxIter=8).fit(train)
+        train.unpersist()
         cents = [[float(x) for x in c] for c in model.clusterCenters()]
         _CENTROID_CACHE[key] = sorted(cents)
     return _CENTROID_CACHE[key]

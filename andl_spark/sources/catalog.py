@@ -142,7 +142,9 @@ class Catalog:
         immediately reclaims everything but the compacted version.
         All file movement is Spark writes + the fsio-routed manifest
         commit, so compaction works unchanged on HDFS/S3 catalogs
-        (VERDICT r7 items 1/8)."""
+        (VERDICT r7 items 1/8). Single WRITER per relvar assumed for
+        put/compact/gc (concurrent readers are always safe — versions
+        are immutable and the manifest commit is atomic)."""
         entry = self._names.get(name)
         if entry is None or entry.get("layout") != "versioned":
             raise ValueError(f"relvar {name!r} is not a versioned relvar")

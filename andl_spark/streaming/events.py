@@ -403,7 +403,13 @@ def compact_neardup_index(spark, index_path: str,
 
     ``_pre_flip_hook`` is a test seam: invoked after the compacted
     generation is written and BEFORE the late-partition re-list + flip,
-    where the r8 regression pin injects a concurrent ingest."""
+    where the r8 regression pin injects a concurrent ingest.
+
+    Single COMPACTOR assumed (ingest may run concurrently — that is
+    the race closed above): two compactions racing would both write
+    gen N+1 and the second flip would win with the first's rows lost.
+    Run compaction from one maintenance job, the same discipline as
+    Catalog.compact."""
     from .. import fsio
 
     cur = _read_gen(index_path)
@@ -496,6 +502,26 @@ def neardup_ingest_batch(
             .partitionBy("_batch_id")
             .parquet(path)
         )
+    # Compaction may have flipped the generation while this batch was
+    # computing (it resolved ``data_path`` at entry): compaction's own
+    # pre-flip carry-over covers writes that LANDED before its re-list,
+    # but a write landing after it would be absent from the new
+    # generation. Re-resolve and re-commit the (checkpointed) index
+    # rows into the current generation until stable — dynamic overwrite
+    # of this batch's own partition, so overlapping with the carry-over
+    # is idempotent; a crash before this point is covered by
+    # foreachBatch replay (the checkpoint only commits after return).
+    cur = resolve_neardup_index(index_path)
+    while cur != data_path:
+        data_path = cur
+        (
+            new_rows.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(data_path)
+        )
+        cur = resolve_neardup_index(index_path)
 
 
 def neardup_ingest_stream(

@@ -762,3 +762,51 @@ def test_read_neardup_index_damaged_tree_reraises(spark, tmp_path):
     shutil.rmtree(resolve_neardup_index(idx))  # the damage
     with pytest.raises(AnalysisException):
         read_neardup_index(spark, idx)
+
+
+def test_ingest_recommits_when_compaction_flips_mid_batch(spark, tmp_path,
+                                                          monkeypatch):
+    """The OTHER side of the compaction/ingest race: an ingest that
+    resolved generation N at entry, computed while compaction wrote and
+    FLIPPED to N+1, and only then wrote its partition — its write lands
+    in the superseded generation after compaction's carry-over re-list
+    already ran. neardup_ingest_batch re-resolves after writing and
+    re-commits its (checkpointed) index rows into the current
+    generation until stable; simulated here by flipping compaction in
+    the middle of the batch's compute via a patched op."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+
+    docs = spark.createDataFrame(
+        [(i, f"midflip body {i % 5} tail{i % 2}") for i in range(30)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 15)
+    b0 = docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 22))
+    b1 = docs.filter(F.col("doc_id") >= 22)
+    idx, pairs = str(tmp_path / "mf_idx"), str(tmp_path / "mf_pairs")
+    E.seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    E.neardup_ingest_batch(b0, 0, idx, pairs, kind="minhash", threshold=0.5)
+    gen_before = E._read_gen(idx)
+
+    real = D.minhash_against_index
+
+    def compact_mid_compute(*a, **kw):
+        out = real(*a, **kw)          # results checkpointed here
+        E.compact_neardup_index(spark, idx, target_files=1)  # flips gen
+        return out
+
+    monkeypatch.setattr(D, "minhash_against_index", compact_mid_compute)
+    E.neardup_ingest_batch(b1, 1, idx, pairs, kind="minhash", threshold=0.5)
+    monkeypatch.undo()
+
+    assert E._read_gen(idx) == gen_before + 1  # compaction flipped mid-batch
+    after = E.read_neardup_index(spark, idx)
+    # the mid-flip batch's rows are IN the current generation
+    assert after.count() == 30
+    assert ({r["doc_id"] for r in after.select("doc_id").collect()}
+            == {r["doc_id"] for r in docs.select("doc_id").collect()})
+    # and a post-flip replay stays idempotent
+    E.neardup_ingest_batch(b1, 1, idx, pairs, kind="minhash", threshold=0.5)
+    again = E.read_neardup_index(spark, idx)
+    assert again.count() == 30
+    assert again.count() == again.select("doc_id").distinct().count()
