@@ -55,32 +55,51 @@ def join(base: str, *parts: str) -> str:
 # ---------------------------------------------------------------------
 # JVM Hadoop FileSystem backend (scheme'd paths)
 # ---------------------------------------------------------------------
-def _jvm_fs(path: str):
-    """(spark, jvm, fs, jpath) for a URI path via the active
-    SparkSession — the maintenance plane always runs where a session
-    exists (the ops it serves take or produce DataFrames).
 
-    The FileSystem is an UNCACHED instance (``FileSystem.newInstance``)
-    with checksums off: pointer/manifest atomicity comes from the
-    rename, and the local ChecksumFileSystem's ``.crc`` sidecars would
-    go stale the moment a bare-path (POSIX) writer touches the same
-    file — mutating the process-wide cached instance instead would
-    silently change Spark's own file:// behavior. Callers must
-    ``fs.close()`` when done (every public op below does)."""
+#: fsio's PRIVATE FileSystem instances, one per (scheme, authority) —
+#: created via FileSystem.newInstance so Hadoop's process-wide cache is
+#: untouched (mutating the shared cached instance's checksum flags
+#: would silently change Spark's own file:// behavior), then kept here
+#: because instantiation is expensive on object stores (an s3a
+#: FileSystem builds an AWS client + thread pools). Never closed —
+#: they live for the process, exactly like Hadoop's own cache.
+_FS_CACHE: dict[tuple, object] = {}
+
+
+def _session():
+    """The session whose JVM serves URI paths: the thread's active
+    session first, else the process-wide instantiated one — Catalog /
+    index maintenance may run on worker threads (REST sessions) where
+    the thread-local is unset (review r8)."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    spark = (SparkSession.getActiveSession()
+             or getattr(SparkSession, "_instantiatedSession", None))
     if spark is None:
         raise RuntimeError(
-            f"fsio: no active SparkSession to resolve {path!r} — "
-            "URI-scheme maintenance paths need the JVM Hadoop FileSystem")
+            "fsio: no SparkSession in this process — URI-scheme "
+            "maintenance paths need the JVM Hadoop FileSystem")
+    return spark
+
+
+def _jvm_fs(path: str):
+    """(spark, jvm, fs, jpath) for a URI path. The FileSystem has
+    checksums OFF: pointer/manifest atomicity comes from the rename,
+    and the local ChecksumFileSystem's ``.crc`` sidecars would go
+    stale the moment a bare-path (POSIX) writer touches the same
+    file."""
+    spark = _session()
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
-        jpath.toUri(), conf)
-    fs.setVerifyChecksum(False)
-    fs.setWriteChecksum(False)
+    uri = jpath.toUri()
+    key = (uri.getScheme(), uri.getAuthority())
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+            uri, spark._jsc.hadoopConfiguration())
+        fs.setVerifyChecksum(False)
+        fs.setWriteChecksum(False)
+        _FS_CACHE[key] = fs
     return spark, jvm, fs, jpath
 
 
@@ -88,10 +107,7 @@ def exists(path: str) -> bool:
     if not _is_uri(path):
         return os.path.exists(path)
     _, _, fs, jp = _jvm_fs(path)
-    try:
-        return fs.exists(jp)
-    finally:
-        fs.close()
+    return fs.exists(jp)
 
 
 def read_text(path: str) -> str:
@@ -100,18 +116,14 @@ def read_text(path: str) -> str:
         with open(path) as f:
             return f.read()
     _, jvm, fs, jp = _jvm_fs(path)
+    stream = fs.open(jp)
     try:
-        stream = fs.open(jp)
-        try:
-            baos = jvm.java.io.ByteArrayOutputStream()
-            # copyBytes(in, out, bufSize, close=False) — closed explicitly
-            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096,
-                                                       False)
-            return bytes(baos.toByteArray()).decode("utf-8")
-        finally:
-            stream.close()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        # copyBytes(in, out, bufSize, close=False) — closed explicitly
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
     finally:
-        fs.close()
+        stream.close()
 
 
 def write_text_atomic(path: str, text: str) -> None:
@@ -126,21 +138,18 @@ def write_text_atomic(path: str, text: str) -> None:
         os.replace(tmp, path)
         return
     spark, jvm, fs, jp = _jvm_fs(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
     try:
-        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            jp.toUri(), spark._jsc.hadoopConfiguration())
-        rename_opt = spark.sparkContext._gateway.new_array(
-            jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        rename_opt[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, jp, rename_opt)
+        out.write(bytearray(text.encode("utf-8")))
     finally:
-        fs.close()
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jp.toUri(), spark._jsc.hadoopConfiguration())
+    rename_opt = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    rename_opt[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, jp, rename_opt)
 
 
 def listdir(path: str) -> list[str]:
@@ -149,12 +158,9 @@ def listdir(path: str) -> list[str]:
     if not _is_uri(path):
         return os.listdir(path) if os.path.isdir(path) else []
     _, _, fs, jp = _jvm_fs(path)
-    try:
-        if not fs.exists(jp):
-            return []
-        return [st.getPath().getName() for st in fs.listStatus(jp)]
-    finally:
-        fs.close()
+    if not fs.exists(jp):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
 
 
 def delete(path: str) -> None:
@@ -170,10 +176,7 @@ def delete(path: str) -> None:
                 pass
         return
     _, _, fs, jp = _jvm_fs(path)
-    try:
-        fs.delete(jp, True)
-    finally:
-        fs.close()
+    fs.delete(jp, True)
 
 
 def mkdirs(path: str) -> None:
@@ -181,7 +184,4 @@ def mkdirs(path: str) -> None:
         os.makedirs(path, exist_ok=True)
         return
     _, _, fs, jp = _jvm_fs(path)
-    try:
-        fs.mkdirs(jp)
-    finally:
-        fs.close()
+    fs.mkdirs(jp)

@@ -157,6 +157,17 @@ def grouped_running(
         # localCheckpoint truncates both subtrees onto ONE materialized
         # RDD: boundaries are sampled exactly once, __pid is consistent
         # by construction, and nothing runs until the caller acts.
+        #
+        # Trade-off (reviewed r8): localCheckpoint blocks are pinned to
+        # executors, so an executor loss mid-query fails the query
+        # instead of recomputing (Spark's documented caveat; rerun the
+        # query). persist() would recompute but its CacheManager entry
+        # leaks per call (no unpersist point — the r2 lesson), and a
+        # reliable checkpoint writes the whole shuffle to the
+        # checkpoint dir. Runfold consumers materialize promptly, so
+        # the pinned window is one query; a deployment needing executor
+        # -loss tolerance mid-runfold should set a checkpoint dir and
+        # swap this for df.checkpoint(eager=False).
         .localCheckpoint(eager=False)
     )
     wl = Window.partitionBy("__pid", *groups).orderBy(*okeys)

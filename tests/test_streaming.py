@@ -759,9 +759,27 @@ def test_read_neardup_index_damaged_tree_reraises(spark, tmp_path):
         [(i, f"damaged body {i}") for i in range(8)], "doc_id long, text string")
     seed_neardup_index(D.minhash_signatures(docs, "doc_id", "text"), idx)
     assert read_neardup_index(spark, idx).count() == 8
-    shutil.rmtree(resolve_neardup_index(idx))  # the damage
+    # damage mode 1: the generation dir vanished (dangling pointer)
+    shutil.rmtree(resolve_neardup_index(idx))
     with pytest.raises(AnalysisException):
         read_neardup_index(spark, idx)
+
+    # damage mode 2 (review r8): the _batch_id= partition dirs exist
+    # but their data files are gone — Spark cannot infer a schema, and
+    # because partition dirs COUNT as data entries the fallback must
+    # re-raise, not serve an empty index (the '_'-prefix filter
+    # originally made this path read as a cold start)
+    import os
+
+    idx2 = str(tmp_path / "dmg_idx2")
+    seed_neardup_index(D.minhash_signatures(docs, "doc_id", "text"), idx2)
+    gen = resolve_neardup_index(idx2)
+    for root, _dirs, files in os.walk(gen):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                os.remove(os.path.join(root, f))
+    with pytest.raises(AnalysisException):
+        read_neardup_index(spark, idx2)
 
 
 def test_ingest_recommits_when_compaction_flips_mid_batch(spark, tmp_path,
