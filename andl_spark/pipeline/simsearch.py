@@ -345,9 +345,11 @@ _CENTROID_CACHE_MAX = 64
 
 
 def clear_centroid_cache() -> None:
-    """Drop all cached quantizers (use after rewriting corpus files in
-    place within one application — see _CENTROID_CACHE note)."""
+    """Drop all cached quantizers AND probe calibrations (use after
+    rewriting corpus files in place within one application — see
+    _CENTROID_CACHE note)."""
     _CENTROID_CACHE.clear()
+    _CALIB_CACHE.clear()
 
 
 def seed_centroids(
@@ -605,6 +607,7 @@ def topk_ivf_det(
     quantize: bool = False,
     use_np: bool | None = None,
     quantizer: str = "seed",
+    calibrate: float | None = None,
 ) -> DataFrame:
     """IVF ANN over the deterministic seed quantizer: corpus rows are
     assigned to their rounded-cosine-nearest centroid (shuffle-free
@@ -634,7 +637,20 @@ def topk_ivf_det(
     on SMOOTH corpora trained holds a better recall/probe curve
     (measured in SCALE_r08.md), and on such corpora the recall dial is
     ``nprobe`` — the 8% auto fraction is calibrated for clustered
-    data, non-clustered corpora need ~40% for recall@5 ≈ 0.95."""
+    data, non-clustered corpora need ~40% for recall@5 ≈ 0.95.
+
+    ``calibrate=<target recall>`` (r8) replaces the guessing entirely:
+    nprobe is resolved by calibrate_probe — the smallest depth whose
+    measured recall@k on a deterministic holdout reaches the target
+    (one bounded index-build-time pass, cached per corpus identity).
+    Requires ``nprobe=None`` — an explicit nprobe plus a calibration
+    target is two dials for the same knob, an error not a precedence
+    rule."""
+    if calibrate is not None and nprobe is not None:
+        raise ValueError(
+            "topk_ivf_det: pass nprobe=None with calibrate=<target> — "
+            "an explicit nprobe and a calibration target are two dials "
+            "for the same knob")
     auto_scale = nlist is None
     if nlist is None:
         if corpus_count is None:
@@ -652,9 +668,10 @@ def topk_ivf_det(
             # directly for explicit two-level control.
             return topk_ivf_hier(corpus, queries, id_col, vec_col, k,
                                  corpus_count=corpus_count,
-                                 quantize=quantize, quantizer=quantizer)
+                                 quantize=quantize, quantizer=quantizer,
+                                 calibrate=calibrate)
         nlist = auto_nlist(corpus_count)
-    if nprobe is None:
+    if nprobe is None and calibrate is None:
         nprobe = auto_nprobe(nlist)
     if centroids is None:
         if quantizer == "trained":
@@ -664,6 +681,11 @@ def topk_ivf_det(
         else:
             raise ValueError(f"unknown quantizer {quantizer!r} "
                              "(seed | trained)")
+    if calibrate is not None:
+        nprobe = calibrate_probe(
+            corpus, id_col, vec_col, k=k, target_recall=calibrate,
+            nlist=len(centroids), quantizer=quantizer,
+            centroids=centroids)["nprobe"]
     if use_np is None:
         use_np = auto_scale and len(centroids) >= NP_ASSIGN_MIN_NLIST
     if quantize:
@@ -1047,6 +1069,7 @@ def topk_ivf_hier(
     cents: tuple | None = None,
     quantize: bool = False,
     quantizer: str = "seed",
+    calibrate: float | None = None,
 ) -> DataFrame:
     """Two-level IVF ANN — the regime ABOVE the flat quantizer's 4096
     clamp (VERDICT r6 item 4): at √N > AUTO_NLIST_MAX cells, flat
@@ -1064,13 +1087,20 @@ def topk_ivf_hier(
     resolves the two-level centroids with spherical k-means
     (hier_trained_centroids) — the smooth-corpus option; the recall
     dial on such corpora is ``p1`` (probed top-cell fraction), see
-    trained_centroids / SCALE_r08.md."""
+    trained_centroids / SCALE_r08.md — or pass ``calibrate=<target
+    recall>`` (r8) and p1 is resolved by calibrate_probe_hier, the
+    smallest depth whose measured holdout recall@k reaches the target
+    (requires ``p1=None``)."""
+    if calibrate is not None and p1 is not None:
+        raise ValueError(
+            "topk_ivf_hier: pass p1=None with calibrate=<target> — an "
+            "explicit p1 and a calibration target are two dials for "
+            "the same knob")
     if corpus_count is None and (n1 is None or n2 is None):
         corpus_count = corpus.count()
     a1, a2, ap = hier_params(corpus_count or 0)
     n1 = n1 or a1
     n2 = n2 or a2
-    p1 = p1 or max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
     if cents is None:
         if quantizer == "trained":
             cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2)
@@ -1080,6 +1110,13 @@ def topk_ivf_hier(
             raise ValueError(f"unknown quantizer {quantizer!r} "
                              "(seed | trained)")
     C1, C2 = cents
+    if calibrate is not None:
+        p1 = calibrate_probe_hier(
+            corpus, id_col, vec_col, k=k, target_recall=calibrate,
+            n1=len(C1), n2=(len(C2[0]) if C2 else 0),
+            quantizer=quantizer, cents=cents)["p1"]
+    else:
+        p1 = p1 or max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
     if quantize:
         qz = quantize_embeddings(
             corpus.select(F.col(id_col).alias("cand_id"),
@@ -1114,6 +1151,280 @@ def topk_ivf_hier(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------
+# Probe auto-calibration (r8 — the SCALE_r08 §1 closure made a feature)
+#
+# AUTO_PROBE_FRAC = 8% is a CLUSTERED-corpus calibration; on smooth
+# corpora the probed fraction IS the recall dial and the 0.9-crossing
+# sits at ~40% (flat/trained) / ~60% (hier/trained). Rather than ship
+# a per-corpus magic number, calibrate_probe MEASURES the crossing at
+# index-build time: one exhaustive distributed pass for a small
+# deterministic holdout yields the exact recall@k of EVERY probe depth
+# at once, and a driver-side binary search returns the smallest depth
+# reaching the target. Wired as ``calibrate=<target>`` on topk_ivf_det
+# and topk_ivf_hier.
+# ---------------------------------------------------------------------
+
+_CALIB_CACHE: dict[tuple, dict] = {}
+_CALIB_CACHE_MAX = 64
+
+#: Fractions the calibration report's curve is sampled at (the
+#: SCALE_r08 §1 sweep grid). The returned probe depth itself comes
+#: from an exact integer binary search, not this grid.
+CALIB_CURVE_FRACS = (0.08, 0.16, 0.25, 0.40, 0.60, 1.0)
+
+
+def _calib_cache_put(key: tuple, rec: dict) -> dict:
+    while len(_CALIB_CACHE) >= _CALIB_CACHE_MAX:  # bounded FIFO
+        _CALIB_CACHE.pop(next(iter(_CALIB_CACHE)))
+    _CALIB_CACHE[key] = rec
+    return rec
+
+
+def _calib_pass(c: DataFrame, q: DataFrame, k: int) -> list:
+    """The single distributed calibration pass: broadcast the exploded
+    holdout probe grid against the assigned corpus, score cosines, and
+    keep the per-(query, probe_pos) top-k. Only scalar columns cross
+    the shuffle into the window (ids + cosine — vectors are projected
+    away first), and the collect is bounded by holdout × cells × k
+    rows. NaN cosines (zero-norm rows) are dropped — calibration picks
+    a knob; it must not let dirty rows occupy top-k slots."""
+    scored = (
+        F.broadcast(q).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "probe_pos", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
+    )
+    w = Window.partitionBy("query_id", "probe_pos").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "probe_pos", "cand_id", "cosine")
+        .collect()
+    )
+
+
+def _calib_solve(rows: list, k: int, target_recall: float,
+                 max_p: int) -> tuple[int, float, dict]:
+    """Exact driver-side solver over the calibration rows
+    (query_id, probe_pos, cand_id, cosine): at probe depth p the served
+    top-k is the first k candidates (cosine desc, cand_id asc) whose
+    cell rank ≤ p, so recall(p) is exact, monotone nondecreasing, and
+    recall(max_p) == 1.0 by construction (the truth set is the same
+    exhaustive pass's global top-k — every truth member survives its
+    own cell's top-k cut). Binary-searches the smallest depth reaching
+    ``target_recall`` and samples the report curve at
+    CALIB_CURVE_FRACS."""
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r[0], []).append((r[3], r[2], r[1]))
+    solved = []
+    for cands in per_q.values():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        truth = set(c for _, c, _ in cands[:k])
+        solved.append((cands, truth))
+
+    def recall(p: int) -> float:
+        tot = 0.0
+        for cands, truth in solved:
+            got = seen = 0
+            for _, cand, pos in cands:
+                if pos <= p:
+                    seen += 1
+                    if cand in truth:
+                        got += 1
+                    if seen >= k:
+                        break
+            tot += got / len(truth)
+        return tot / len(solved)
+
+    lo, hi = 1, max_p
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if recall(mid) >= target_recall:
+            hi = mid
+        else:
+            lo = mid + 1
+    curve = {f: round(recall(max(1, min(max_p, math.ceil(f * max_p)))), 4)
+             for f in CALIB_CURVE_FRACS}
+    return lo, round(recall(lo), 4), curve
+
+
+def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_holdout: int) -> DataFrame:
+    """Deterministic holdout query set: the ``n_holdout`` smallest-id
+    nonzero-norm vectors (the same determinism contract as
+    seed_centroids — no sampling seed to disagree about across runs
+    or engines)."""
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                norm_expr(F.col(vec_col)).alias("qn"))
+        .where(F.col("qn") > 0)
+        .orderBy("query_id").limit(n_holdout)
+    )
+
+
+def calibrate_probe(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_holdout: int = 32,
+    nlist: int | None = None,
+    corpus_count: int | None = None,
+    quantizer: str = "seed",
+    centroids: list[list[float]] | None = None,
+    version: object = None,
+) -> dict:
+    """Measure, don't guess, the flat-IVF probe depth: returns a record
+    whose ``nprobe`` is the SMALLEST depth whose recall@k on a
+    deterministic holdout reaches ``target_recall``, plus the measured
+    curve. Wired into topk_ivf_det as ``calibrate=<target>``.
+
+    Method — ONE distributed pass, exact for every depth at once: the
+    holdout probes ALL cells in full preference order (probe_pos
+    tagged); per-(query, cell) top-k survivors are collected
+    (≤ n_holdout·nlist·k tiny scalar rows) and the served top-k at ANY
+    depth p is the first k survivors with cell rank ≤ p (_calib_solve).
+
+    Scale posture: cluster-side cost is one corpus scan scoring
+    ``n_holdout`` cosines per row — the same O(h·N) class as
+    topk_bruteforce over h queries, an index-BUILD cost amortized over
+    every query the index serves and cached per corpus identity like
+    the quantizers. Assignment follows the serving path's auto rule
+    (numpy matmul at nlist ≥ NP_ASSIGN_MIN_NLIST, literal expression
+    below — the two agree to the 4-decimal rounding)."""
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if nlist is None:
+        if corpus_count is None:
+            corpus_count = corpus.count()
+        nlist = auto_nlist(corpus_count)
+    cents_key = (None if centroids is None
+                 else hash(tuple(tuple(c) for c in centroids)))
+    key = ("flat", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, k, target_recall, n_holdout, nlist,
+           quantizer, cents_key, corpus.semanticHash(), version)
+    if key in _CALIB_CACHE:
+        return _CALIB_CACHE[key]
+    if centroids is None:
+        if quantizer == "trained":
+            centroids = trained_centroids(corpus, id_col, vec_col, nlist,
+                                          version=version)
+        elif quantizer == "seed":
+            centroids = seed_centroids(corpus, id_col, vec_col, nlist,
+                                       version=version)
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
+    n_cells = len(centroids)
+    use_np = n_cells >= NP_ASSIGN_MIN_NLIST
+    if use_np:
+        assign1 = F.element_at(nearest_lists_np(centroids, 1)(F.col(vec_col)), 1)
+    else:
+        assign1 = F.element_at(
+            nearest_lists_cosine(F.col(vec_col), centroids, 1), 1)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"), assign1.alias("list_id"))
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    if use_np:
+        order = nearest_lists_np(centroids, n_cells)(F.col("qvec"))
+    else:
+        order = nearest_lists_cosine(F.col("qvec"), centroids, n_cells,
+                                     vec_norm=F.col("qn"))
+    q = h.select("query_id", "qvec", "qn",
+                 F.posexplode(order).alias("pos0", "list_id")
+                 ).withColumn("probe_pos", F.col("pos0") + 1)
+    rows = _calib_pass(c, q, k)
+    if not rows:
+        raise ValueError("calibrate_probe: empty calibration pass — the "
+                         "corpus has no nonzero-norm vectors to hold out")
+    nprobe, achieved, curve = _calib_solve(rows, k, target_recall, n_cells)
+    rec = {"kind": "flat", "nlist": n_cells, "nprobe": nprobe,
+           "frac": round(nprobe / n_cells, 4), "recall": achieved,
+           "target": target_recall, "curve": curve,
+           "n_holdout": len({r[0] for r in rows}), "k": k,
+           "quantizer": quantizer}
+    return _calib_cache_put(key, rec)
+
+
+def calibrate_probe_hier(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_holdout: int = 32,
+    n1: int | None = None,
+    n2: int | None = None,
+    corpus_count: int | None = None,
+    quantizer: str = "seed",
+    cents: tuple | None = None,
+    version: object = None,
+) -> dict:
+    """calibrate_probe for the two-level quantizer: the dial is ``p1``
+    (how many TOP cells a query probes — every sub-cell of a probed top
+    cell is scanned, so eligible sets grow in whole l1 blocks). Same
+    one-pass method with probe_pos = the candidate's l1 rank in the
+    query's preference order; the collect shrinks to
+    n_holdout·n1·k rows because top-k WITHIN an l1 block suffices.
+    Wired into topk_ivf_hier as ``calibrate=<target>``."""
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if corpus_count is None and (n1 is None or n2 is None):
+        corpus_count = corpus.count()
+    a1, a2, _ = hier_params(corpus_count or 0)
+    n1 = n1 or a1
+    n2 = n2 or a2
+    cents_key = None
+    if cents is not None:
+        cents_key = hash((tuple(tuple(c) for c in cents[0]),
+                          tuple(tuple(tuple(s) for s in sub)
+                                for sub in cents[1])))
+    key = ("hier", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, k, target_recall, n_holdout, n1, n2,
+           quantizer, cents_key, corpus.semanticHash(), version)
+    if key in _CALIB_CACHE:
+        return _CALIB_CACHE[key]
+    if cents is None:
+        if quantizer == "trained":
+            cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2)
+        elif quantizer == "seed":
+            cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
+    C1, C2 = cents
+    n1, n2 = len(C1), (len(C2[0]) if C2 else 0)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"))
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    q = h.select(
+        "query_id", "qvec", "qn",
+        F.posexplode(hier_probe_np(C1, C2, n1)(F.col("qvec"))
+                     ).alias("pos0", "list_id")
+    ).withColumn(  # full probe list is n1 contiguous blocks of n2
+        "probe_pos", (F.col("pos0") / F.lit(n2)).cast("int") + 1)
+    rows = _calib_pass(c, q, k)
+    if not rows:
+        raise ValueError("calibrate_probe_hier: empty calibration pass — "
+                         "the corpus has no nonzero-norm vectors to hold out")
+    p1, achieved, curve = _calib_solve(rows, k, target_recall, n1)
+    rec = {"kind": "hier", "n1": n1, "n2": n2, "p1": p1,
+           "frac": round(p1 / n1, 4), "recall": achieved,
+           "target": target_recall, "curve": curve,
+           "n_holdout": len({r[0] for r in rows}), "k": k,
+           "quantizer": quantizer}
+    return _calib_cache_put(key, rec)
 
 
 def topk_ivf_det_sql(

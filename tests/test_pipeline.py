@@ -1384,6 +1384,110 @@ def test_ann_recall_nonclustered_corpus(spark):
     corpus.unpersist()
 
 
+def test_calibrate_probe(spark):
+    """r8: probe AUTO-CALIBRATION — the SCALE_r08 §1 closure ("the 8%
+    auto fraction is a clustered-corpus calibration; the probed
+    fraction is the recall dial on smooth data") turned into a
+    measured feature. calibrate_probe runs ONE exhaustive distributed
+    pass for a deterministic smallest-id holdout and binary-searches
+    the smallest probe depth whose exact recall@k reaches the target;
+    ``calibrate=<target>`` on topk_ivf_det / topk_ivf_hier wires it
+    into serving.
+
+    Pins: (a) on a SMOOTH mixture corpus the calibrated depth meets
+    the target on the holdout and generalizes to fresh queries;
+    (b) the recall curve is monotone and exact at full probe
+    (recall(nlist) == 1.0 — truth derives from the same pass, so the
+    search always terminates); (c) on a CLUSTERED corpus calibration
+    confirms the cheap operating point (small fraction, recall 1.0) —
+    no wasted probe work where the 8% rule was right all along;
+    (d) results are cached per corpus identity like the quantizers;
+    (e) an explicit nprobe/p1 alongside a calibrate target raises."""
+    import numpy as np
+
+    N, DIM, K = 5_000, 32, 5
+    rng = np.random.default_rng(7)
+    n_comp = 24
+    centers = rng.normal(size=(n_comp, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    comp = rng.integers(0, n_comp, size=N)
+    X = (centers[comp] + rng.normal(scale=0.35, size=(N, DIM))).astype(
+        np.float32)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>").persist()
+    corpus.count()
+
+    res = SS.calibrate_probe(corpus, k=K, target_recall=0.9,
+                             corpus_count=N, quantizer="trained")
+    assert res["recall"] >= 0.9 and res["nprobe"] <= res["nlist"]
+    # (d) cached per corpus identity (seed_centroids contract)
+    assert res is SS.calibrate_probe(corpus, k=K, target_recall=0.9,
+                                     corpus_count=N, quantizer="trained")
+    # (b) monotone curve, exact at full probe
+    fracs = sorted(res["curve"])
+    vals = [res["curve"][f] for f in fracs]
+    assert vals == sorted(vals) and res["curve"][1.0] == 1.0
+    # the smooth corpus needs MORE than the clustered 8% default
+    assert res["frac"] > SS.AUTO_PROBE_FRAC
+
+    # (a) serving with calibrate= meets the target on fresh queries
+    # (holdout = smallest ids; fresh = a disjoint random sample)
+    qidx = [int(q) for q in rng.choice(np.arange(200, N), 30,
+                                       replace=False)]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    for qi in qidx:
+        cos = Xn @ Xn[qi]
+        cos[qi] = -2
+        truth[qi] = set(int(t) for t in np.argsort(-cos, kind="stable")[:K])
+    queries = corpus.filter(F.col("vec_id").isin(qidx))
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return float(np.mean([len(got.get(q, set()) & truth[q]) / K
+                              for q in truth]))
+
+    r_flat = recall(SS.topk_ivf_det(
+        corpus, queries, k=K, nlist=None, nprobe=None, corpus_count=N,
+        quantizer="trained", calibrate=0.9))
+    assert r_flat >= 0.8, r_flat  # holdout-chosen knob generalizes
+
+    resh = SS.calibrate_probe_hier(corpus, k=K, target_recall=0.9,
+                                   n1=8, n2=8, quantizer="trained")
+    assert resh["recall"] >= 0.9 and resh["p1"] <= resh["n1"]
+    r_hier = recall(SS.topk_ivf_hier(
+        corpus, queries, k=K, n1=8, n2=8, quantizer="trained",
+        calibrate=0.9))
+    assert r_hier >= 0.8, r_hier
+
+    # (c) clustered corpus: calibration confirms the cheap point
+    # (cluster ids interleaved so the smallest-id seed quantizer sees
+    # every cluster, matching how real crawl ids mix duplicates)
+    reps = rng.normal(size=(40, DIM)).astype(np.float32)
+    XC = (reps[np.arange(2_000) % 40]
+          + rng.normal(scale=0.01, size=(2_000, DIM)).astype(np.float32))
+    clustered = spark.createDataFrame(
+        [(int(i), [float(x) for x in XC[i]]) for i in range(2_000)],
+        "vec_id long, embedding array<float>").persist()
+    clustered.count()
+    resc = SS.calibrate_probe(clustered, k=K, target_recall=0.9,
+                              corpus_count=2_000)
+    assert resc["recall"] >= 0.9 and resc["frac"] <= 0.25, resc
+    clustered.unpersist()
+
+    # (e) two dials for the same knob is an error, not a precedence
+    with pytest.raises(ValueError, match="two dials"):
+        SS.topk_ivf_det(corpus, queries, nlist=16, nprobe=4, calibrate=0.9)
+    with pytest.raises(ValueError, match="two dials"):
+        SS.topk_ivf_hier(corpus, queries, n1=8, n2=8, p1=2, calibrate=0.9)
+    with pytest.raises(ValueError, match="target_recall"):
+        SS.calibrate_probe(corpus, target_recall=1.5, corpus_count=N)
+    corpus.unpersist()
+
+
 def test_lsh_multiprobe3_matches_sql_oracle(spark, duck):
     """r8: multiprobe was generalized past its silent Hamming-2 cap on
     BOTH sides — the Spark plan and the DuckDB mirror must produce the

@@ -574,6 +574,117 @@ def test_neardup_ingest_stream_exact(spark, tmp_path):
     assert read_neardup_index(spark, index_path).count() == n_groups
 
 
+def test_neardup_ingest_restart_from_checkpoint(spark, tmp_path):
+    """r8: checkpoint RESUME across query restarts — distinct from the
+    fresh-checkpoint replay pins. The crawl loop stops (deploy, crash,
+    cluster resize) while new files keep landing; a NEW query object
+    restarts on the SAME checkpointLocation and must resume from the
+    committed offsets: phase-1 batches keep their partitions untouched,
+    batch numbering continues, only files that arrived during the
+    outage are processed, and the final pair set equals the one-shot
+    incremental recompute over all new docs."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming.events import (
+        neardup_ingest_stream, read_neardup_index, seed_neardup_index)
+
+    marker = ["aardvark", "kumquat", "zeppelin", "quixotic", "fjord"]
+    rows = [(c * 100 + k,
+             f"the five boxing wizards jump quickly over "
+             f"{(marker[c] + ' ') * 10}"
+             + ("end" if k == 0 else f"end{k % 4}"))
+            for c in range(5) for k in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 100 < 6)
+    new = docs.filter(F.col("doc_id") % 100 >= 6)
+    index_path = str(tmp_path / "sig_index")
+    pairs_path = str(tmp_path / "pairs")
+    docs_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(
+        D.minhash_signatures(old, "doc_id", "text"), index_path)
+
+    def start():  # a genuinely NEW query object each phase
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+        return neardup_ingest_stream(stream, index_path, pairs_path,
+                                     ckpt, kind="minhash", threshold=0.5)
+
+    # phase 1: one arrival file, drain, the query STOPS (availableNow)
+    (new.filter(F.col("doc_id") % 3 == 0).repartition(1)
+     .write.mode("append").parquet(docs_dir))
+    start().awaitTermination(180)
+    idx1 = read_neardup_index(spark, index_path)
+    phase1 = {(r["doc_id"], r["_batch_id"])
+              for r in idx1.select("doc_id", "_batch_id").collect()}
+    assert idx1.count() == (old.count()
+                            + new.filter(F.col("doc_id") % 3 == 0).count())
+
+    # two more files land while the query is DOWN
+    for i in (1, 2):
+        (new.filter(F.col("doc_id") % 3 == i).repartition(1)
+         .write.mode("append").parquet(docs_dir))
+    start().awaitTermination(180)  # phase 2: restart on the SAME ckpt
+
+    idx2 = read_neardup_index(spark, index_path)
+    phase2 = {(r["doc_id"], r["_batch_id"])
+              for r in idx2.select("doc_id", "_batch_id").collect()}
+    # resume, not reprocess: phase-1 rows keep their batch ids and the
+    # numbering continues past them instead of restarting at 0
+    assert phase1 <= phase2
+    assert idx2.count() == docs.count()
+    assert (max(b for _, b in phase2 if b >= 0)
+            > max(b for _, b in phase1 if b >= 0))
+    got = spark.read.parquet(pairs_path)
+    want, _ = D.minhash_against_index(
+        new, D.minhash_signatures(old, "doc_id", "text"), threshold=0.5)
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in df.collect()}
+    assert got.count() == got.dropDuplicates(["id_a", "id_b"]).count()
+    assert key(got) == key(want) and want.count() > 0
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """r8: applyInPandasWithState state-store RECOVERY — a new query on
+    the same checkpoint resumes per-key state, so users whose events
+    span the outage keep counting from where they left off (a lost
+    state store would restart them at their phase-2 count)."""
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev1 = spark.createDataFrame([(u,) for u in [1] * 3 + [2] * 2 + [3]],
+                                "user_id long")
+    ev2 = spark.createDataFrame([(u,) for u in [1] * 2 + [3] * 4 + [4] * 5],
+                                "user_id long")
+
+    def run():
+        stream = (spark.readStream.schema("user_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stateful_running_count(stream)
+             .writeStream.foreachBatch(
+                 lambda df, bid: df.withColumn("_b", F.lit(bid))
+                 .write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    ev1.repartition(1).write.mode("append").parquet(src)
+    run()
+    ev2.repartition(1).write.mode("append").parquet(src)
+    run()  # restart on the same checkpoint
+
+    upd = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("_b").desc())
+    final = {r["user_id"]: r["n_events"]
+             for r in upd.withColumn("r", F.row_number().over(w))
+             .filter("r = 1").collect()}
+    # user 1 spans the outage (3 + 2), user 2 only phase 1, user 3
+    # spans (1 + 4), user 4 only phase 2 — all from recovered state
+    assert final == {1: 5, 2: 2, 3: 5, 4: 5}
+
+
 def test_neardup_ingest_cold_start_empty_seed(spark, tmp_path):
     """Cold start (review r7): seeding with an EMPTY relation writes a
     0-row partitioned parquet (no data files) — the seed schema rides
