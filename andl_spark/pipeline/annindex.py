@@ -1,0 +1,215 @@
+"""Persisted IVF index — ANN as a STORED artifact (r8).
+
+``topk_ivf_det`` assigns the corpus per CALL. Fine for a one-shot job;
+wrong at 100 TB, where one corpus serves many query batches: every
+call re-scans and re-quantizes all N vectors. The index here is the
+assignment paid ONCE — a parquet tree PARTITIONED BY CELL plus a small
+JSON meta holding the quantizer — so a query batch reads ONLY its
+probed cells from storage. The probe filter lands in the scan's
+PartitionFilters (plan-asserted in tests): at nprobe/nlist = 8%, 92%
+of the index bytes are never opened. That is the actual IVF promise
+(FAISS's on-disk IndexIVF, re-expressed as a Spark-native partitioned
+table); the per-call path only ever delivered the compute half.
+
+Layout (every path through :mod:`andl_spark.fsio` — local, file://,
+hdfs://, s3a://)::
+
+    <path>/_meta.json                  quantizer + params + calibration
+    <path>/data/_batch_id=…/list_id=…  (id, vector) rows
+
+``_batch_id`` partitioning gives appends the same replay-idempotence
+contract as the streaming near-dup index (events.py): an appended
+batch writes its own partitions with dynamic overwrite — a foreachBatch
+replay rewrites, never duplicates. The build is batch -1. Appended
+vectors quantize against the STORED centroids (standard IVF practice —
+cells drift as the corpus grows; rebuild when the calibration's
+measured recall decays).
+
+Reference: david-pfx/Andl has no ANN surface — this extends SURVEY.md
+§2.8's similarity-search ops (simsearch.py) with the index-persistence
+half of the 100 TB story.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fsio
+from .simsearch import (
+    NP_ASSIGN_MIN_NLIST,
+    auto_nlist,
+    auto_nprobe,
+    calibrate_probe,
+    cosine_n_expr,
+    nearest_lists_cosine,
+    nearest_lists_np,
+    norm_expr,
+    seed_centroids,
+    trained_centroids,
+)
+
+META_VERSION = 1
+
+
+def _assign_expr(vec_col, centroids: list[list[float]], nprobe: int,
+                 vec_norm=None):
+    """The serving assignment rule: numpy matmul at large nlist, JVM
+    literal expression below (same threshold topk_ivf_det uses, so an
+    index query reproduces the per-call operator bit-for-bit)."""
+    if len(centroids) >= NP_ASSIGN_MIN_NLIST:
+        return nearest_lists_np(centroids, nprobe)(vec_col)
+    return nearest_lists_cosine(vec_col, centroids, nprobe,
+                                vec_norm=vec_norm)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    quantizer: str = "seed",
+    corpus_count: int | None = None,
+    calibrate: float | None = None,
+    k: int = 5,
+) -> dict:
+    """Build the index: resolve the quantizer (same rules as
+    topk_ivf_det — √N auto-scale via ``nlist=None``), assign every
+    corpus vector to its cell, write cell-partitioned parquet and the
+    meta JSON. ``calibrate=<target recall>`` additionally runs
+    calibrate_probe and stores the measured nprobe in the meta, so
+    every future query of this index defaults to the measured
+    operating point instead of the 8% clustered-corpus rule. Returns
+    the meta dict."""
+    if nlist is None:
+        if corpus_count is None:
+            corpus_count = corpus.count()
+        nlist = auto_nlist(corpus_count)
+    if quantizer == "trained":
+        centroids = trained_centroids(corpus, id_col, vec_col, nlist)
+    elif quantizer == "seed":
+        centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
+    calibration = None
+    if calibrate is not None:
+        calibration = calibrate_probe(
+            corpus, id_col, vec_col, k=k, target_recall=calibrate,
+            nlist=len(centroids), quantizer=quantizer, centroids=centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        F.element_at(
+            _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
+    ).withColumn("_batch_id", F.lit(-1))
+    (assigned.write.mode("overwrite")
+     .partitionBy("_batch_id", "list_id")
+     .parquet(fsio.join(path, "data")))
+    meta = {
+        "version": META_VERSION,
+        "nlist": len(centroids),
+        "centroids": centroids,
+        "quantizer": quantizer,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": len(centroids[0]) if centroids else 0,
+        "calibration": calibration,
+    }
+    fsio.mkdirs(path)
+    fsio.write_text_atomic(fsio.join(path, "_meta.json"), json.dumps(meta))
+    return meta
+
+
+def read_ivf_meta(path: str) -> dict:
+    return json.loads(fsio.read_text(fsio.join(path, "_meta.json")))
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch against the STORED centroids, into its own
+    ``_batch_id`` partitions with dynamic overwrite — a replay of the
+    same batch_id rewrites exactly its partitions (the streaming
+    ingest contract; usable directly inside foreachBatch)."""
+    meta = read_ivf_meta(path)
+    centroids = meta["centroids"]
+    assigned = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        F.element_at(
+            _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
+    ).withColumn("_batch_id", F.lit(batch_id))
+    (assigned.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id", "list_id")
+     .parquet(fsio.join(path, "data")))
+
+
+def topk_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Query the persisted index: assign each query its ``nprobe``
+    nearest cells, then scan ONLY those cells — the probe set is
+    collected driver-side (bounded: distinct cell ids across the query
+    batch, ≤ nlist ints) and applied as a LITERAL partition filter, so
+    the parquet scan prunes unprobed cells before reading a byte
+    (plan-asserted: PartitionFilters carries the list_id predicate).
+    ``nprobe`` defaults to the index's STORED calibration when the
+    build measured one, else the 8% auto rule. Join shape and
+    tie-breaking are identical to topk_ivf_det — on an unchanged corpus
+    the two return the same rows (pinned in tests).
+
+    The query batch is broadcast (the topk_bruteforce contract): bulk
+    k-NN over a huge query set should go through the pair ops, not a
+    per-query probe."""
+    meta = read_ivf_meta(path)
+    centroids = meta["centroids"]
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    if nprobe is None:
+        cal = meta.get("calibration")
+        nprobe = cal["nprobe"] if cal else auto_nprobe(meta["nlist"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+    ).withColumn(
+        "probe", _assign_expr(F.col("qvec"), centroids, nprobe,
+                              vec_norm=F.col("qn"))
+    ).localCheckpoint()  # probe lists computed ONCE: reused for the
+    # driver-side partition-filter collect AND the probe join
+    cells = sorted({c for r in q.select(
+        F.explode("probe").alias("c")).distinct().collect()
+        for c in [r["c"]] if c is not None})
+    c = (
+        spark.read.parquet(fsio.join(path, "data"))
+        .filter(F.col("list_id").isin(cells))  # partition pruning
+        .select(F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("cvec"),
+                norm_expr(F.col("embedding")).alias("cn"), "list_id")
+    )
+    qx = q.select("query_id", "qvec", "qn",
+                  F.explode("probe").alias("list_id"))
+    scored = (
+        F.broadcast(qx).join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                cosine_n_expr(F.col("qvec"), F.col("cvec"),
+                              F.col("qn"), F.col("cn")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -262,21 +262,42 @@ def topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 8,
-    multiprobe: int = 1,
+    multiprobe: int | None = None,
     dim: int | None = None,
     quantize: bool = False,
+    calibrate: float | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket plus every bucket at
-    Hamming distance ≤ multiprobe (flip i bits). Recall grows with
-    probes; the candidate join stays bucket-equi either way.
+    Hamming distance ≤ multiprobe (flip i bits; default radius 1).
+    Recall grows with probes; the candidate join stays bucket-equi
+    either way.
 
     Pass ``dim`` explicitly in production — inferring it costs a
     driver-side first() action per call. ``quantize=True`` carries the
     corpus payload as int8 codes through the bucket join (8× less
     shuffle; buckets still from the raw vector, cosine scale-invariance
-    keeps ranking within quantization noise — recall pinned in tests)."""
+    keeps ranking within quantization noise — recall pinned in tests).
+
+    ``calibrate=<target recall>`` (r8) resolves multiprobe by
+    calibrate_probe_lsh — the smallest Hamming radius whose measured
+    holdout recall@k reaches the target (requires ``multiprobe=None``);
+    the calibration record also reports the probed-bucket fraction the
+    radius costs, making "LSH needs ~2/3 of the buckets for ≥0.9 on
+    smooth corpora — use IVF there" (SCALE_r08.md §1) a measurable
+    per-corpus fact."""
+    if calibrate is not None and multiprobe is not None:
+        raise ValueError(
+            "topk_lsh: pass multiprobe=None with calibrate=<target> — "
+            "an explicit multiprobe and a calibration target are two "
+            "dials for the same knob")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if calibrate is not None:
+        multiprobe = calibrate_probe_lsh(
+            corpus, id_col, vec_col, k=k, target_recall=calibrate,
+            bits=bits, dim=dim)["multiprobe"]
+    elif multiprobe is None:
+        multiprobe = 1
     if quantize:
         qz = quantize_embeddings(
             corpus.select(F.col(id_col).alias("cand_id"),
@@ -1183,16 +1204,22 @@ def _calib_cache_put(key: tuple, rec: dict) -> dict:
     return rec
 
 
-def _calib_pass(c: DataFrame, q: DataFrame, k: int) -> list:
+def _calib_pass(c: DataFrame, grid: DataFrame, hold: DataFrame,
+                k: int) -> list:
     """The single distributed calibration pass: broadcast the exploded
-    holdout probe grid against the assigned corpus, score cosines, and
-    keep the per-(query, probe_pos) top-k. Only scalar columns cross
-    the shuffle into the window (ids + cosine — vectors are projected
-    away first), and the collect is bounded by holdout × cells × k
-    rows. NaN cosines (zero-norm rows) are dropped — calibration picks
-    a knob; it must not let dirty rows occupy top-k slots."""
+    probe grid (SLIM — query_id, probe_pos, list_id only; broadcasting
+    the grid WITH vectors would repeat every holdout vector once per
+    cell, ~1 GB at nlist=4096 × dim 1024) against the assigned corpus,
+    re-attach the n_holdout query vectors by a second tiny broadcast,
+    score cosines, and keep the per-(query, probe_pos) top-k. Only
+    scalar columns cross the shuffle into the window (ids + cosine —
+    vectors are projected away first), and the collect is bounded by
+    holdout × cells × k rows. NaN cosines (zero-norm rows) are
+    dropped — calibration picks a knob; it must not let dirty rows
+    occupy top-k slots."""
     scored = (
-        F.broadcast(q).join(c, "list_id")
+        F.broadcast(grid).join(c, "list_id")
+        .join(F.broadcast(hold), "query_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "probe_pos", "cand_id",
                 cosine_n_expr(F.col("qvec"), F.col("cvec"),
@@ -1257,17 +1284,24 @@ def _calib_solve(rows: list, k: int, target_recall: float,
 
 def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
                    n_holdout: int) -> DataFrame:
-    """Deterministic holdout query set: the ``n_holdout`` smallest-id
-    nonzero-norm vectors (the same determinism contract as
-    seed_centroids — no sampling seed to disagree about across runs
-    or engines)."""
+    """Deterministic holdout query set: the ``n_holdout`` LARGEST-id
+    nonzero-norm vectors — deterministic like the quantizers' contract
+    (no sampling seed to disagree about across runs), but from the
+    OPPOSITE end of the id range, because both seed_centroids and
+    trained_centroids sample the smallest ids: a smallest-id holdout
+    would literally BE the seed centroids, every query would sit on its
+    own cell center, and nprobe=1 would measure perfect recall on any
+    corpus (observed: 0.96 at nprobe=1/224 on the smooth mixture whose
+    true random-query recall at that depth is ~0.25 — SCALE_r08.md).
+    Largest ids are also the natural query regime of a crawl: the
+    newest documents querying an index built from the past."""
     return (
         corpus.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qvec"),
                 norm_expr(F.col(vec_col)).alias("qn"))
         .where(F.col("qn") > 0)
-        .orderBy("query_id").limit(n_holdout)
+        .orderBy(F.col("query_id").desc()).limit(n_holdout)
     )
 
 
@@ -1340,10 +1374,9 @@ def calibrate_probe(
     else:
         order = nearest_lists_cosine(F.col("qvec"), centroids, n_cells,
                                      vec_norm=F.col("qn"))
-    q = h.select("query_id", "qvec", "qn",
-                 F.posexplode(order).alias("pos0", "list_id")
-                 ).withColumn("probe_pos", F.col("pos0") + 1)
-    rows = _calib_pass(c, q, k)
+    grid = h.select("query_id", F.posexplode(order).alias("pos0", "list_id")
+                    ).withColumn("probe_pos", F.col("pos0") + 1)
+    rows = _calib_pass(c, grid, h, k)
     if not rows:
         raise ValueError("calibrate_probe: empty calibration pass — the "
                          "corpus has no nonzero-norm vectors to hold out")
@@ -1408,13 +1441,13 @@ def calibrate_probe_hier(
         norm_expr(F.col(vec_col)).alias("cn"),
         hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"))
     h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
-    q = h.select(
-        "query_id", "qvec", "qn",
+    grid = h.select(
+        "query_id",
         F.posexplode(hier_probe_np(C1, C2, n1)(F.col("qvec"))
                      ).alias("pos0", "list_id")
     ).withColumn(  # full probe list is n1 contiguous blocks of n2
         "probe_pos", (F.col("pos0") / F.lit(n2)).cast("int") + 1)
-    rows = _calib_pass(c, q, k)
+    rows = _calib_pass(c, grid, h, k)
     if not rows:
         raise ValueError("calibrate_probe_hier: empty calibration pass — "
                          "the corpus has no nonzero-norm vectors to hold out")
@@ -1424,6 +1457,69 @@ def calibrate_probe_hier(
            "target": target_recall, "curve": curve,
            "n_holdout": len({r[0] for r in rows}), "k": k,
            "quantizer": quantizer}
+    return _calib_cache_put(key, rec)
+
+
+def calibrate_probe_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_holdout: int = 32,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    version: object = None,
+) -> dict:
+    """calibrate_probe for sign-bit LSH: the dial is ``multiprobe``
+    (max Hamming radius probed), so probe_pos = Hamming(query bucket,
+    candidate bucket) + 1 and there are only bits+1 depths. Besides
+    ``multiprobe`` the record carries ``probed_frac`` — the fraction of
+    all 2^bits buckets the chosen radius scans (Σ C(bits,d), d ≤ mp) —
+    because on smooth corpora that fraction approaches brute-force cost
+    long before high recall (the SCALE_r08 §1 closure, now measurable
+    per corpus instead of asserted). ``curve`` is keyed by fraction of
+    the RADIUS RANGE, not of buckets. Wired into topk_lsh as
+    ``calibrate=<target>``."""
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if bits > 12:
+        raise ValueError("calibrate_probe_lsh enumerates all 2^bits "
+                         f"buckets per holdout query; bits={bits} > 12")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    key = ("lsh", corpus.sparkSession.sparkContext.applicationId,
+           id_col, vec_col, k, target_recall, n_holdout, bits, dim,
+           seed, corpus.semanticHash(), version)
+    if key in _CALIB_CACHE:
+        return _CALIB_CACHE[key]
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        hyperplane_bucket(vec_col, dim, bits, seed).alias("list_id"))
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    grid = (
+        h.withColumn("bucket0",
+                     hyperplane_bucket(F.col("qvec"), dim, bits, seed))
+        .select("query_id", "bucket0",
+                F.explode(F.sequence(F.lit(0), F.lit(2 ** bits - 1))
+                          ).alias("list_id"))
+        .withColumn("probe_pos", F.bit_count(
+            F.col("bucket0").bitwiseXOR(F.col("list_id"))) + 1)
+        .drop("bucket0")
+    )
+    rows = _calib_pass(c, grid, h, k)
+    if not rows:
+        raise ValueError("calibrate_probe_lsh: empty calibration pass — "
+                         "the corpus has no nonzero-norm vectors to hold out")
+    depth, achieved, curve = _calib_solve(rows, k, target_recall, bits + 1)
+    mp = depth - 1
+    probed = sum(math.comb(bits, d) for d in range(mp + 1)) / 2 ** bits
+    rec = {"kind": "lsh", "bits": bits, "multiprobe": mp,
+           "probed_frac": round(probed, 4), "recall": achieved,
+           "target": target_recall, "curve": curve,
+           "n_holdout": len({r[0] for r in rows}), "k": k}
     return _calib_cache_put(key, rec)
 
 

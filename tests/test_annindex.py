@@ -1,0 +1,178 @@
+"""Persisted IVF index (r8): the assignment paid once, queries read
+only probed cells (partition pruning), appends replay-idempotent,
+calibration stored as the index's default operating point."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from andl_spark.pipeline import annindex as AX
+from andl_spark.pipeline import simsearch as SS
+from andl_spark.plans.explain import formatted_plan
+from andl_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["cand_id"], round(r["cosine"] + 1e-9, 6), r["rank"])
+        for r in df.collect())
+
+
+def test_index_query_equals_per_call_operator(spark, emb, tmp_path):
+    """Same centroids, same nprobe → the index query must reproduce
+    topk_ivf_det row-for-row (the index only moves WHERE assignment
+    happens, never WHAT is computed)."""
+    path = str(tmp_path / "ivf")
+    meta = AX.build_ivf_index(emb, path, nlist=16)
+    assert meta["nlist"] == 16 and meta["calibration"] is None
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=4)
+    want = SS.topk_ivf_det(emb, queries, k=5, nlist=16, nprobe=4)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+
+
+def test_index_scan_prunes_unprobed_cells(spark, emb, tmp_path):
+    """The 100 TB point: the probe set lands in the parquet scan's
+    PartitionFilters, so unprobed cells are never READ. Plan-asserted,
+    then proven behaviorally: corrupting a parquet file in an UNPROBED
+    cell leaves the pruned query working (its bytes are never opened)
+    while a full scan of the same tree fails on it. (inputFiles() can't
+    show this — it lists the FileIndex before partition filters.)"""
+    import re
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=16)
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=2)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan
+    part_sec = plan.split("PartitionFilters", 1)[1][:500]
+    assert "list_id" in part_sec
+    baseline = _rows(got)
+    assert baseline
+
+    # probed cells from the plan's literal IN-list; ≤ 4 queries ×
+    # 2 probes = ≤ 8 of 16 cells, so an unprobed one must exist
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", part_sec)}
+    data_dir = tmp_path / "ivf" / "data" / "_batch_id=-1"
+    on_disk = {int(p.name.split("=")[1]) for p in data_dir.iterdir()
+               if p.name.startswith("list_id=")}
+    victims = sorted(on_disk - probed)
+    assert victims, (probed, on_disk)
+    victim_files = list((data_dir / f"list_id={victims[0]}").glob("*.parquet"))
+    assert victim_files
+    victim_files[0].write_bytes(b"not a parquet file, not even close")
+
+    # pruned query: still exact — the corrupt cell is never opened
+    got2 = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=2)
+    assert _rows(got2) == baseline
+    # full scan: forced to open the corrupt file, fails
+    with pytest.raises(Exception):
+        spark.read.parquet(str(tmp_path / "ivf" / "data")).count()
+
+
+def test_index_append_replay_idempotent(spark, emb, tmp_path):
+    """Appends assign against the STORED centroids and land in their
+    own _batch_id partitions with dynamic overwrite: replaying the same
+    batch_id leaves the index byte-identical, and appended vectors are
+    findable."""
+    path = str(tmp_path / "ivf")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).limit(50)
+    AX.build_ivf_index(old, path, nlist=16)
+    AX.ivf_index_append(new, path, batch_id=0)
+    data = spark.read.parquet(str(tmp_path / "ivf" / "data"))
+    n1 = data.count()
+    assert data.filter(F.col("_batch_id") == 0).count() == new.count()
+    AX.ivf_index_append(new, path, batch_id=0)  # replay
+    data2 = spark.read.parquet(str(tmp_path / "ivf" / "data"))
+    assert data2.count() == n1
+    # an appended vector is served: query ITS OWN vector, it must be
+    # its global nearest neighbors' anchor (rank column exists, k rows)
+    probe_q = new.limit(2)
+    got = AX.topk_ivf_index(spark, probe_q, path, k=3, nprobe=16)
+    assert got.count() > 0
+
+
+def test_index_stores_and_defaults_to_calibration(spark, emb, tmp_path):
+    """calibrate= at build time stores the measured nprobe; queries
+    default to it (the measured operating point replaces the 8% rule
+    for every consumer of this index)."""
+    path = str(tmp_path / "ivf")
+    meta = AX.build_ivf_index(emb, path, nlist=16, calibrate=0.9)
+    cal = meta["calibration"]
+    assert cal is not None and cal["recall"] >= 0.9
+    assert AX.read_ivf_meta(path)["calibration"]["nprobe"] == cal["nprobe"]
+    queries = emb.filter(F.col("vec_id") < 4)
+    got_default = AX.topk_ivf_index(spark, queries, path, k=5)
+    got_explicit = AX.topk_ivf_index(spark, queries, path, k=5,
+                                     nprobe=cal["nprobe"])
+    assert _rows(got_default) == _rows(got_explicit)
+
+
+def test_index_on_file_uri(spark, emb, tmp_path):
+    """The meta/data round-trip works on a file:// URI — the same fsio
+    code path hdfs:// and s3a:// take."""
+    path = "file://" + str(tmp_path / "ivf_uri")
+    AX.build_ivf_index(emb.limit(200), path, nlist=8)
+    meta = AX.read_ivf_meta(path)
+    assert meta["nlist"] == 8
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = AX.topk_ivf_index(spark, queries, path, k=3, nprobe=2)
+    assert got.count() > 0
+
+
+def test_calib_solve_matches_linear_scan():
+    """Property (hypothesis, no Spark): _calib_solve's binary search
+    over the monotone recall curve returns exactly what a brute-force
+    linear scan of every depth returns — smallest depth meeting the
+    target, its exact recall — for arbitrary calibration row sets."""
+    from hypothesis import given, settings, strategies as st
+
+    from andl_spark.pipeline.simsearch import _calib_solve
+
+    row = st.tuples(
+        st.integers(0, 3),                      # query_id
+        st.integers(1, 6),                      # probe_pos
+        st.integers(0, 50),                     # cand_id
+        st.floats(-1, 1, allow_nan=False),      # cosine
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=80).map(
+               lambda rs: list({(r[0], r[2]): r for r in rs}.values())),
+           st.integers(1, 5),
+           st.floats(0.05, 1.0, allow_nan=False))
+    def check(rows, k, target):
+        max_p = 6
+        depth, achieved, curve = _calib_solve(rows, k, target, max_p)
+
+        def recall_linear(p):
+            per_q = {}
+            for qid, pos, cand, cos in rows:
+                per_q.setdefault(qid, []).append((cos, cand, pos))
+            tot = 0.0
+            for cands in per_q.values():
+                cands.sort(key=lambda t: (-t[0], t[1]))
+                truth = set(c for _, c, _ in cands[:k])
+                elig = [c for _, c, pp in cands if pp <= p][:k]
+                tot += len(set(elig) & truth) / len(truth)
+            return tot / len(per_q)
+
+        want_depth = next((p for p in range(1, max_p + 1)
+                           if recall_linear(p) >= target), max_p)
+        assert depth == want_depth
+        assert abs(achieved - round(recall_linear(depth), 4)) < 1e-9
+        # full probe is exact by construction
+        assert abs(recall_linear(max_p) - 1.0) < 1e-9
+        # monotone nondecreasing curve
+        vals = [curve[f] for f in sorted(curve)]
+        assert vals == sorted(vals)
+
+    check()

@@ -1478,11 +1478,24 @@ def test_calibrate_probe(spark):
     assert resc["recall"] >= 0.9 and resc["frac"] <= 0.25, resc
     clustered.unpersist()
 
+    # LSH leg: the dial is the Hamming radius; the record reports the
+    # probed-bucket fraction that radius costs (the §1 closure as a
+    # per-corpus measurement, not an assertion)
+    resl = SS.calibrate_probe_lsh(corpus, k=K, target_recall=0.9,
+                                  bits=5, dim=DIM)
+    assert resl["recall"] >= 0.9 and 0 <= resl["multiprobe"] <= 5
+    assert 0 < resl["probed_frac"] <= 1.0
+    r_lsh = recall(SS.topk_lsh(corpus, queries, k=K, bits=5, dim=DIM,
+                               calibrate=0.9))
+    assert r_lsh >= 0.8, r_lsh
+
     # (e) two dials for the same knob is an error, not a precedence
     with pytest.raises(ValueError, match="two dials"):
         SS.topk_ivf_det(corpus, queries, nlist=16, nprobe=4, calibrate=0.9)
     with pytest.raises(ValueError, match="two dials"):
         SS.topk_ivf_hier(corpus, queries, n1=8, n2=8, p1=2, calibrate=0.9)
+    with pytest.raises(ValueError, match="two dials"):
+        SS.topk_lsh(corpus, queries, multiprobe=2, calibrate=0.9)
     with pytest.raises(ValueError, match="target_recall"):
         SS.calibrate_probe(corpus, target_recall=1.5, corpus_count=N)
     corpus.unpersist()
