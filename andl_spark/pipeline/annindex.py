@@ -14,16 +14,24 @@ table); the per-call path only ever delivered the compute half.
 Layout (every path through :mod:`andl_spark.fsio` — local, file://,
 hdfs://, s3a://)::
 
-    <path>/_meta.json                  quantizer + params + calibration
-    <path>/data/_batch_id=…/list_id=…  (id, vector) rows
+    <path>/_meta.json                    quantizer + params + calibration
+    <path>/data/_pointer.json            current generation (atomic flip)
+    <path>/data/gen=N/_batch_id=…/list_id=…   (id, vector) rows
 
-``_batch_id`` partitioning gives appends the same replay-idempotence
-contract as the streaming near-dup index (events.py): an appended
-batch writes its own partitions with dynamic overwrite — a foreachBatch
-replay rewrites, never duplicates. The build is batch -1. Appended
-vectors quantize against the STORED centroids (standard IVF practice —
-cells drift as the corpus grows; rebuild when the calibration's
-measured recall decays).
+The data tree IS a streaming-index generation tree (r8b): build
+seeds ``gen=1`` and flips the pointer (seed_neardup_index), appends
+commit their own ``_batch_id`` partitions with dynamic overwrite and
+the compaction-race re-resolve loop (commit_batch_partitions), and
+``compact_ivf_index`` folds batch partitions atomically behind the
+generation pointer — the ENTIRE maintenance plane (atomic flips,
+retained prior generation, carry-over of concurrently-committed
+batches, replay idempotence) is inherited from the near-dup index's
+tested protocol rather than re-implemented, with
+``part_cols=("_batch_id", "list_id")`` nesting the cell partitions
+under the batch dirs so probe-time partition pruning keeps working.
+Appended vectors quantize against the STORED centroids (standard IVF
+practice — cells drift as the corpus grows; rebuild when the
+calibration's measured recall decays).
 
 Reference: david-pfx/Andl has no ANN surface — this extends SURVEY.md
 §2.8's similarity-search ops (simsearch.py) with the index-persistence
@@ -38,6 +46,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fsio
+from ..streaming.events import (
+    commit_batch_partitions,
+    compact_neardup_index,
+    read_neardup_index,
+    seed_neardup_index,
+)
 from .simsearch import (
     NP_ASSIGN_MIN_NLIST,
     auto_nlist,
@@ -52,6 +66,16 @@ from .simsearch import (
 )
 
 META_VERSION = 1
+
+#: cell partitions nest under the batch dirs — pruning + maintenance
+PART_COLS = ("_batch_id", "list_id")
+
+
+def read_ivf_data(spark: SparkSession, path: str) -> DataFrame:
+    """The index's CURRENT generation (vec_id, embedding, list_id,
+    _batch_id) — resolves the generation pointer like every other
+    reader/writer of a streaming index tree."""
+    return read_neardup_index(spark, fsio.join(path, "data"))
 
 
 def _assign_expr(vec_col, centroids: list[list[float]], nprobe: int,
@@ -103,10 +127,9 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
         F.element_at(
             _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
-    ).withColumn("_batch_id", F.lit(-1))
-    (assigned.write.mode("overwrite")
-     .partitionBy("_batch_id", "list_id")
-     .parquet(fsio.join(path, "data")))
+    )
+    seed_neardup_index(assigned, fsio.join(path, "data"),
+                       part_cols=PART_COLS)
     meta = {
         "version": META_VERSION,
         "nlist": len(centroids),
@@ -143,11 +166,21 @@ def ivf_index_append(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
         F.element_at(
             _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
-    ).withColumn("_batch_id", F.lit(batch_id))
-    (assigned.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id", "list_id")
-     .parquet(fsio.join(path, "data")))
+    )
+    commit_batch_partitions(assigned, batch_id, fsio.join(path, "data"),
+                            part_cols=PART_COLS)
+
+
+def compact_ivf_index(spark: SparkSession, path: str,
+                      target_files: int = 8) -> None:
+    """Fold the accumulated ``_batch_id`` partitions into the seed
+    partition behind an atomic generation flip — exactly
+    compact_neardup_index with the cell-nested layout; see its
+    docstring for the full concurrency protocol. Keeps the
+    highest-numbered batch as-is (the only one a foreachBatch replay
+    can re-deliver); run from ONE maintenance job."""
+    compact_neardup_index(spark, fsio.join(path, "data"),
+                          target_files=target_files, part_cols=PART_COLS)
 
 
 def topk_ivf_index(
@@ -192,7 +225,7 @@ def topk_ivf_index(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
     c = (
-        spark.read.parquet(fsio.join(path, "data"))
+        read_ivf_data(spark, path)
         .filter(F.col("list_id").isin(cells))  # partition pruning
         .select(F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("cvec"),

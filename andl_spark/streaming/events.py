@@ -308,7 +308,8 @@ def read_neardup_index(spark, index_path: str) -> DataFrame:
         raise
 
 
-def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
+def seed_neardup_index(sigs: DataFrame, index_path: str,
+                       part_cols: tuple = ("_batch_id",)) -> None:
     """Seed a streaming near-dup signature index with the historical
     corpus's signatures (minhash_signatures / simhash_signatures /
     embedding_index / span first-occurrence output). The seed lands in
@@ -322,11 +323,21 @@ def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
     leak into the new stream (review r6) and a reader of the old
     generation is never disturbed. Generations older than the
     previous one are reclaimed (same keep-last discipline as
-    Catalog.gc)."""
+    Catalog.gc).
+
+    ``part_cols`` (r8b) generalizes the tree layout: ``_batch_id``
+    must come first (the snapshot/carry-over protocol keys on the
+    top-level batch dirs); extra columns nest below it — the persisted
+    IVF index (pipeline/annindex.py) passes ("_batch_id", "list_id")
+    so its cell partitions keep pruning while inheriting this
+    maintenance plane."""
     import json
 
     from .. import fsio
 
+    if part_cols[0] != "_batch_id":
+        raise ValueError("part_cols must lead with _batch_id "
+                         "(the generation protocol keys on it)")
     cur = _read_gen(index_path) or 0
     fsio.mkdirs(index_path)
     target = fsio.join(index_path, f"gen={cur + 1}")
@@ -336,7 +347,7 @@ def seed_neardup_index(sigs: DataFrame, index_path: str) -> None:
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")  # explicit: a
         # session-level dynamic default must not resurrect stale batches
-        .partitionBy("_batch_id")
+        .partitionBy(*part_cols)
         .parquet(target)
     )
     # record the seed schema in the pointer: a COLD START (empty seed)
@@ -368,6 +379,7 @@ def _reclaim_old_gens(index_path: str, keep_from: int) -> None:
 
 def compact_neardup_index(spark, index_path: str,
                           target_files: int = 8,
+                          part_cols: tuple = ("_batch_id",),
                           _pre_flip_hook=None) -> None:
     """Compact a streaming signature index (r6; VERDICT r5 item 7):
     every micro-batch appended its own ``_batch_id`` partition, so a
@@ -432,8 +444,22 @@ def compact_neardup_index(spark, index_path: str,
     the race closed above): two compactions racing would both write
     gen N+1 and the second flip would win with the first's rows lost.
     Run compaction from one maintenance job, the same discipline as
-    Catalog.compact."""
+    Catalog.compact.
+
+    ``part_cols`` mirrors seed_neardup_index (r8b): extra partition
+    columns nest under the leading ``_batch_id`` — the snapshot and
+    carry-over still key on the top-level batch dirs, and dynamic
+    overwrite then publishes per LEAF partition (per batch × cell for
+    the IVF index) instead of per batch: a late-carried batch can be
+    momentarily partially visible to a post-flip reader, converging as
+    the remaining leaf renames land (acceptable for ANN serving; the
+    near-dup legs keep the single-column layout and its whole-batch
+    atomicity)."""
     from .. import fsio
+
+    if part_cols[0] != "_batch_id":
+        raise ValueError("part_cols must lead with _batch_id "
+                         "(the generation protocol keys on it)")
 
     cur = _read_gen(index_path)
     src = resolve_neardup_index(index_path)
@@ -461,7 +487,7 @@ def compact_neardup_index(spark, index_path: str,
     ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
-    df.write.partitionBy("_batch_id").parquet(target)
+    df.write.partitionBy(*part_cols).parquet(target)
 
     def _carry_late(already: set[str]) -> set[str]:
         """Copy batch partitions committed into the source generation
@@ -479,7 +505,7 @@ def compact_neardup_index(spark, index_path: str,
                 .parquet(*[fsio.join(src, n) for n in late])
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id").parquet(target)
+                .partitionBy(*part_cols).parquet(target)
             )
         return already | set(late)
 
@@ -535,34 +561,50 @@ def neardup_ingest_batch(
         "exact": D.exact_dedup_against_index,
     }[kind]
     pairs, new_rows = fn(batch_df, index, **kw)
-    for df, path in ((pairs, pairs_path), (new_rows, data_path)):
+    (
+        pairs.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(pairs_path)
+    )
+    commit_batch_partitions(new_rows, batch_id, index_path,
+                            initial_path=data_path)
+
+
+def commit_batch_partitions(
+    df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    part_cols: tuple = ("_batch_id",),
+    initial_path: str | None = None,
+) -> None:
+    """Commit a batch's index rows into the CURRENT generation with
+    dynamic per-partition overwrite, then re-resolve and re-commit
+    until the generation is stable — the ingest side of the
+    compaction/ingest race closure (see compact_neardup_index's
+    protocol): compaction may have flipped the generation while this
+    batch computed; its pre-flip carry-over covers writes that landed
+    before its re-list, and a write landing after it re-resolves the
+    new generation here. ``df`` must be eagerly materialized
+    (localCheckpoint) by the caller when it was derived from the same
+    tree being written. Replays of the same batch_id rewrite exactly
+    their partitions — idempotent against the carry-over writing the
+    same rows. Shared by neardup_ingest_batch and the persisted IVF
+    index's appends (pipeline/annindex.py)."""
+    data_path = initial_path or resolve_neardup_index(index_path)
+    while True:
         (
             df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(path)
-        )
-    # Compaction may have flipped the generation while this batch was
-    # computing (it resolved ``data_path`` at entry): compaction's own
-    # pre-flip carry-over covers writes that LANDED before its re-list,
-    # but a write landing after it would be absent from the new
-    # generation. Re-resolve and re-commit the (checkpointed) index
-    # rows into the current generation until stable — dynamic overwrite
-    # of this batch's own partition, so overlapping with the carry-over
-    # is idempotent; a crash before this point is covered by
-    # foreachBatch replay (the checkpoint only commits after return).
-    cur = resolve_neardup_index(index_path)
-    while cur != data_path:
-        data_path = cur
-        (
-            new_rows.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
+            .partitionBy(*part_cols)
             .parquet(data_path)
         )
         cur = resolve_neardup_index(index_path)
+        if cur == data_path:
+            return
+        data_path = cur
 
 
 def neardup_ingest_stream(

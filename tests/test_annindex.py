@@ -1,6 +1,8 @@
 """Persisted IVF index (r8): the assignment paid once, queries read
 only probed cells (partition pruning), appends replay-idempotent,
-calibration stored as the index's default operating point."""
+calibration stored as the index's default operating point, and the
+whole maintenance plane (atomic generation flips, compaction,
+carry-over) inherited from the streaming near-dup index protocol."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -60,7 +62,7 @@ def test_index_scan_prunes_unprobed_cells(spark, emb, tmp_path):
     # probed cells from the plan's literal IN-list; ≤ 4 queries ×
     # 2 probes = ≤ 8 of 16 cells, so an unprobed one must exist
     probed = {int(x) for x in re.findall(r"\b(\d+)\b", part_sec)}
-    data_dir = tmp_path / "ivf" / "data" / "_batch_id=-1"
+    data_dir = tmp_path / "ivf" / "data" / "gen=1" / "_batch_id=-1"
     on_disk = {int(p.name.split("=")[1]) for p in data_dir.iterdir()
                if p.name.startswith("list_id=")}
     victims = sorted(on_disk - probed)
@@ -74,7 +76,7 @@ def test_index_scan_prunes_unprobed_cells(spark, emb, tmp_path):
     assert _rows(got2) == baseline
     # full scan: forced to open the corrupt file, fails
     with pytest.raises(Exception):
-        spark.read.parquet(str(tmp_path / "ivf" / "data")).count()
+        AX.read_ivf_data(spark, path).count()
 
 
 def test_index_append_replay_idempotent(spark, emb, tmp_path):
@@ -87,12 +89,11 @@ def test_index_append_replay_idempotent(spark, emb, tmp_path):
     new = emb.filter(F.col("vec_id") % 2 == 1).limit(50)
     AX.build_ivf_index(old, path, nlist=16)
     AX.ivf_index_append(new, path, batch_id=0)
-    data = spark.read.parquet(str(tmp_path / "ivf" / "data"))
+    data = AX.read_ivf_data(spark, path)
     n1 = data.count()
     assert data.filter(F.col("_batch_id") == 0).count() == new.count()
     AX.ivf_index_append(new, path, batch_id=0)  # replay
-    data2 = spark.read.parquet(str(tmp_path / "ivf" / "data"))
-    assert data2.count() == n1
+    assert AX.read_ivf_data(spark, path).count() == n1
     # an appended vector is served: query ITS OWN vector, it must be
     # its global nearest neighbors' anchor (rank column exists, k rows)
     probe_q = new.limit(2)
@@ -126,6 +127,45 @@ def test_index_on_file_uri(spark, emb, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3)
     got = AX.topk_ivf_index(spark, queries, path, k=3, nprobe=2)
     assert got.count() > 0
+
+
+def test_index_compaction_atomic_and_result_stable(spark, emb, tmp_path):
+    """compact_ivf_index folds batch partitions into the seed behind
+    an atomic generation flip (the near-dup index protocol with
+    cell-nested partitions): results identical before/after, the prior
+    generation retained for in-flight readers, the highest batch kept
+    as-is (foreachBatch replay contract), appends after compaction
+    land in the new generation, and pruning still works."""
+    path = str(tmp_path / "ivf")
+    parts = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    AX.build_ivf_index(parts[0], path, nlist=16)
+    for b, p in enumerate(parts[1:3]):
+        AX.ivf_index_append(p, path, batch_id=b)
+    queries = emb.filter(F.col("vec_id") < 6)
+    before = _rows(AX.topk_ivf_index(spark, queries, path, k=5, nprobe=4))
+
+    AX.compact_ivf_index(spark, path)
+    data_root = tmp_path / "ivf" / "data"
+    gens = sorted(p.name for p in data_root.iterdir()
+                  if p.name.startswith("gen="))
+    assert gens == ["gen=1", "gen=2"]  # prior generation retained
+    after = AX.read_ivf_data(spark, path)
+    bids = {r["_batch_id"] for r in after.select("_batch_id")
+            .distinct().collect()}
+    assert bids == {-1, 1}  # folded, highest batch kept as-is
+    assert _rows(AX.topk_ivf_index(
+        spark, queries, path, k=5, nprobe=4)) == before
+
+    # append AFTER compaction: commits into the new generation
+    AX.ivf_index_append(parts[3], path, batch_id=2)
+    got = AX.read_ivf_data(spark, path)
+    assert got.filter(F.col("_batch_id") == 2).count() == parts[3].count()
+    assert got.count() == emb.count()
+    # pruning still plan-visible on the compacted tree
+    plan = formatted_plan(
+        AX.topk_ivf_index(spark, queries, path, k=5, nprobe=2))
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1][:500]
 
 
 def test_calib_solve_matches_linear_scan():
