@@ -246,3 +246,26 @@ def topk_ivf_index(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_ingest_stream(stream: DataFrame, path: str, checkpoint: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Streaming appends — the ANN-index twin of
+    streaming.events.neardup_ingest_stream: each micro-batch quantizes
+    against the STORED centroids and commits its own ``_batch_id``
+    partitions (replay-idempotent via commit_batch_partitions, safe
+    beside a concurrent compact_ivf_index — the same lease-free
+    protocol the near-dup crawl loop runs). availableNow trigger;
+    caller awaits termination. Steady-state cost scales with the
+    batch: one bounded assignment matmul, no corpus re-scan."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(batch_df, path, batch_id,
+                         id_col=id_col, vec_col=vec_col)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -216,3 +216,39 @@ def test_calib_solve_matches_linear_scan():
         assert vals == sorted(vals)
 
     check()
+
+
+def test_ivf_ingest_stream_drained_equals_batch(spark, emb, tmp_path):
+    """Streaming appends: the drained stream's index equals the
+    one-shot append of all new vectors — same (vec_id, list_id)
+    assignments against the stored centroids, batch ids continuing
+    the foreachBatch numbering; streamed vectors are served."""
+    path = str(tmp_path / "ivf")
+    src = str(tmp_path / "incoming")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    AX.build_ivf_index(old, path, nlist=16)
+    for i in range(3):
+        (new.filter(F.col("vec_id") % 3 == i).repartition(1)
+         .write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = AX.ivf_ingest_stream(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    data = AX.read_ivf_data(spark, path)
+    assert data.count() == emb.count()
+    got = {(r["vec_id"], r["list_id"])
+           for r in data.filter(F.col("_batch_id") >= 0)
+           .select("vec_id", "list_id").collect()}
+    # one-shot reference: assign all new vectors against the meta
+    meta = AX.read_ivf_meta(path)
+    want = {(r["vec_id"], r["list_id"]) for r in new.select(
+        F.col("vec_id"),
+        F.element_at(AX._assign_expr(
+            F.col("embedding"), meta["centroids"], 1), 1).alias("list_id")
+    ).collect()}
+    assert got == want
+    served = AX.topk_ivf_index(spark, new.limit(2), path, k=3, nprobe=16)
+    assert served.count() > 0
