@@ -14,8 +14,8 @@ table); the per-call path only ever delivered the compute half.
 Layout (every path through :mod:`andl_spark.fsio` — local, file://,
 hdfs://, s3a://)::
 
-    <path>/_meta.json                    quantizer + params + calibration
     <path>/data/_pointer.json            current generation (atomic flip)
+    <path>/data/gen=N/_meta.json         quantizer + params + calibration
     <path>/data/gen=N/_batch_id=…/list_id=…   (id, vector) rows
 
 The data tree IS a streaming-index generation tree (r8b): build
@@ -50,6 +50,7 @@ from ..streaming.events import (
     commit_batch_partitions,
     compact_neardup_index,
     read_neardup_index,
+    resolve_neardup_index,
     seed_neardup_index,
 )
 from .simsearch import (
@@ -128,8 +129,6 @@ def build_ivf_index(
         F.element_at(
             _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
     )
-    seed_neardup_index(assigned, fsio.join(path, "data"),
-                       part_cols=PART_COLS)
     meta = {
         "version": META_VERSION,
         "nlist": len(centroids),
@@ -140,13 +139,24 @@ def build_ivf_index(
         "dim": len(centroids[0]) if centroids else 0,
         "calibration": calibration,
     }
-    fsio.mkdirs(path)
-    fsio.write_text_atomic(fsio.join(path, "_meta.json"), json.dumps(meta))
+    # the meta commits INSIDE the generation, before the pointer flip:
+    # a rebuild (new quantizer) can never leave a reader pairing the
+    # new generation's cells with the old generation's centroids
+    seed_neardup_index(assigned, fsio.join(path, "data"),
+                       part_cols=PART_COLS,
+                       meta_files={"_meta.json": json.dumps(meta)})
     return meta
 
 
 def read_ivf_meta(path: str) -> dict:
-    return json.loads(fsio.read_text(fsio.join(path, "_meta.json")))
+    """Quantizer meta of the CURRENT generation — resolved through the
+    same pointer as the data, so meta and cells always agree (the meta
+    sidecar commits with its generation; compaction carries it)."""
+    gen_dir = resolve_neardup_index(fsio.join(path, "data"))
+    p = fsio.join(gen_dir, "_meta.json")
+    if not fsio.exists(p):  # legacy top-level layout
+        p = fsio.join(path, "_meta.json")
+    return json.loads(fsio.read_text(p))
 
 
 def ivf_index_append(

@@ -309,7 +309,8 @@ def read_neardup_index(spark, index_path: str) -> DataFrame:
 
 
 def seed_neardup_index(sigs: DataFrame, index_path: str,
-                       part_cols: tuple = ("_batch_id",)) -> None:
+                       part_cols: tuple = ("_batch_id",),
+                       meta_files: dict | None = None) -> None:
     """Seed a streaming near-dup signature index with the historical
     corpus's signatures (minhash_signatures / simhash_signatures /
     embedding_index / span first-occurrence output). The seed lands in
@@ -330,7 +331,12 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
     top-level batch dirs); extra columns nest below it — the persisted
     IVF index (pipeline/annindex.py) passes ("_batch_id", "list_id")
     so its cell partitions keep pruning while inheriting this
-    maintenance plane."""
+    maintenance plane. ``meta_files`` (name → text) are small sidecar
+    files written INTO the new generation directory before the pointer
+    flip, so they commit atomically WITH the data they describe (the
+    IVF index stores its quantizer meta this way — a reader can never
+    pair one generation's cells with another generation's centroids);
+    compaction carries them into each new generation."""
     import json
 
     from .. import fsio
@@ -350,6 +356,8 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
         .partitionBy(*part_cols)
         .parquet(target)
     )
+    for name, text in (meta_files or {}).items():
+        fsio.write_text_atomic(fsio.join(target, name), text)
     # record the seed schema in the pointer: a COLD START (empty seed)
     # writes no parquet data files, so readers need the schema to
     # reconstruct the empty index (read_neardup_index; review r7)
@@ -488,6 +496,10 @@ def compact_neardup_index(spark, index_path: str,
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
     df.write.partitionBy(*part_cols).parquet(target)
+    for name in fsio.listdir(src):  # carry meta sidecars (see seed)
+        if name.startswith("_meta"):
+            fsio.write_text_atomic(fsio.join(target, name),
+                                   fsio.read_text(fsio.join(src, name)))
 
     def _carry_late(already: set[str]) -> set[str]:
         """Copy batch partitions committed into the source generation

@@ -168,6 +168,31 @@ def test_index_compaction_atomic_and_result_stable(spark, emb, tmp_path):
         "PartitionFilters", 1)[1][:500]
 
 
+def test_rebuild_commits_meta_with_its_generation(spark, emb, tmp_path):
+    """A rebuild writes a NEW quantizer: the meta sidecar commits
+    inside the new generation before the pointer flip, so meta and
+    cells can never disagree — after rebuild both reflect nlist=24,
+    and the retained prior generation still holds its own meta."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    assert AX.read_ivf_meta(path)["nlist"] == 8
+    AX.build_ivf_index(emb, path, nlist=24)  # rebuild, new quantizer
+    meta = AX.read_ivf_meta(path)
+    assert meta["nlist"] == 24
+    data = AX.read_ivf_data(spark, path)
+    n_cells = data.select("list_id").distinct().count()
+    assert n_cells <= 24 and n_cells > 8  # cells ARE the new quantizer's
+    # prior generation retained with ITS meta (in-flight reader safety)
+    g1 = tmp_path / "ivf" / "data" / "gen=1"
+    assert (g1 / "_meta.json").exists()
+    import json as _json
+    assert _json.loads((g1 / "_meta.json").read_text())["nlist"] == 8
+    # queries work against the rebuilt index
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") < 3),
+                            path, k=3, nprobe=6)
+    assert got.count() > 0
+
+
 def test_calib_solve_matches_linear_scan():
     """Property (hypothesis, no Spark): _calib_solve's binary search
     over the monotone recall curve returns exactly what a brute-force
