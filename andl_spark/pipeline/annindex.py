@@ -129,6 +129,11 @@ def build_ivf_index(
         F.element_at(
             _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
     )
+    # one shuffle on the cell id so each cell is written by exactly
+    # one task: without it every map task writes every cell — measured
+    # 32,000 files (32 tasks x 1000 cells) at 1M vectors, a listing/
+    # open-cost tax on every probe; with it, files == cells
+    assigned = assigned.repartition("list_id")
     meta = {
         "version": META_VERSION,
         "nlist": len(centroids),
@@ -177,8 +182,8 @@ def ivf_index_append(
         F.element_at(
             _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
     )
-    commit_batch_partitions(assigned, batch_id, fsio.join(path, "data"),
-                            part_cols=PART_COLS)
+    commit_batch_partitions(assigned.repartition("list_id"), batch_id,
+                            fsio.join(path, "data"), part_cols=PART_COLS)
 
 
 def compact_ivf_index(spark: SparkSession, path: str,
