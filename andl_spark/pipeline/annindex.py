@@ -54,17 +54,27 @@ from ..streaming.events import (
     seed_neardup_index,
 )
 from .simsearch import (
+    AUTO_NLIST_MAX,
+    AUTO_PROBE_FRAC,
     NP_ASSIGN_MIN_NLIST,
     auto_nlist,
     auto_nprobe,
     calibrate_probe,
+    calibrate_probe_hier,
     cosine_n_expr,
+    hier_assign_np,
+    hier_params,
+    hier_probe_np,
+    hier_seed_centroids,
+    hier_trained_centroids,
     nearest_lists_cosine,
     nearest_lists_np,
     norm_expr,
     seed_centroids,
     trained_centroids,
 )
+
+import math
 
 META_VERSION = 1
 
@@ -100,19 +110,66 @@ def build_ivf_index(
     corpus_count: int | None = None,
     calibrate: float | None = None,
     k: int = 5,
+    n1: int | None = None,
+    n2: int | None = None,
 ) -> dict:
     """Build the index: resolve the quantizer (same rules as
     topk_ivf_det — √N auto-scale via ``nlist=None``), assign every
     corpus vector to its cell, write cell-partitioned parquet and the
-    meta JSON. ``calibrate=<target recall>`` additionally runs
-    calibrate_probe and stores the measured nprobe in the meta, so
-    every future query of this index defaults to the measured
-    operating point instead of the 8% clustered-corpus rule. Returns
-    the meta dict."""
-    if nlist is None:
+    meta JSON. ``calibrate=<target recall>`` additionally runs the
+    matching calibrator and stores the measured probe depth in the
+    meta, so every future query of this index defaults to the measured
+    operating point instead of the 8% clustered-corpus rule.
+
+    Above the flat clamp (auto-scale with √N > 4096, i.e. N > 16.7M)
+    the build AUTO-DISPATCHES to the TWO-LEVEL quantizer — same rule
+    as topk_ivf_det: ≈√N total cells as n1·n2 with n1 ≈ n2 ≈ N^(1/4),
+    assignment two bounded matmuls per row instead of √N dots; the
+    combined cell id keeps the identical partition layout, so probes
+    prune the same way. Explicit ``n1``/``n2`` force the hierarchy at
+    any size. Returns the meta dict (kind: flat | hier)."""
+    hier = n1 is not None or n2 is not None
+    if nlist is None and not hier:
         if corpus_count is None:
             corpus_count = corpus.count()
-        nlist = auto_nlist(corpus_count)
+        if corpus_count > AUTO_NLIST_MAX ** 2:
+            hier = True
+        else:
+            nlist = auto_nlist(corpus_count)
+    if hier:
+        if n1 is None or n2 is None:
+            a1, a2, _ = hier_params(corpus_count or corpus.count())
+            n1, n2 = n1 or a1, n2 or a2
+        if quantizer == "trained":
+            cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2)
+        elif quantizer == "seed":
+            cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
+        C1, C2 = cents
+        n1, n2 = len(C1), (len(C2[0]) if C2 else 0)
+        calibration = None
+        if calibrate is not None:
+            calibration = calibrate_probe_hier(
+                corpus, id_col, vec_col, k=k, target_recall=calibrate,
+                n1=n1, n2=n2, quantizer=quantizer, cents=cents)
+        assigned = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
+        ).repartition("list_id")
+        meta = {
+            "version": META_VERSION, "kind": "hier",
+            "nlist": n1 * n2, "n1": n1, "n2": n2,
+            "C1": C1, "C2": C2,
+            "quantizer": quantizer, "id_col": id_col, "vec_col": vec_col,
+            "dim": len(C1[0]) if C1 else 0,
+            "calibration": calibration,
+        }
+        seed_neardup_index(assigned, fsio.join(path, "data"),
+                           part_cols=PART_COLS,
+                           meta_files={"_meta.json": json.dumps(meta)})
+        return meta
     if quantizer == "trained":
         centroids = trained_centroids(corpus, id_col, vec_col, nlist)
     elif quantizer == "seed":
@@ -136,6 +193,7 @@ def build_ivf_index(
     assigned = assigned.repartition("list_id")
     meta = {
         "version": META_VERSION,
+        "kind": "flat",
         "nlist": len(centroids),
         "centroids": centroids,
         "quantizer": quantizer,
@@ -176,11 +234,14 @@ def ivf_index_append(
     same batch_id rewrites exactly its partitions (the streaming
     ingest contract; usable directly inside foreachBatch)."""
     meta = read_ivf_meta(path)
-    centroids = meta["centroids"]
+    if meta.get("kind") == "hier":
+        assign = hier_assign_np(meta["C1"], meta["C2"])(F.col(vec_col))
+    else:
+        assign = F.element_at(
+            _assign_expr(F.col(vec_col), meta["centroids"], 1), 1)
     assigned = batch.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        F.element_at(
-            _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
+        assign.alias("list_id"),
     )
     commit_batch_partitions(assigned.repartition("list_id"), batch_id,
                             fsio.join(path, "data"), part_cols=PART_COLS)
@@ -214,7 +275,8 @@ def topk_ivf_index(
     the parquet scan prunes unprobed cells before reading a byte
     (plan-asserted: PartitionFilters carries the list_id predicate).
     ``nprobe`` defaults to the index's STORED calibration when the
-    build measured one, else the 8% auto rule. Join shape and
+    build measured one, else the 8% auto rule; on a two-level index it
+    means p1 — probed TOP cells, each contributing all its sub-cells. Join shape and
     tie-breaking are identical to topk_ivf_det — on an unchanged corpus
     the two return the same rows (pinned in tests).
 
@@ -222,19 +284,27 @@ def topk_ivf_index(
     k-NN over a huge query set should go through the pair ops, not a
     per-query probe."""
     meta = read_ivf_meta(path)
-    centroids = meta["centroids"]
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
+    hier = meta.get("kind") == "hier"
     if nprobe is None:
         cal = meta.get("calibration")
-        nprobe = cal["nprobe"] if cal else auto_nprobe(meta["nlist"])
+        if cal:  # the stored measured operating point
+            nprobe = cal["p1"] if hier else cal["nprobe"]
+        elif hier:  # nprobe means p1 (probed TOP cells) for hier
+            nprobe = max(2, math.ceil(meta["n1"] * AUTO_PROBE_FRAC))
+        else:
+            nprobe = auto_nprobe(meta["nlist"])
+    if hier:
+        probe_expr = hier_probe_np(meta["C1"], meta["C2"],
+                                   nprobe)(F.col("qvec"))
+    else:
+        probe_expr = _assign_expr(F.col("qvec"), meta["centroids"],
+                                  nprobe, vec_norm=F.col("qn"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qn"),
-    ).withColumn(
-        "probe", _assign_expr(F.col("qvec"), centroids, nprobe,
-                              vec_norm=F.col("qn"))
-    ).localCheckpoint()  # probe lists computed ONCE: reused for the
+    ).withColumn("probe", probe_expr).localCheckpoint()  # probe lists computed ONCE: reused for the
     # driver-side partition-filter collect AND the probe join
     cells = sorted({c for r in q.select(
         F.explode("probe").alias("c")).distinct().collect()

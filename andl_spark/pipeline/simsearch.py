@@ -1283,7 +1283,8 @@ def _calib_solve(rows: list, k: int, target_recall: float,
 
 
 def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
-                   n_holdout: int) -> DataFrame:
+                   n_holdout: int,
+                   holdout: DataFrame | None = None) -> DataFrame:
     """Deterministic holdout query set: the ``n_holdout`` LARGEST-id
     nonzero-norm vectors — deterministic like the quantizers' contract
     (no sampling seed to disagree about across runs), but from the
@@ -1294,14 +1295,23 @@ def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
     corpus (observed: 0.96 at nprobe=1/224 on the smooth mixture whose
     true random-query recall at that depth is ~0.25 — SCALE_r08.md).
     Largest ids are also the natural query regime of a crawl: the
-    newest documents querying an index built from the past."""
+    newest documents querying an index built from the past.
+
+    ``holdout`` overrides the rule entirely: when the real query
+    distribution differs from the corpus (external search traffic),
+    pass a sample of IT — calibration is only as representative as
+    its queries. Same id/vector columns; rows cap at ``n_holdout`` by
+    smallest id (deterministic either way)."""
+    src_df = corpus if holdout is None else holdout
+    order = (F.col("query_id").desc() if holdout is None
+             else F.col("query_id").asc())
     return (
-        corpus.where(F.col(vec_col).isNotNull())
+        src_df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qvec"),
                 norm_expr(F.col(vec_col)).alias("qn"))
         .where(F.col("qn") > 0)
-        .orderBy(F.col("query_id").desc()).limit(n_holdout)
+        .orderBy(order).limit(n_holdout)
     )
 
 
@@ -1317,6 +1327,7 @@ def calibrate_probe(
     quantizer: str = "seed",
     centroids: list[list[float]] | None = None,
     version: object = None,
+    holdout: DataFrame | None = None,
 ) -> dict:
     """Measure, don't guess, the flat-IVF probe depth: returns a record
     whose ``nprobe`` is the SMALLEST depth whose recall@k on a
@@ -1344,9 +1355,11 @@ def calibrate_probe(
         nlist = auto_nlist(corpus_count)
     cents_key = (None if centroids is None
                  else hash(tuple(tuple(c) for c in centroids)))
+    hold_key = None if holdout is None else holdout.semanticHash()
     key = ("flat", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, k, target_recall, n_holdout, nlist,
-           quantizer, cents_key, corpus.semanticHash(), version)
+           quantizer, cents_key, corpus.semanticHash(), version,
+           hold_key)
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     if centroids is None:
@@ -1368,7 +1381,7 @@ def calibrate_probe(
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cn"), assign1.alias("list_id"))
-    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     if use_np:
         order = nearest_lists_np(centroids, n_cells)(F.col("qvec"))
     else:
@@ -1402,6 +1415,7 @@ def calibrate_probe_hier(
     quantizer: str = "seed",
     cents: tuple | None = None,
     version: object = None,
+    holdout: DataFrame | None = None,
 ) -> dict:
     """calibrate_probe for the two-level quantizer: the dial is ``p1``
     (how many TOP cells a query probes — every sub-cell of a probed top
@@ -1422,9 +1436,11 @@ def calibrate_probe_hier(
         cents_key = hash((tuple(tuple(c) for c in cents[0]),
                           tuple(tuple(tuple(s) for s in sub)
                                 for sub in cents[1])))
+    hold_key = None if holdout is None else holdout.semanticHash()
     key = ("hier", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, k, target_recall, n_holdout, n1, n2,
-           quantizer, cents_key, corpus.semanticHash(), version)
+           quantizer, cents_key, corpus.semanticHash(), version,
+           hold_key)
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     if cents is None:
@@ -1440,7 +1456,7 @@ def calibrate_probe_hier(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cn"),
         hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"))
-    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     grid = h.select(
         "query_id",
         F.posexplode(hier_probe_np(C1, C2, n1)(F.col("qvec"))
@@ -1471,6 +1487,7 @@ def calibrate_probe_lsh(
     dim: int | None = None,
     seed: int = 42,
     version: object = None,
+    holdout: DataFrame | None = None,
 ) -> dict:
     """calibrate_probe for sign-bit LSH: the dial is ``multiprobe``
     (max Hamming radius probed), so probe_pos = Hamming(query bucket,
@@ -1489,16 +1506,17 @@ def calibrate_probe_lsh(
                          f"buckets per holdout query; bits={bits} > 12")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    hold_key = None if holdout is None else holdout.semanticHash()
     key = ("lsh", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, k, target_recall, n_holdout, bits, dim,
-           seed, corpus.semanticHash(), version)
+           seed, corpus.semanticHash(), version, hold_key)
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cn"),
         hyperplane_bucket(vec_col, dim, bits, seed).alias("list_id"))
-    h = _calib_holdout(corpus, id_col, vec_col, n_holdout)
+    h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     grid = (
         h.withColumn("bucket0",
                      hyperplane_bucket(F.col("qvec"), dim, bits, seed))

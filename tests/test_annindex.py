@@ -193,6 +193,40 @@ def test_rebuild_commits_meta_with_its_generation(spark, emb, tmp_path):
     assert got.count() > 0
 
 
+def test_hier_index_matches_per_call_operator(spark, emb, tmp_path):
+    """Two-level quantizer in the persisted index (the >16.7M-vector
+    regime, forced here with explicit n1/n2): same cents + same p1 →
+    row-identical to topk_ivf_hier; calibrate= stores the measured p1
+    as the default; appends assign via the stored two-level
+    quantizer."""
+    path = str(tmp_path / "ivf")
+    meta = AX.build_ivf_index(emb, path, n1=4, n2=4, calibrate=0.9)
+    assert meta["kind"] == "hier" and (meta["n1"], meta["n2"]) == (4, 4)
+    cal = meta["calibration"]
+    assert cal is not None and cal["recall"] >= 0.9 and cal["kind"] == "hier"
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = AX.topk_ivf_index(spark, queries, path, k=5)  # default = cal p1
+    want = SS.topk_ivf_hier(emb, queries, k=5, n1=4, n2=4, p1=cal["p1"])
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+    AX.ivf_index_append(emb.limit(10), path, batch_id=0)
+    after = AX.read_ivf_data(spark, path)
+    assert after.filter(F.col("_batch_id") == 0).count() == 10
+
+
+def test_calibrate_probe_external_holdout(spark, emb):
+    """calibrate_probe with an EXPLICIT holdout (external query
+    traffic): the chosen depth reflects those queries, and a different
+    holdout is a different cache entry."""
+    ext = emb.filter((F.col("vec_id") % 7 == 3)).limit(16)
+    r1 = SS.calibrate_probe(emb, k=3, target_recall=0.9, nlist=16,
+                            holdout=ext)
+    assert r1["recall"] >= 0.9 and r1["n_holdout"] <= 16
+    r2 = SS.calibrate_probe(emb, k=3, target_recall=0.9, nlist=16)
+    assert r1 is not r2  # distinct cache entries
+    assert r1 is SS.calibrate_probe(emb, k=3, target_recall=0.9,
+                                    nlist=16, holdout=ext)
+
+
 def test_calib_solve_matches_linear_scan():
     """Property (hypothesis, no Spark): _calib_solve's binary search
     over the monotone recall curve returns exactly what a brute-force
