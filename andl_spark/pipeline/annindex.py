@@ -47,7 +47,6 @@ from pyspark.sql import functions as F
 
 from .. import fsio
 from ..streaming.events import (
-    commit_batch_partitions,
     compact_neardup_index,
     read_neardup_index,
     resolve_neardup_index,
@@ -91,13 +90,38 @@ def read_ivf_data(spark: SparkSession, path: str) -> DataFrame:
 
 def _assign_expr(vec_col, centroids: list[list[float]], nprobe: int,
                  vec_norm=None):
-    """The serving assignment rule: numpy matmul at large nlist, JVM
-    literal expression below (same threshold topk_ivf_det uses, so an
-    index query reproduces the per-call operator bit-for-bit)."""
+    """The serving assignment rule: numpy matmul at nlist ≥
+    NP_ASSIGN_MIN_NLIST, JVM literal expression below. NOTE the
+    equivalence contract with topk_ivf_det: identical for nlist < 64
+    and in the auto-scale regime; for an EXPLICIT nlist ≥ 64
+    topk_ivf_det keeps the JVM expression (oracle parity) while the
+    index uses the matmul — the two agree up to the shared 4-decimal
+    cosine rounding, so a row exactly AT a rounding boundary may
+    assign one cell apart (the same caveat nearest_lists_np documents;
+    the pinned row-identity tests run at nlist=16 where the paths are
+    bit-identical)."""
     if len(centroids) >= NP_ASSIGN_MIN_NLIST:
         return nearest_lists_np(centroids, nprobe)(vec_col)
     return nearest_lists_cosine(vec_col, centroids, nprobe,
                                 vec_norm=vec_norm)
+
+
+def _flat_assigned(df: DataFrame, id_col: str, vec_col: str,
+                   centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, list_id) with the row norm computed ONCE
+    and fed to the expression-path assignment — inlining it would
+    re-aggregate the O(dim) norm per centroid (the dominant
+    interpreted-HOF cost topk_ivf_det's two-stage projection avoids;
+    review r8b). The numpy path ignores vec_norm."""
+    return (
+        df.select(F.col(id_col).alias("vec_id"),
+                  F.col(vec_col).alias("embedding"))
+        .withColumn("__n", norm_expr(F.col("embedding")))
+        .select("vec_id", "embedding",
+                F.element_at(_assign_expr(
+                    F.col("embedding"), centroids, 1,
+                    vec_norm=F.col("__n")), 1).alias("list_id"))
+    )
 
 
 def build_ivf_index(
@@ -176,16 +200,19 @@ def build_ivf_index(
         centroids = seed_centroids(corpus, id_col, vec_col, nlist)
     else:
         raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
+    if not centroids:
+        # fail HERE, not as an opaque array-index error on the first
+        # append/query of a meta with nlist=0 (review r8b); the
+        # cold-start pattern for ANN is build-on-first-corpus, unlike
+        # the near-dup index whose empty seed is meaningful
+        raise ValueError("build_ivf_index: empty corpus — an IVF index "
+                         "needs at least one vector to quantize against")
     calibration = None
     if calibrate is not None:
         calibration = calibrate_probe(
             corpus, id_col, vec_col, k=k, target_recall=calibrate,
             nlist=len(centroids), quantizer=quantizer, centroids=centroids)
-    assigned = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        F.element_at(
-            _assign_expr(F.col(vec_col), centroids, 1), 1).alias("list_id"),
-    )
+    assigned = _flat_assigned(corpus, id_col, vec_col, centroids)
     # one shuffle on the cell id so each cell is written by exactly
     # one task: without it every map task writes every cell — measured
     # 32,000 files (32 tasks x 1000 cells) at 1M vectors, a listing/
@@ -211,15 +238,45 @@ def build_ivf_index(
     return meta
 
 
+#: parsed metas keyed by (index path, generation dir): a generation is
+#: immutable once flipped to, so its meta parses once — without this,
+#: every query and every streaming micro-batch re-json.loads the
+#: quantizer (the hier C2 tensor is n1·n2·dim doubles — ~100 MB of
+#: JSON at the 16.7M+ auto-dispatch regime with dim 1024; review r8b)
+_META_CACHE: dict[tuple, dict] = {}
+_META_CACHE_MAX = 32
+
+
+def _meta_at(path: str, gen_dir: str) -> dict:
+    key = (path, gen_dir)
+    if key not in _META_CACHE:
+        while len(_META_CACHE) >= _META_CACHE_MAX:  # bounded FIFO
+            _META_CACHE.pop(next(iter(_META_CACHE)))
+        p = fsio.join(gen_dir, "_meta.json")
+        if not fsio.exists(p):  # legacy top-level layout
+            p = fsio.join(path, "_meta.json")
+        _META_CACHE[key] = json.loads(fsio.read_text(p))
+    return _META_CACHE[key]
+
+
+def read_ivf_snapshot(spark: SparkSession, path: str):
+    """(meta, data) resolved from ONE pointer read, so the quantizer
+    and the cells come from the SAME generation — resolving them
+    separately opens a window where a concurrent rebuild flips the
+    pointer in between and a reader pairs one generation's centroids
+    with another's cells (review r8b; the torn pairing the in-
+    generation meta commit exists to prevent)."""
+    gen_dir = resolve_neardup_index(fsio.join(path, "data"))
+    return _meta_at(path, gen_dir), spark.read.parquet(gen_dir)
+
+
 def read_ivf_meta(path: str) -> dict:
     """Quantizer meta of the CURRENT generation — resolved through the
     same pointer as the data, so meta and cells always agree (the meta
-    sidecar commits with its generation; compaction carries it)."""
+    sidecar commits with its generation; compaction carries it). For a
+    meta + data pair use read_ivf_snapshot (one pointer read)."""
     gen_dir = resolve_neardup_index(fsio.join(path, "data"))
-    p = fsio.join(gen_dir, "_meta.json")
-    if not fsio.exists(p):  # legacy top-level layout
-        p = fsio.join(path, "_meta.json")
-    return json.loads(fsio.read_text(p))
+    return _meta_at(path, gen_dir)
 
 
 def ivf_index_append(
@@ -232,19 +289,39 @@ def ivf_index_append(
     """Append a batch against the STORED centroids, into its own
     ``_batch_id`` partitions with dynamic overwrite — a replay of the
     same batch_id rewrites exactly its partitions (the streaming
-    ingest contract; usable directly inside foreachBatch)."""
-    meta = read_ivf_meta(path)
-    if meta.get("kind") == "hier":
-        assign = hier_assign_np(meta["C1"], meta["C2"])(F.col(vec_col))
-    else:
-        assign = F.element_at(
-            _assign_expr(F.col(vec_col), meta["centroids"], 1), 1)
-    assigned = batch.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        assign.alias("list_id"),
-    )
-    commit_batch_partitions(assigned.repartition("list_id"), batch_id,
-                            fsio.join(path, "data"), part_cols=PART_COLS)
+    ingest contract; usable directly inside foreachBatch).
+
+    Each attempt resolves the generation ONCE and takes both the
+    quantizer and the write target from it; after the write it
+    re-resolves and, if the pointer moved (compaction OR a rebuild
+    with a NEW quantizer), re-assigns under the new generation's meta
+    and re-commits — the commit_batch_partitions re-resolve protocol,
+    strengthened to re-QUANTIZE because a rebuild changes what the
+    cell ids mean (review r8b: committing stale-centroid rows into a
+    rebuilt generation would make those vectors unfindable forever)."""
+    data_root = fsio.join(path, "data")
+    while True:
+        gen_dir = resolve_neardup_index(data_root)
+        meta = _meta_at(path, gen_dir)
+        if meta.get("kind") == "hier":
+            assigned = batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                hier_assign_np(meta["C1"], meta["C2"])(
+                    F.col(vec_col)).alias("list_id"))
+        else:
+            assigned = _flat_assigned(batch, id_col, vec_col,
+                                      meta["centroids"])
+        (
+            assigned.repartition("list_id")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*PART_COLS)
+            .parquet(gen_dir)
+        )
+        if resolve_neardup_index(data_root) == gen_dir:
+            return
 
 
 def compact_ivf_index(spark: SparkSession, path: str,
@@ -283,7 +360,7 @@ def topk_ivf_index(
     The query batch is broadcast (the topk_bruteforce contract): bulk
     k-NN over a huge query set should go through the pair ops, not a
     per-query probe."""
-    meta = read_ivf_meta(path)
+    meta, data = read_ivf_snapshot(spark, path)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     hier = meta.get("kind") == "hier"
@@ -310,7 +387,7 @@ def topk_ivf_index(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
     c = (
-        read_ivf_data(spark, path)
+        data  # same generation as the meta above (one pointer read)
         .filter(F.col("list_id").isin(cells))  # partition pruning
         .select(F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("cvec"),

@@ -357,6 +357,12 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
         .parquet(target)
     )
     for name, text in (meta_files or {}).items():
+        if not name.startswith("_meta"):
+            # compaction carries exactly the "_meta" prefix into each
+            # new generation; any other name would silently vanish at
+            # the first compaction (review r8b)
+            raise ValueError(f"meta_files names must start with '_meta' "
+                             f"(got {name!r})")
         fsio.write_text_atomic(fsio.join(target, name), text)
     # record the seed schema in the pointer: a COLD START (empty seed)
     # writes no parquet data files, so readers need the schema to
@@ -482,16 +488,25 @@ def compact_neardup_index(spark, index_path: str,
         return
     seen_parts = {f"_batch_id={b}" for b in seen_bids}
     max_bid = max(seen_bids)
-    folded = (
+
+    def _shape(df):
+        # flat layout: bound the fold to target_files files. NESTED
+        # layout: one shuffle on the trailing partition cols so each
+        # leaf cell is written by ONE task — coalesce here would have
+        # every task write every cell (target_files × cells files,
+        # the small-files tax compaction exists to remove; review r8b)
+        if len(part_cols) > 1:
+            return df.repartition(*part_cols[1:])
+        return df.coalesce(target_files)
+
+    folded = _shape(
         raw.filter(F.col("_batch_id") != max_bid).drop("_batch_id")
         .withColumn("_batch_id", F.lit(-1))
-        .coalesce(target_files)
     )
     df = (
         folded.unionByName(raw.filter(F.col("_batch_id") == max_bid))
         if max_bid is not None and max_bid >= 0 else
-        raw.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
-        .coalesce(target_files)
+        _shape(raw.drop("_batch_id").withColumn("_batch_id", F.lit(-1)))
     ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
@@ -512,10 +527,14 @@ def compact_neardup_index(spark, index_path: str,
             and n not in seen_parts and n not in already
         )
         if late:
-            (
+            carried_df = (
                 spark.read.option("basePath", src)
                 .parquet(*[fsio.join(src, n) for n in late])
-                .write.mode("overwrite")
+            )
+            if len(part_cols) > 1:  # one task per leaf cell (see _shape)
+                carried_df = carried_df.repartition(*part_cols[1:])
+            (
+                carried_df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*part_cols).parquet(target)
             )

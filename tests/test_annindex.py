@@ -166,6 +166,12 @@ def test_index_compaction_atomic_and_result_stable(spark, emb, tmp_path):
         AX.topk_ivf_index(spark, queries, path, k=5, nprobe=2))
     assert "PartitionFilters" in plan and "list_id" in plan.split(
         "PartitionFilters", 1)[1][:500]
+    # the fold writes ONE file per cell (review r8b: coalesce before a
+    # nested partitionBy would have every task write every cell)
+    folded = data_root / "gen=2" / "_batch_id=-1"
+    for cdir in folded.iterdir():
+        if cdir.name.startswith("list_id="):
+            assert len(list(cdir.glob("*.parquet"))) == 1, cdir
 
 
 def test_rebuild_commits_meta_with_its_generation(spark, emb, tmp_path):
@@ -225,6 +231,55 @@ def test_calibrate_probe_external_holdout(spark, emb):
     assert r1 is not r2  # distinct cache entries
     assert r1 is SS.calibrate_probe(emb, k=3, target_recall=0.9,
                                     nlist=16, holdout=ext)
+
+
+def test_append_requantizes_when_rebuild_flips_mid_batch(
+        spark, emb, tmp_path, monkeypatch):
+    """review r8b TOCTOU pin: an append that resolved generation N
+    races a REBUILD (new quantizer) flipping to N+1 — the stale-gen
+    write must not stand; the append re-resolves, re-QUANTIZES under
+    the new generation's meta, and re-commits, so every appended
+    vector is findable under the quantizer that now defines the
+    cells."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    old_corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    AX.build_ivf_index(old_corpus, path, nlist=8)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(40).localCheckpoint()
+
+    real = ax.resolve_neardup_index
+    state = {"calls": 0}
+
+    def racing(p):
+        r = real(p)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            # the append just resolved gen=1; rebuild with a DIFFERENT
+            # quantizer before its write lands
+            monkeypatch.setattr(ax, "resolve_neardup_index", real)
+            AX.build_ivf_index(old_corpus, path, nlist=16)
+        return r
+
+    monkeypatch.setattr(ax, "resolve_neardup_index", racing)
+    AX.ivf_index_append(batch, path, batch_id=0)
+
+    meta = AX.read_ivf_meta(path)
+    assert meta["nlist"] == 16  # the rebuild won the pointer
+    data = AX.read_ivf_data(spark, path)
+    got = {(r["vec_id"], r["list_id"]) for r in data.filter(
+        F.col("_batch_id") == 0).select("vec_id", "list_id").collect()}
+    want = {(r["vec_id"], r["list_id"]) for r in ax._flat_assigned(
+        batch, "vec_id", "embedding", meta["centroids"]).collect()}
+    # appended rows present in the NEW generation, quantized by the
+    # NEW centroids — not the stale gen-1 assignment
+    assert got == want and len(got) == 40
+
+
+def test_build_empty_corpus_raises(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="empty corpus"):
+        AX.build_ivf_index(emb.filter(F.lit(False)),
+                           str(tmp_path / "ivf"), nlist=8)
 
 
 def test_calib_solve_matches_linear_scan():
