@@ -299,7 +299,23 @@ def ivf_index_append(
     strengthened to re-QUANTIZE because a rebuild changes what the
     cell ids mean (review r8b: committing stale-centroid rows into a
     rebuilt generation would make those vectors unfindable forever)."""
+    import time as _time
+
+    from ..streaming.events import _INFLIGHT_PREFIX
+
     data_root = fsio.join(path, "data")
+    # in-flight marker: the quiesce signal compact waits on before its
+    # flip — the same no-double-writer protocol as the near-dup ingest
+    # (see compact_neardup_index's r8b hardening note)
+    marker = fsio.join(data_root, f"{_INFLIGHT_PREFIX}{batch_id}")
+    fsio.write_text_atomic(marker, repr(_time.time()))
+    try:
+        _append_loop(batch, path, data_root, batch_id, id_col, vec_col)
+    finally:
+        fsio.delete(marker)
+
+
+def _append_loop(batch, path, data_root, batch_id, id_col, vec_col):
     while True:
         gen_dir = resolve_neardup_index(data_root)
         meta = _meta_at(path, gen_dir)

@@ -251,6 +251,19 @@ def _flip_gen(index_path: str, gen: int, schema_json: str | None = None) -> None
     fsio.write_text_atomic(p, json.dumps(doc))
 
 
+#: in-flight ingest markers (beside _pointer.json): an ingest holds
+#: one around its index commit so compaction can quiesce before its
+#: pointer flip — see commit_batch_partitions / compact_neardup_index
+_INFLIGHT_PREFIX = "_inflight_"
+
+
+def _inflight_markers(index_path: str) -> list[str]:
+    from .. import fsio
+
+    return [n for n in fsio.listdir(index_path)
+            if n.startswith(_INFLIGHT_PREFIX)]
+
+
 def resolve_neardup_index(index_path: str) -> str:
     """Path of the index's CURRENT generation directory. Every reader
     and writer of a streaming index resolves through here — compaction
@@ -394,6 +407,7 @@ def _reclaim_old_gens(index_path: str, keep_from: int) -> None:
 def compact_neardup_index(spark, index_path: str,
                           target_files: int = 8,
                           part_cols: tuple = ("_batch_id",),
+                          quiesce_timeout: float = 120.0,
                           _pre_flip_hook=None) -> None:
     """Compact a streaming signature index (r6; VERDICT r5 item 7):
     every micro-batch appended its own ``_batch_id`` partition, so a
@@ -438,13 +452,34 @@ def compact_neardup_index(spark, index_path: str,
       new generation and re-commits itself (neardup_ingest_batch's
       re-resolve loop).
 
-    Spark's dynamic partition overwrite publishes a partition by one
-    directory rename, so a partition is visible either fully or not at
-    all, and every writer of a given batch partition writes the SAME
-    rows — any interleaving of carry-over and re-commit converges on
-    identical content. (A replay of an ALREADY-snapshotted batch id
-    rewrites its partition with the same rows — ingest is idempotent
-    per batch_id — so content folded at snapshot time stays correct.)
+    r8b HARDENING — the first cut of this protocol carried late
+    batches both before AND after the flip, on the assumption that
+    concurrent dynamic-overwrite writers of the same partition
+    converge on identical content. That assumption leans on commit
+    internals nothing enforces: Spark publishes a dynamic-overwrite
+    partition by DELETE-then-RENAME, and two interleaving jobs can
+    land the second rename INSIDE the first's surviving directory
+    (Hadoop rename-into-existing-dir nests), making both copies
+    visible. The protocol therefore no longer permits concurrent
+    writers at all — quiesce-then-flip with NO post-flip writer:
+
+    - every ingest commit holds an ``_inflight_<batch>`` marker beside
+      the pointer, created BEFORE it resolves the generation and
+      removed after its re-resolve loop settles;
+    - compaction, after the fold and the first carry pass, WAITS for
+      the markers to clear (bounded by ``quiesce_timeout`` — a crashed
+      ingest's stale marker must not wedge maintenance; its
+      foreachBatch replay re-commits anyway), re-lists + carries, and
+      re-checks; only when a carry pass saw quiescence does it flip;
+    - an ingest whose marker appeared after that final check either
+      resolves the NEW generation directly (nothing to do) or wrote
+      into the old one and re-resolves into the new one itself — and
+      since compaction never writes after the flip, that re-commit has
+      no concurrent writer. No lost batch, no double writer.
+
+    (A replay of an ALREADY-snapshotted batch id rewrites its
+    partition with the same rows — ingest is idempotent per batch_id —
+    so content folded at snapshot time stays correct.)
 
     A COLD-START index (empty seed, no data files yet) is a no-op:
     there is nothing to fold and the empty-schema read would otherwise
@@ -542,11 +577,24 @@ def compact_neardup_index(spark, index_path: str,
 
     if _pre_flip_hook is not None:
         _pre_flip_hook()
-    carried = _carry_late(set())   # pre-flip: reader freshness
+    carried = _carry_late(set())   # reader freshness
+    # quiesce-then-flip (see the docstring's r8b protocol): wait for
+    # in-flight ingests, carry what they committed, and only flip when
+    # a carry pass observed quiescence — compaction NEVER writes after
+    # the flip, so an ingest's re-commit into the new generation has
+    # no concurrent writer
+    import time as _time
+
+    deadline = _time.monotonic() + quiesce_timeout
+    while True:
+        if _inflight_markers(index_path) and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+            continue
+        carried = _carry_late(carried)
+        if not _inflight_markers(index_path) \
+                or _time.monotonic() >= deadline:
+            break
     _flip_gen(index_path, new_gen)
-    _carry_late(carried)           # post-flip: closes the re-list→flip
-    #                                gap (anything later re-commits
-    #                                itself — see neardup_ingest_batch)
     # the superseded tree (generation `cur`, or the legacy root dirs
     # when cur is None) is RETAINED until the next flip — in-flight
     # readers keep intact files either way; older generations reclaim
@@ -622,20 +670,36 @@ def commit_batch_partitions(
     tree being written. Replays of the same batch_id rewrite exactly
     their partitions — idempotent against the carry-over writing the
     same rows. Shared by neardup_ingest_batch and the persisted IVF
-    index's appends (pipeline/annindex.py)."""
-    data_path = initial_path or resolve_neardup_index(index_path)
-    while True:
-        (
-            df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
-            .parquet(data_path)
-        )
-        cur = resolve_neardup_index(index_path)
-        if cur == data_path:
-            return
-        data_path = cur
+    index's appends (pipeline/annindex.py).
+
+    Holds an ``_inflight_<batch>`` marker for the duration (created
+    before the first write, removed after the loop settles) — the
+    quiesce signal compact_neardup_index waits on before its pointer
+    flip, which is what guarantees this loop and compaction's carry
+    never write the same partition concurrently (r8b; see the compact
+    docstring for the measured duplication that forced this)."""
+    import time as _time
+
+    from .. import fsio
+
+    marker = fsio.join(index_path, f"{_INFLIGHT_PREFIX}{batch_id}")
+    fsio.write_text_atomic(marker, repr(_time.time()))
+    try:
+        data_path = initial_path or resolve_neardup_index(index_path)
+        while True:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*part_cols)
+                .parquet(data_path)
+            )
+            cur = resolve_neardup_index(index_path)
+            if cur == data_path:
+                return
+            data_path = cur
+    finally:
+        fsio.delete(marker)
 
 
 def neardup_ingest_stream(

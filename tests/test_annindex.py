@@ -366,3 +366,58 @@ def test_ivf_ingest_stream_drained_equals_batch(spark, emb, tmp_path):
     assert got == want
     served = AX.topk_ivf_index(spark, new.limit(2), path, k=3, nprobe=16)
     assert served.count() > 0
+
+
+def test_ivf_live_compaction_beside_streaming_ingest(spark, emb, tmp_path):
+    """The §5-style live soak for the ANN index: compactions fire from
+    a concurrent thread WHILE the ingest stream drains. No vector is
+    lost or duplicated in the final generation, every assignment
+    equals the one-shot reference, and at least one compaction
+    actually ran against live traffic."""
+    import threading
+    import time
+
+    path = str(tmp_path / "ivf")
+    src = str(tmp_path / "incoming")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    AX.build_ivf_index(old, path, nlist=16)
+    # six DISJOINT odd-residue slices (mod 12 → 1,3,5,7,9,11): the
+    # first cut used (2i+1) % 6, which repeats 1,3,5 twice — streaming
+    # every vector twice under two batch ids and "finding" duplication
+    # that was really in the input
+    for i in range(6):
+        (new.filter(F.col("vec_id") % 12 == 2 * i + 1).repartition(1)
+         .write.mode("append").parquet(src))
+
+    stop = threading.Event()
+    compactions = {"n": 0}
+
+    def compactor():
+        while not stop.is_set():
+            time.sleep(1.0)
+            AX.compact_ivf_index(spark, path)
+            compactions["n"] += 1
+
+    t = threading.Thread(target=compactor, daemon=True)
+    t.start()
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = AX.ivf_ingest_stream(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    stop.set()
+    t.join(timeout=30)
+    AX.compact_ivf_index(spark, path)  # final fold
+
+    assert compactions["n"] >= 1
+    data = AX.read_ivf_data(spark, path)
+    assert data.count() == emb.count()  # nothing lost
+    assert data.select("vec_id").distinct().count() == emb.count()  # no dups
+    meta = AX.read_ivf_meta(path)
+    got = {(r["vec_id"], r["list_id"])
+           for r in data.select("vec_id", "list_id").collect()}
+    want = {(r["vec_id"], r["list_id"])
+            for r in AX._flat_assigned(
+                emb, "vec_id", "embedding", meta["centroids"]).collect()}
+    assert got == want
