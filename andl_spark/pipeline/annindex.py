@@ -171,6 +171,10 @@ def build_ivf_index(
         else:
             raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
         C1, C2 = cents
+        if not C1 or not C2:
+            raise ValueError("build_ivf_index: empty corpus — an IVF "
+                             "index needs at least one vector to "
+                             "quantize against")
         n1, n2 = len(C1), (len(C2[0]) if C2 else 0)
         calibration = None
         if calibrate is not None:
@@ -193,6 +197,7 @@ def build_ivf_index(
         seed_neardup_index(assigned, fsio.join(path, "data"),
                            part_cols=PART_COLS,
                            meta_files={"_meta.json": json.dumps(meta)})
+        _invalidate_meta_cache(path)
         return meta
     if quantizer == "trained":
         centroids = trained_centroids(corpus, id_col, vec_col, nlist)
@@ -235,6 +240,7 @@ def build_ivf_index(
     seed_neardup_index(assigned, fsio.join(path, "data"),
                        part_cols=PART_COLS,
                        meta_files={"_meta.json": json.dumps(meta)})
+    _invalidate_meta_cache(path)
     return meta
 
 
@@ -245,6 +251,18 @@ def build_ivf_index(
 #: JSON at the 16.7M+ auto-dispatch regime with dim 1024; review r8b)
 _META_CACHE: dict[tuple, dict] = {}
 _META_CACHE_MAX = 32
+
+
+def _invalidate_meta_cache(path: str) -> None:
+    """Drop cached metas for ``path``: generation numbering restarts
+    when an index tree is deleted and rebuilt at the same path, so the
+    (path, gen dir) key would collide with the PREVIOUS index's
+    quantizer (review r8b round 2). Every build_ivf_index calls this;
+    a rebuild from a DIFFERENT long-lived process keeps its cache —
+    the same in-place-rewrite invalidation assumption _CENTROID_CACHE
+    documents (pass version= / restart the process / new path)."""
+    for k in [k for k in _META_CACHE if k[0] == path]:
+        _META_CACHE.pop(k, None)
 
 
 def _meta_at(path: str, gen_dir: str) -> dict:
@@ -340,16 +358,18 @@ def _append_loop(batch, path, data_root, batch_id, id_col, vec_col):
             return
 
 
-def compact_ivf_index(spark: SparkSession, path: str,
-                      target_files: int = 8) -> None:
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """Fold the accumulated ``_batch_id`` partitions into the seed
     partition behind an atomic generation flip — exactly
     compact_neardup_index with the cell-nested layout; see its
     docstring for the full concurrency protocol. Keeps the
     highest-numbered batch as-is (the only one a foreachBatch replay
-    can re-deliver); run from ONE maintenance job."""
+    can re-deliver); run from ONE maintenance job. The nested layout
+    bounds files PER CELL (the fold repartitions on list_id — one
+    writer task per cell), so there is no target_files knob here: at
+    nlist cells the fold is nlist files by construction."""
     compact_neardup_index(spark, fsio.join(path, "data"),
-                          target_files=target_files, part_cols=PART_COLS)
+                          part_cols=PART_COLS)
 
 
 def topk_ivf_index(

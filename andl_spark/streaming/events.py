@@ -357,6 +357,15 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
     if part_cols[0] != "_batch_id":
         raise ValueError("part_cols must lead with _batch_id "
                          "(the generation protocol keys on it)")
+    for name in (meta_files or {}):
+        if not name.startswith("_meta"):
+            # compaction carries exactly the "_meta" prefix into each
+            # new generation; any other name would silently vanish at
+            # the first compaction (review r8b) — and the check runs
+            # BEFORE the generation write, not after it has burned a
+            # full parquet job (review r8b round 2)
+            raise ValueError(f"meta_files names must start with '_meta' "
+                             f"(got {name!r})")
     cur = _read_gen(index_path) or 0
     fsio.mkdirs(index_path)
     target = fsio.join(index_path, f"gen={cur + 1}")
@@ -370,12 +379,6 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
         .parquet(target)
     )
     for name, text in (meta_files or {}).items():
-        if not name.startswith("_meta"):
-            # compaction carries exactly the "_meta" prefix into each
-            # new generation; any other name would silently vanish at
-            # the first compaction (review r8b)
-            raise ValueError(f"meta_files names must start with '_meta' "
-                             f"(got {name!r})")
         fsio.write_text_atomic(fsio.join(target, name), text)
     # record the seed schema in the pointer: a COLD START (empty seed)
     # writes no parquet data files, so readers need the schema to
@@ -590,9 +593,36 @@ def compact_neardup_index(spark, index_path: str,
         if _inflight_markers(index_path) and _time.monotonic() < deadline:
             _time.sleep(0.05)
             continue
+        if _time.monotonic() >= deadline:
+            # a crashed ingest's orphan marker must neither wedge
+            # maintenance forever NOR force every future compaction
+            # down this path (review r8b round 2): age out markers
+            # older than the quiesce window — their writer is dead
+            # (a live commit finishes or its foreachBatch replays),
+            # then take one last carry pass and flip
+            for name in _inflight_markers(index_path):
+                p = fsio.join(index_path, name)
+                try:
+                    age = _time.time() - float(fsio.read_text(p))
+                except (ValueError, OSError):
+                    age = quiesce_timeout  # unreadable == orphaned
+                if age >= quiesce_timeout:
+                    fsio.delete(p)
+            _carry_late(carried)
+            break
+        before = carried
         carried = _carry_late(carried)
-        if not _inflight_markers(index_path) \
-                or _time.monotonic() >= deadline:
+        if carried != before:
+            continue  # something landed mid-wait: go around again
+        if not _inflight_markers(index_path):
+            # quiescent AND the pass listed nothing new. The only
+            # in-between window is two directory listings with no
+            # Spark job between them — an ingest (whose commit is a
+            # full write job bracketed by its marker) cannot fit its
+            # entire marker lifecycle inside it, which is what the
+            # first cut got wrong by allowing a whole carry JOB
+            # between the listing and the marker check (review r8b
+            # round 2)
             break
     _flip_gen(index_path, new_gen)
     # the superseded tree (generation `cur`, or the legacy root dirs
