@@ -14,7 +14,8 @@ table); the per-call path only ever delivered the compute half.
 Layout (every path through :mod:`andl_spark.fsio` — local, file://,
 hdfs://, s3a://)::
 
-    <path>/data/_pointer.json            current generation (atomic flip)
+    <path>/data/_pointer.v<N>.json       current generation (rename-free
+                                         versioned commit — andl_spark.pointer)
     <path>/data/gen=N/_meta.json         quantizer + params + calibration
     <path>/data/gen=N/_batch_id=…/list_id=…   (id, vector) rows
 
@@ -249,7 +250,7 @@ def build_ivf_index(
 #: every query and every streaming micro-batch re-json.loads the
 #: quantizer (the hier C2 tensor is n1·n2·dim doubles — ~100 MB of
 #: JSON at the 16.7M+ auto-dispatch regime with dim 1024; review r8b)
-_META_CACHE: dict[tuple, dict] = {}
+_META_CACHE: dict[tuple, tuple] = {}  # (path, gen_dir) → (file ident, meta)
 _META_CACHE_MAX = 32
 
 
@@ -257,24 +258,39 @@ def _invalidate_meta_cache(path: str) -> None:
     """Drop cached metas for ``path``: generation numbering restarts
     when an index tree is deleted and rebuilt at the same path, so the
     (path, gen dir) key would collide with the PREVIOUS index's
-    quantizer (review r8b round 2). Every build_ivf_index calls this;
-    a rebuild from a DIFFERENT long-lived process keeps its cache —
-    the same in-place-rewrite invalidation assumption _CENTROID_CACHE
-    documents (pass version= / restart the process / new path)."""
+    quantizer (review r8b round 2). Every build_ivf_index calls this
+    in-process; cross-PROCESS staleness (a rebuild from a different
+    long-lived driver) is closed by _meta_at validating each hit
+    against the meta file's (mtime, length) — the store's own identity
+    for the bytes — so a restarted generation numbering can never
+    serve the previous index's quantizer (ADVICE r8)."""
     for k in [k for k in _META_CACHE if k[0] == path]:
         _META_CACHE.pop(k, None)
 
 
 def _meta_at(path: str, gen_dir: str) -> dict:
+    p = fsio.join(gen_dir, "_meta.json")
+    if not fsio.exists(p):  # legacy top-level layout
+        p = fsio.join(path, "_meta.json")
+    try:
+        ident = (p,) + fsio.stat(p)
+    except OSError:
+        ident = (p, None, None)  # racing delete: parse uncached below
     key = (path, gen_dir)
-    if key not in _META_CACHE:
-        while len(_META_CACHE) >= _META_CACHE_MAX:  # bounded FIFO
-            _META_CACHE.pop(next(iter(_META_CACHE)))
-        p = fsio.join(gen_dir, "_meta.json")
-        if not fsio.exists(p):  # legacy top-level layout
-            p = fsio.join(path, "_meta.json")
-        _META_CACHE[key] = json.loads(fsio.read_text(p))
-    return _META_CACHE[key]
+    hit = _META_CACHE.get(key)
+    # validate against the FILE's identity, not just the path: a
+    # delete-and-rebuild at the same path restarts generation
+    # numbering, so (path, gen dir) alone would happily serve the
+    # previous index's quantizer from a DIFFERENT process whose cache
+    # never saw the rebuild (ADVICE r8). One stat per hit — cheap
+    # against the ~100 MB hier-quantizer parse it guards.
+    if hit is not None and hit[0] == ident:
+        return hit[1]
+    while len(_META_CACHE) >= _META_CACHE_MAX:  # bounded FIFO
+        _META_CACHE.pop(next(iter(_META_CACHE)))
+    meta = json.loads(fsio.read_text(p))
+    _META_CACHE[key] = (ident, meta)
+    return meta
 
 
 def read_ivf_snapshot(spark: SparkSession, path: str):
@@ -326,7 +342,7 @@ def ivf_index_append(
     # flip — the same no-double-writer protocol as the near-dup ingest
     # (see compact_neardup_index's r8b hardening note)
     marker = fsio.join(data_root, f"{_INFLIGHT_PREFIX}{batch_id}")
-    fsio.write_text_atomic(marker, repr(_time.time()))
+    fsio.write_text(marker, repr(_time.time()))  # aged by mtime
     try:
         _append_loop(batch, path, data_root, batch_id, id_col, vec_col)
     finally:

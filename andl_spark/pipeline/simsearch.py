@@ -1444,10 +1444,15 @@ def calibrate_probe_hier(
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     if cents is None:
+        # version= forwards to the centroid caches (ADVICE r8): an
+        # in-place corpus rewrite with a bumped version must evict the
+        # hier centroids exactly as calibrate_probe evicts the flat ones
         if quantizer == "trained":
-            cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2)
+            cents = hier_trained_centroids(corpus, id_col, vec_col, n1, n2,
+                                           version=version)
         elif quantizer == "seed":
-            cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2)
+            cents = hier_seed_centroids(corpus, id_col, vec_col, n1, n2,
+                                        version=version)
         else:
             raise ValueError(f"unknown quantizer {quantizer!r} (seed | trained)")
     C1, C2 = cents

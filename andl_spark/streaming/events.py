@@ -207,20 +207,18 @@ def asof_enrich_stream(
     )
 
 
-#: pointer file inside an index root naming the CURRENT generation —
-#: leading underscore so Spark/Hadoop directory scans ignore it
-_GEN_POINTER = "_pointer.json"
+#: stem of the versioned pointer files inside an index root naming the
+#: CURRENT generation (``_pointer.v<N>.json`` — see andl_spark.pointer;
+#: leading underscore so Spark/Hadoop directory scans ignore them; the
+#: legacy rename-era ``_pointer.json`` is read as sequence 0)
+_GEN_POINTER_STEM = "_pointer"
 
 
 def _read_pointer(index_path: str) -> dict | None:
-    import json
+    from .. import pointer
 
-    from .. import fsio
-
-    p = fsio.join(index_path, _GEN_POINTER)
-    if not fsio.exists(p):
-        return None
-    return json.loads(fsio.read_text(p))
+    got = pointer.read(index_path, _GEN_POINTER_STEM)
+    return None if got is None else got[1]
 
 
 def _read_gen(index_path: str) -> int | None:
@@ -229,18 +227,16 @@ def _read_gen(index_path: str) -> int | None:
 
 
 def _flip_gen(index_path: str, gen: int, schema_json: str | None = None) -> None:
-    """Atomically commit ``gen`` as the current generation: write the
-    pointer to a temp name, then rename over the target — a single
-    atomic rename, so a concurrent resolver sees either the old pointer
-    or the new one, never a torn or missing file. Routed through
-    :mod:`andl_spark.fsio` (VERDICT r7 item 1): bare paths keep POSIX
-    ``os.replace``; URI paths (hdfs://, s3a://, file://) map to the
-    Hadoop ``FileContext.rename(OVERWRITE)`` of the active session."""
+    """Commit ``gen`` as the current generation through the rename-free
+    versioned pointer protocol (r9; VERDICT r8 item 1): a NEW
+    create-only ``_pointer.v<N>.json``, resolve = highest parseable N —
+    a concurrent resolver sees either the old committed pointer or the
+    new one, never a torn file, on POSIX, HDFS and object stores alike
+    (no backend's rename semantics are ever depended on)."""
     import json
 
-    from .. import fsio
+    from .. import pointer
 
-    p = fsio.join(index_path, _GEN_POINTER)
     doc = {"current": gen}
     if schema_json is None:
         prev = _read_pointer(index_path)
@@ -248,7 +244,7 @@ def _flip_gen(index_path: str, gen: int, schema_json: str | None = None) -> None
             doc["schema"] = prev["schema"]  # carry the seed schema
     else:
         doc["schema"] = schema_json
-    fsio.write_text_atomic(p, json.dumps(doc))
+    pointer.commit(index_path, _GEN_POINTER_STEM, doc)
 
 
 #: in-flight ingest markers (beside _pointer.json): an ingest holds
@@ -379,7 +375,8 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
         .parquet(target)
     )
     for name, text in (meta_files or {}).items():
-        fsio.write_text_atomic(fsio.join(target, name), text)
+        # plain put: the sidecar is unreferenced until the flip below
+        fsio.write_text(fsio.join(target, name), text)
     # record the seed schema in the pointer: a COLD START (empty seed)
     # writes no parquet data files, so readers need the schema to
     # reconstruct the empty index (read_neardup_index; review r7)
@@ -411,6 +408,9 @@ def compact_neardup_index(spark, index_path: str,
                           target_files: int = 8,
                           part_cols: tuple = ("_batch_id",),
                           quiesce_timeout: float = 120.0,
+                          fold_transform=None,
+                          shape=None,
+                          meta_overrides: dict | None = None,
                           _pre_flip_hook=None) -> None:
     """Compact a streaming signature index (r6; VERDICT r5 item 7):
     every micro-batch appended its own ``_batch_id`` partition, so a
@@ -498,6 +498,17 @@ def compact_neardup_index(spark, index_path: str,
     Run compaction from one maintenance job, the same discipline as
     Catalog.compact.
 
+    Hooks (r9, for the persisted IVF index's delete/salt/gauge plane —
+    compact_ivf_index): ``fold_transform(folded_rows, kept_df)`` maps
+    the to-be-folded rows (already re-labelled ``_batch_id=-1``) given
+    the kept max-batch frame (None when only the seed exists) — the
+    tombstone fold plugs in here; ``shape(df)`` replaces the default
+    write-shaping repartition for BOTH the fold and late carries (the
+    hot-cell salting plugs in here); ``meta_overrides`` (name → text)
+    replaces/extends the carried ``_meta*`` sidecars in the new
+    generation (the recall-decay gauge records itself this way —
+    committed WITH the generation, never mutating a flipped one).
+
     ``part_cols`` mirrors seed_neardup_index (r8b): extra partition
     columns nest under the leading ``_batch_id`` — the snapshot and
     carry-over still key on the top-level batch dirs, and dynamic
@@ -532,27 +543,39 @@ def compact_neardup_index(spark, index_path: str,
         # layout: one shuffle on the trailing partition cols so each
         # leaf cell is written by ONE task — coalesce here would have
         # every task write every cell (target_files × cells files,
-        # the small-files tax compaction exists to remove; review r8b)
+        # the small-files tax compaction exists to remove; review r8b).
+        # A caller-provided shape replaces both (hot-cell salting, r9).
+        if shape is not None:
+            return shape(df)
         if len(part_cols) > 1:
             return df.repartition(*part_cols[1:])
         return df.coalesce(target_files)
 
-    folded = _shape(
-        raw.filter(F.col("_batch_id") != max_bid).drop("_batch_id")
-        .withColumn("_batch_id", F.lit(-1))
-    )
+    if max_bid is not None and max_bid >= 0:
+        fold_src = raw.filter(F.col("_batch_id") != max_bid)
+        kept = raw.filter(F.col("_batch_id") == max_bid)
+    else:
+        fold_src, kept = raw, None
+    folded_rows = (fold_src.drop("_batch_id")
+                   .withColumn("_batch_id", F.lit(-1)))
+    if fold_transform is not None:
+        folded_rows = fold_transform(folded_rows, kept)
+    folded = _shape(folded_rows)
     df = (
-        folded.unionByName(raw.filter(F.col("_batch_id") == max_bid))
-        if max_bid is not None and max_bid >= 0 else
-        _shape(raw.drop("_batch_id").withColumn("_batch_id", F.lit(-1)))
+        folded.unionByName(kept) if kept is not None else folded
     ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
     df.write.partitionBy(*part_cols).parquet(target)
     for name in fsio.listdir(src):  # carry meta sidecars (see seed)
         if name.startswith("_meta"):
-            fsio.write_text_atomic(fsio.join(target, name),
-                                   fsio.read_text(fsio.join(src, name)))
+            text = fsio.read_text(fsio.join(src, name))
+            if meta_overrides and name in meta_overrides:
+                text = meta_overrides[name]
+            fsio.write_text(fsio.join(target, name), text)
+    for name, text in (meta_overrides or {}).items():
+        if name not in fsio.listdir(target):
+            fsio.write_text(fsio.join(target, name), text)
 
     def _carry_late(already: set[str]) -> set[str]:
         """Copy batch partitions committed into the source generation
@@ -569,7 +592,9 @@ def compact_neardup_index(spark, index_path: str,
                 spark.read.option("basePath", src)
                 .parquet(*[fsio.join(src, n) for n in late])
             )
-            if len(part_cols) > 1:  # one task per leaf cell (see _shape)
+            if shape is not None:
+                carried_df = shape(carried_df)
+            elif len(part_cols) > 1:  # one task per leaf cell (see _shape)
                 carried_df = carried_df.repartition(*part_cols[1:])
             (
                 carried_df.write.mode("overwrite")
@@ -580,7 +605,6 @@ def compact_neardup_index(spark, index_path: str,
 
     if _pre_flip_hook is not None:
         _pre_flip_hook()
-    carried = _carry_late(set())   # reader freshness
     # quiesce-then-flip (see the docstring's r8b protocol): wait for
     # in-flight ingests, carry what they committed, and only flip when
     # a carry pass observed quiescence — compaction NEVER writes after
@@ -588,41 +612,57 @@ def compact_neardup_index(spark, index_path: str,
     # no concurrent writer
     import time as _time
 
+    # back off the marker poll (ADVICE r8: 50 ms × a 120 s window is
+    # ~2400 LIST calls on an object store); tests with sub-second
+    # windows keep a fast poll so the age-out path stays promptly
+    # reachable
+    poll = max(0.05, min(0.5, quiesce_timeout / 240.0))
     deadline = _time.monotonic() + quiesce_timeout
+    carried = _carry_late(set())   # reader freshness
     while True:
-        if _inflight_markers(index_path) and _time.monotonic() < deadline:
-            _time.sleep(0.05)
-            continue
-        if _time.monotonic() >= deadline:
-            # a crashed ingest's orphan marker must neither wedge
-            # maintenance forever NOR force every future compaction
-            # down this path (review r8b round 2): age out markers
-            # older than the quiesce window — their writer is dead
-            # (a live commit finishes or its foreachBatch replays),
-            # then take one last carry pass and flip
-            for name in _inflight_markers(index_path):
-                p = fsio.join(index_path, name)
-                try:
-                    age = _time.time() - float(fsio.read_text(p))
-                except (ValueError, OSError):
-                    age = quiesce_timeout  # unreadable == orphaned
-                if age >= quiesce_timeout:
-                    fsio.delete(p)
-            _carry_late(carried)
-            break
         before = carried
         carried = _carry_late(carried)
         if carried != before:
             continue  # something landed mid-wait: go around again
-        if not _inflight_markers(index_path):
-            # quiescent AND the pass listed nothing new. The only
-            # in-between window is two directory listings with no
-            # Spark job between them — an ingest (whose commit is a
-            # full write job bracketed by its marker) cannot fit its
-            # entire marker lifecycle inside it, which is what the
-            # first cut got wrong by allowing a whole carry JOB
-            # between the listing and the marker check (review r8b
-            # round 2)
+        markers = _inflight_markers(index_path)
+        if markers:
+            if _time.monotonic() < deadline:
+                _time.sleep(poll)
+                continue
+            # deadline passed: a crashed ingest's orphan marker must
+            # neither wedge maintenance forever NOR force every future
+            # compaction down this path (review r8b round 2). Age by
+            # the STORE's OWN clock — the marker file's mtime — not a
+            # writer-written wall-clock timestamp, which skews across
+            # hosts near the window boundary (ADVICE r8). An orphan
+            # older than the window has a dead writer (a live commit
+            # finishes or its foreachBatch replays); a YOUNGER marker
+            # belongs to a live ingest we stop waiting for (the
+            # timeout contract): its re-resolve loop re-commits into
+            # the new generation, and compaction never writes
+            # post-flip, so nothing is lost or doubly written.
+            now = _time.time()
+            for name in markers:
+                p = fsio.join(index_path, name)
+                try:
+                    age = now - fsio.stat(p)[0]
+                except OSError:
+                    continue  # gone already: its writer just finished
+                if age >= quiesce_timeout:
+                    fsio.delete(p)
+        # a quiet carry pass and (inside the window) zero markers: one
+        # final cheap listing confirms nothing landed between the
+        # carry's own listing and this point — without it, an ingest
+        # whose ENTIRE marker lifecycle (create marker, full write
+        # job, re-resolve, delete marker) fit inside a compactor-
+        # driver stall right here would commit a batch that is never
+        # carried and never re-resolved (ADVICE r8). Loop — and
+        # re-carry — otherwise; the loop terminates as soon as one
+        # listing-to-listing window is quiet, which a real ingest
+        # (a multi-second Spark write job per batch) cannot starve.
+        late_now = {n for n in fsio.listdir(src)
+                    if n.startswith("_batch_id=") and n not in seen_parts}
+        if late_now <= carried:
             break
     _flip_gen(index_path, new_gen)
     # the superseded tree (generation `cur`, or the legacy root dirs
@@ -713,7 +753,10 @@ def commit_batch_partitions(
     from .. import fsio
 
     marker = fsio.join(index_path, f"{_INFLIGHT_PREFIX}{batch_id}")
-    fsio.write_text_atomic(marker, repr(_time.time()))
+    # plain put (single-object PUT, no rename): compaction ages the
+    # marker by its file MTIME — the store's clock — so the writer-side
+    # timestamp in the body is debugging breadcrumb only (ADVICE r8)
+    fsio.write_text(marker, repr(_time.time()))
     try:
         data_path = initial_path or resolve_neardup_index(index_path)
         while True:
