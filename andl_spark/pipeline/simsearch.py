@@ -1237,7 +1237,8 @@ def _calib_pass(c: DataFrame, grid: DataFrame, hold: DataFrame,
 
 
 def _calib_solve(rows: list, k: int, target_recall: float,
-                 max_p: int) -> tuple[int, float, dict]:
+                 max_p: int,
+                 report_depths: tuple = ()) -> tuple[int, float, dict, dict]:
     """Exact driver-side solver over the calibration rows
     (query_id, probe_pos, cand_id, cosine): at probe depth p the served
     top-k is the first k candidates (cosine desc, cand_id asc) whose
@@ -1246,7 +1247,9 @@ def _calib_solve(rows: list, k: int, target_recall: float,
     exhaustive pass's global top-k — every truth member survives its
     own cell's top-k cut). Binary-searches the smallest depth reaching
     ``target_recall`` and samples the report curve at
-    CALIB_CURVE_FRACS."""
+    CALIB_CURVE_FRACS; ``report_depths`` additionally returns the exact
+    recall at those specific depths (the r9 recall-decay gauge reads
+    the STORED calibration's operating point here)."""
     per_q: dict = {}
     for r in rows:
         per_q.setdefault(r[0], []).append((r[3], r[2], r[1]))
@@ -1279,7 +1282,9 @@ def _calib_solve(rows: list, k: int, target_recall: float,
             lo = mid + 1
     curve = {f: round(recall(max(1, min(max_p, math.ceil(f * max_p)))), 4)
              for f in CALIB_CURVE_FRACS}
-    return lo, round(recall(lo), 4), curve
+    at = {int(p): round(recall(max(1, min(max_p, int(p)))), 4)
+          for p in report_depths}
+    return lo, round(recall(lo), 4), curve, at
 
 
 def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
@@ -1328,6 +1333,7 @@ def calibrate_probe(
     centroids: list[list[float]] | None = None,
     version: object = None,
     holdout: DataFrame | None = None,
+    report_depths: tuple = (),
 ) -> dict:
     """Measure, don't guess, the flat-IVF probe depth: returns a record
     whose ``nprobe`` is the SMALLEST depth whose recall@k on a
@@ -1359,7 +1365,7 @@ def calibrate_probe(
     key = ("flat", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, k, target_recall, n_holdout, nlist,
            quantizer, cents_key, corpus.semanticHash(), version,
-           hold_key)
+           hold_key, tuple(report_depths))
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     if centroids is None:
@@ -1393,12 +1399,15 @@ def calibrate_probe(
     if not rows:
         raise ValueError("calibrate_probe: empty calibration pass — the "
                          "corpus has no nonzero-norm vectors to hold out")
-    nprobe, achieved, curve = _calib_solve(rows, k, target_recall, n_cells)
+    nprobe, achieved, curve, at = _calib_solve(rows, k, target_recall,
+                                               n_cells, report_depths)
     rec = {"kind": "flat", "nlist": n_cells, "nprobe": nprobe,
            "frac": round(nprobe / n_cells, 4), "recall": achieved,
            "target": target_recall, "curve": curve,
            "n_holdout": len({r[0] for r in rows}), "k": k,
            "quantizer": quantizer}
+    if at:
+        rec["at_depths"] = at
     return _calib_cache_put(key, rec)
 
 
@@ -1416,6 +1425,7 @@ def calibrate_probe_hier(
     cents: tuple | None = None,
     version: object = None,
     holdout: DataFrame | None = None,
+    report_depths: tuple = (),
 ) -> dict:
     """calibrate_probe for the two-level quantizer: the dial is ``p1``
     (how many TOP cells a query probes — every sub-cell of a probed top
@@ -1440,7 +1450,7 @@ def calibrate_probe_hier(
     key = ("hier", corpus.sparkSession.sparkContext.applicationId,
            id_col, vec_col, k, target_recall, n_holdout, n1, n2,
            quantizer, cents_key, corpus.semanticHash(), version,
-           hold_key)
+           hold_key, tuple(report_depths))
     if key in _CALIB_CACHE:
         return _CALIB_CACHE[key]
     if cents is None:
@@ -1472,12 +1482,15 @@ def calibrate_probe_hier(
     if not rows:
         raise ValueError("calibrate_probe_hier: empty calibration pass — "
                          "the corpus has no nonzero-norm vectors to hold out")
-    p1, achieved, curve = _calib_solve(rows, k, target_recall, n1)
+    p1, achieved, curve, at = _calib_solve(rows, k, target_recall, n1,
+                                           report_depths)
     rec = {"kind": "hier", "n1": n1, "n2": n2, "p1": p1,
            "frac": round(p1 / n1, 4), "recall": achieved,
            "target": target_recall, "curve": curve,
            "n_holdout": len({r[0] for r in rows}), "k": k,
            "quantizer": quantizer}
+    if at:
+        rec["at_depths"] = at
     return _calib_cache_put(key, rec)
 
 
@@ -1536,7 +1549,7 @@ def calibrate_probe_lsh(
     if not rows:
         raise ValueError("calibrate_probe_lsh: empty calibration pass — "
                          "the corpus has no nonzero-norm vectors to hold out")
-    depth, achieved, curve = _calib_solve(rows, k, target_recall, bits + 1)
+    depth, achieved, curve, _ = _calib_solve(rows, k, target_recall, bits + 1)
     mp = depth - 1
     probed = sum(math.comb(bits, d) for d in range(mp + 1)) / 2 ** bits
     rec = {"kind": "lsh", "bits": bits, "multiprobe": mp,

@@ -319,7 +319,8 @@ def read_neardup_index(spark, index_path: str) -> DataFrame:
 
 def seed_neardup_index(sigs: DataFrame, index_path: str,
                        part_cols: tuple = ("_batch_id",),
-                       meta_files: dict | None = None) -> None:
+                       meta_files: dict | None = None,
+                       max_records_per_file: int | None = None) -> None:
     """Seed a streaming near-dup signature index with the historical
     corpus's signatures (minhash_signatures / simhash_signatures /
     embedding_index / span first-occurrence output). The seed lands in
@@ -366,14 +367,15 @@ def seed_neardup_index(sigs: DataFrame, index_path: str,
     fsio.mkdirs(index_path)
     target = fsio.join(index_path, f"gen={cur + 1}")
     seeded = sigs.withColumn("_batch_id", F.lit(-1))
-    (
+    writer = (
         seeded
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")  # explicit: a
         # session-level dynamic default must not resurrect stale batches
-        .partitionBy(*part_cols)
-        .parquet(target)
     )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*part_cols).parquet(target)
     for name, text in (meta_files or {}).items():
         # plain put: the sidecar is unreferenced until the flip below
         fsio.write_text(fsio.join(target, name), text)
@@ -411,6 +413,7 @@ def compact_neardup_index(spark, index_path: str,
                           fold_transform=None,
                           shape=None,
                           meta_overrides: dict | None = None,
+                          max_records_per_file: int | None = None,
                           _pre_flip_hook=None) -> None:
     """Compact a streaming signature index (r6; VERDICT r5 item 7):
     every micro-batch appended its own ``_batch_id`` partition, so a
@@ -566,7 +569,10 @@ def compact_neardup_index(spark, index_path: str,
     ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
-    df.write.partitionBy(*part_cols).parquet(target)
+    writer = df.write
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*part_cols).parquet(target)
     for name in fsio.listdir(src):  # carry meta sidecars (see seed)
         if name.startswith("_meta"):
             text = fsio.read_text(fsio.join(src, name))
@@ -596,11 +602,11 @@ def compact_neardup_index(spark, index_path: str,
                 carried_df = shape(carried_df)
             elif len(part_cols) > 1:  # one task per leaf cell (see _shape)
                 carried_df = carried_df.repartition(*part_cols[1:])
-            (
-                carried_df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*part_cols).parquet(target)
-            )
+            w = (carried_df.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic"))
+            if max_records_per_file:
+                w = w.option("maxRecordsPerFile", max_records_per_file)
+            w.partitionBy(*part_cols).parquet(target)
         return already | set(late)
 
     if _pre_flip_hook is not None:

@@ -197,13 +197,58 @@ R7_ANCHOR: dict[str, float] = {
     "q_dedup_simhash_prod": 2.349,
 }
 
+# ---------------------------------------------------------------------
+# r8 anchors (VERDICT r8 item 8): the round-8 warm medians
+# (BENCH_WARM_r08.json, sf0.1) — the best warm suite of any round,
+# taken idle, adopted as the standing default so drift detection keeps
+# a truthful reference (BENCH_r08's 1.81x single-shot reading was pure
+# container load; the idle re-run measured 0.93x). r1/r5/r7 stay above
+# for history.
+# ---------------------------------------------------------------------
+R8_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 0.452,
+    "q3_shipping_priority": 0.821,
+    "q5_local_supplier": 1.315,
+    "q10_returned_items": 0.776,
+    "q14_promo_revenue": 0.318,
+    "q18_large_orders": 0.608,
+    "q_text_quality": 0.233,
+    "q_top_ngrams": 0.724,
+    "q_agg_fold": 0.203,
+    "q_topk_orders": 0.381,
+    "q_window_running": 0.163,
+    "q_rdivide": 0.503,
+    "q_image_agg": 0.235,
+    "q_while_closure": 3.055,
+    "q_nest_unnest": 0.422,
+    "q_clean_corpus": 0.553,
+    "q_train_split": 0.198,
+    "q_corpus_profile": 0.250,
+    "q_asof_join": 0.237,
+    "q_decontaminate": 1.106,
+    "q_pii_scrub": 0.310,
+    "q_dedup_exact": 0.128,
+    "q_token_count": 0.123,
+    "q_lang_id": 0.209,
+    "q_ngram_jaccard": 2.098,
+    "q_ann_bruteforce": 0.657,
+    "q_dedup_spans": 1.979,
+    "q_ann_ivf": 1.751,
+    "q_ann_lsh": 1.022,
+    "q_events_window": 0.279,
+    "q_events_session": 0.391,
+    "q_dedup_minhash_prod": 1.958,
+    "q_dedup_simhash_prod": 1.850,
+}
+
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
     "r5": (R5_ANCHOR, set()),
     "r7": (R7_ANCHOR, set()),
+    "r8": (R8_ANCHOR, set()),
 }
-DEFAULT_ANCHORS = "r7"
+DEFAULT_ANCHORS = "r8"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
 
 

@@ -305,7 +305,7 @@ def test_calib_solve_matches_linear_scan():
            st.floats(0.05, 1.0, allow_nan=False))
     def check(rows, k, target):
         max_p = 6
-        depth, achieved, curve = _calib_solve(rows, k, target, max_p)
+        depth, achieved, curve, _ = _calib_solve(rows, k, target, max_p)
 
         def recall_linear(p):
             per_q = {}
@@ -421,3 +421,235 @@ def test_ivf_live_compaction_beside_streaming_ingest(spark, emb, tmp_path):
             for r in AX._flat_assigned(
                 emb, "vec_id", "embedding", meta["centroids"]).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# vector deletion (r9; VERDICT r8 item 2)
+# ---------------------------------------------------------------------
+def test_delete_masks_before_and_physically_removes_after_compaction(
+        spark, emb, tmp_path):
+    """Deleted vectors never surface in topk_ivf_index — pre-compaction
+    (tombstone antijoin) and post-compaction (physically gone from the
+    folded data partitions); untouched results identical to a plain
+    filter of the pre-delete output."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=16)
+    queries = emb.filter(F.col("vec_id") < 6)
+    before = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=16)
+    victims = sorted({r["cand_id"] for r in before.collect()})[:4]
+    assert victims
+
+    AX.ivf_index_delete(victims, path, batch_id=0, spark=spark)
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=16)
+    served = {r["cand_id"] for r in got.collect()}
+    assert not served & set(victims)
+    # survivors re-rank exactly as the brute recompute over the
+    # remaining corpus says they should
+    want = SS.topk_ivf_det(
+        emb.filter(~F.col("vec_id").isin(victims)), queries,
+        k=5, nlist=16, nprobe=16)
+    assert _rows(got) == _rows(want)
+
+    AX.compact_ivf_index(spark, path)
+    # physically removed: no folded data partition holds a victim
+    data = AX.read_ivf_data(spark, path)
+    live = data.filter(F.col("list_id") != AX.TOMBSTONE_LIST)
+    assert live.filter(F.col("vec_id").isin(victims)).count() == 0
+    # tombstones retained (masking survives kept-batch replays)
+    assert {r["vec_id"] for r in AX._tombstone_ids(data).collect()} \
+        == set(victims)
+    got2 = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=16)
+    assert _rows(got2) == _rows(want)
+
+
+def test_delete_replay_idempotent_and_no_resurrection(spark, emb, tmp_path):
+    """Replaying a delete batch rewrites exactly its partitions (no
+    duplicate tombstones); an append of a deleted vec_id stays masked
+    (kill-forever semantics, the FAISS remove_ids contract)."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, nlist=8)
+    AX.ivf_index_delete([0, 2, 4], path, batch_id=0, spark=spark)
+    n = AX.read_ivf_data(spark, path).count()
+    AX.ivf_index_delete([0, 2, 4], path, batch_id=0, spark=spark)  # replay
+    assert AX.read_ivf_data(spark, path).count() == n
+
+    # re-append vec 0: tombstone still masks it
+    AX.ivf_index_append(emb.filter(F.col("vec_id") == 0), path, batch_id=1)
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 6),
+                            path, k=50, nprobe=8)
+    assert 0 not in {r["cand_id"] for r in got.collect()}
+    AX.compact_ivf_index(spark, path)
+    got2 = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 6),
+                             path, k=50, nprobe=8)
+    assert 0 not in {r["cand_id"] for r in got2.collect()}
+
+
+def test_rebuild_carry_appended_folds_appends_and_drops_tombstoned(
+        spark, emb, tmp_path):
+    """ADVICE r8: a plain rebuild seeds from the passed corpus alone —
+    carry_appended=True unions the current generation's live rows
+    (appends kept, tombstoned ids dropped, corpus winning id
+    collisions) so 'rebuild when recall decays' keeps every vector."""
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    appended = emb.filter(F.col("vec_id") % 3 == 1).limit(60)
+    app_ids = sorted(r["vec_id"] for r in appended.select("vec_id").collect())
+    AX.build_ivf_index(base, path, nlist=8)
+    AX.ivf_index_append(appended, path, batch_id=0)
+    # delete two APPENDED ids (stay dead through the rebuild) and one
+    # CORPUS id (resurrected — the rebuild corpus re-supplies it, the
+    # deliberate resurrection path)
+    AX.ivf_index_delete([app_ids[0], app_ids[1], 3], path,
+                        batch_id=1, spark=spark)
+
+    AX.build_ivf_index(base, path, nlist=8, carry_appended=True)
+    data = AX.read_ivf_data(spark, path)
+    got = {r["vec_id"] for r in data.select("vec_id").collect()}
+    want = ({r["vec_id"] for r in base.select("vec_id").collect()}
+            | set(app_ids)) - {app_ids[0], app_ids[1]}
+    assert got == want and 3 in got
+    # the rebuild generation carries no tombstones — it IS the cleanup
+    assert data.filter(F.col("list_id") == AX.TOMBSTONE_LIST).count() == 0
+
+    # contrast: a PLAIN rebuild drops the appended vectors (documented)
+    AX.build_ivf_index(base, path, nlist=8)
+    got_plain = {r["vec_id"] for r in AX.read_ivf_data(spark, path)
+                 .select("vec_id").collect()}
+    assert got_plain == {r["vec_id"] for r in base.select("vec_id").collect()}
+
+
+def test_hot_cell_write_salting_bounds_files_and_parallelizes(
+        spark, emb, tmp_path):
+    """r9 (VERDICT r8 'What's wrong' 1): a cell holding most of the
+    corpus (the clustered-corpus shape) writes across
+    ceil(rows/rows_per_task) salted tasks instead of one, with files
+    per cell ≤ that width — while cold cells keep the one-file-per-
+    cell invariant, results stay identical to the per-call operator,
+    and pruning is unchanged."""
+    dim = len(emb.select("embedding").first()[0])
+    const = F.array(*[F.lit(0.25)] * dim).cast(
+        emb.schema["embedding"].dataType)
+    skewed = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") >= 8, const)
+        .otherwise(F.col("embedding")).alias("embedding"))
+    n_hot = skewed.filter(F.col("vec_id") >= 8).count()
+    assert n_hot > 100
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(skewed, path, nlist=4, rows_per_task=50)
+    data_dir = tmp_path / "ivf" / "data" / "gen=1" / "_batch_id=-1"
+    files_per_cell = {
+        int(p.name.split("=")[1]): len(list(p.glob("*.parquet")))
+        for p in data_dir.iterdir() if p.name.startswith("list_id=")}
+    width = -(-n_hot // 50)
+    hot_files = max(files_per_cell.values())
+    assert hot_files > 1, files_per_cell          # parallel write
+    assert hot_files <= width, (files_per_cell, width)  # bounded
+    assert min(files_per_cell.values()) == 1      # cold cells untouched
+
+    # same rows as the per-call operator at the same quantizer
+    queries = skewed.filter(F.col("vec_id") < 4)
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=4)
+    want = SS.topk_ivf_det(skewed, queries, k=5, nlist=4, nprobe=4)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+    # pruning still plan-visible
+    plan = formatted_plan(
+        AX.topk_ivf_index(spark, queries, path, k=5, nprobe=2))
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1][:500]
+
+    # compaction with the same salting: append then compact, hot cell
+    # still bounded, results stable
+    AX.ivf_index_append(skewed.limit(30), path, batch_id=0,
+                        rows_per_task=50)
+    before = _rows(AX.topk_ivf_index(spark, queries, path, k=5, nprobe=4))
+    AX.compact_ivf_index(spark, path, rows_per_task=50)
+    assert _rows(AX.topk_ivf_index(
+        spark, queries, path, k=5, nprobe=4)) == before
+    folded = tmp_path / "ivf" / "data" / "gen=2" / "_batch_id=-1"
+    for cdir in folded.iterdir():
+        if cdir.name.startswith("list_id="):
+            n_files = len(list(cdir.glob("*.parquet")))
+            assert 1 <= n_files <= width + 1, (cdir, n_files)
+
+
+def test_recall_decay_gauge_measured_at_compaction(spark, tmp_path):
+    """r9 (VERDICT r8 item 4): the rebuild trigger becomes a NUMBER.
+    Build a 4-orthogonal-cluster corpus (calibration: nprobe=1 is
+    perfect), then append a distribution-SHIFTED batch of boundary
+    vectors whose true neighbors split across two frozen cells —
+    compaction's gauge measures recall at the stored operating point
+    off the newest batch, records it in the new generation's meta, and
+    flags the decay; an unshifted control stays green."""
+    import numpy as np
+
+    dim, per = 8, 12
+    rows = []
+    vid = 0
+    for c in range(4):
+        for j in range(per):
+            v = np.zeros(dim); v[c] = 1.0
+            v[(c + 4) % dim] = 0.001 * (j + 1)  # tiny within-cluster spread
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    # id order interleaves clusters so the 4 smallest ids span all 4
+    rows.sort(key=lambda t: (t[0] % per, t[0]))
+    rows = [(i, v) for i, (_, v) in enumerate(rows)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ivf")
+    meta = AX.build_ivf_index(corpus, path, nlist=4, calibrate=0.9)
+    cal = meta["calibration"]
+    assert cal["nprobe"] == 1 and cal["recall"] >= 0.9
+
+    # shifted batch: 8 PAIRS of near-identical boundary vectors, the
+    # two twins nudged to OPPOSITE sides of the cell-0/cell-1 frontier
+    # (each pair shares a j-specific off-axis direction, so a vector's
+    # true nearest neighbor is its twin — in the OTHER cell): the
+    # stored nprobe=1 can never see a query's twin, recall must fall
+    shifted = []
+    for j in range(8):
+        base = np.zeros(dim); base[0] = 1.0; base[1] = 1.0
+        base[2 + (j % 6)] += 0.30
+        base[2 + ((j + 1) % 6)] += 0.15
+        for side in (0, 1):
+            v = base.copy(); v[side] += 0.02
+            shifted.append((1000 + 2 * j + side,
+                            [float(x) for x in v / np.linalg.norm(v)]))
+    AX.ivf_index_append(
+        spark.createDataFrame(shifted, "vec_id long, embedding array<double>"),
+        path, batch_id=0)
+
+    AX.compact_ivf_index(spark, path)
+    meta2 = AX.read_ivf_meta(path)
+    g = meta2["gauge"]
+    assert g["stored"] == 1 and g["holdout_batch"] == 0
+    assert 0.0 <= g["recall_at_stored"] < 0.9
+    assert g["decayed"] is True and g["measured_nprobe"] >= 2
+    # the build-time calibration is retained beside the gauge
+    assert meta2["calibration"]["nprobe"] == 1
+
+    # control: an UNSHIFTED append keeps the gauge green
+    path2 = str(tmp_path / "ivf2")
+    AX.build_ivf_index(corpus, path2, nlist=4, calibrate=0.9)
+    extra = []
+    for j in range(16):
+        v = np.zeros(dim); v[j % 4] = 1.0
+        v[(j % 4) + 4] = 0.002 * (j + 1)
+        extra.append((2000 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    AX.ivf_index_append(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>"),
+        path2, batch_id=0)
+    AX.compact_ivf_index(spark, path2)
+    g2 = AX.read_ivf_meta(path2)["gauge"]
+    assert g2["decayed"] is False and g2["recall_at_stored"] >= 0.9
+
+    # gauge=False skips; gauge absent pre-compaction on a fresh build
+    path3 = str(tmp_path / "ivf3")
+    AX.build_ivf_index(corpus, path3, nlist=4, calibrate=0.9)
+    AX.ivf_index_append(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>"),
+        path3, batch_id=0)
+    AX.compact_ivf_index(spark, path3, gauge=False)
+    assert "gauge" not in AX.read_ivf_meta(path3)

@@ -939,3 +939,82 @@ def test_ingest_recommits_when_compaction_flips_mid_batch(spark, tmp_path,
     again = E.read_neardup_index(spark, idx)
     assert again.count() == 30
     assert again.count() == again.select("doc_id").distinct().count()
+
+
+def test_stalled_writer_survives_marker_ageout(spark, tmp_path):
+    """VERDICT r8 item 5 (the quiesce age-out's prose case analysis,
+    pinned): an ingest creates its in-flight marker, then stalls past
+    ``quiesce_timeout`` — compaction ages the marker out (by the
+    store's mtime clock) and flips; the resurrected writer completes
+    its commit into the superseded generation, re-resolves, and
+    re-commits into the new one. Nothing lost, nothing duplicated, and
+    compaction never raced the late write (it stopped writing at the
+    flip)."""
+    import threading
+    import time
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+    from andl_spark import fsio
+
+    docs = spark.createDataFrame(
+        [(i, f"stalled writer body {i % 4} tail{i % 3}") for i in range(36)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 12)
+    b0 = docs.filter((F.col("doc_id") >= 12) & (F.col("doc_id") < 24))
+    b_stall = docs.filter(F.col("doc_id") >= 24)
+    idx = str(tmp_path / "st_idx")
+    E.seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    E.neardup_ingest_batch(b_stall.limit(0), 0, idx,
+                           str(tmp_path / "st_pairs"), kind="minhash")
+    E.neardup_ingest_batch(b0, 1, idx, str(tmp_path / "st_pairs"),
+                           kind="minhash", threshold=0.5)
+    gen1 = E.resolve_neardup_index(idx)
+    sigs = D.minhash_signatures(
+        b_stall, "doc_id", "text").localCheckpoint(eager=True)
+
+    stalled_done = threading.Event()
+    errs: list = []
+
+    def stalled_writer():
+        try:
+            # marker created, writer resolved gen1... then a long GC
+            # pause: the stall spans compaction's whole quiesce window
+            fsio.write_text(
+                fsio.join(idx, f"{E._INFLIGHT_PREFIX}7"), "stalled")
+            time.sleep(3.0)
+            # resurrected: completes the commit it started against gen1
+            # (commit_batch_partitions re-creates its marker, writes,
+            # re-resolves into the flipped generation, re-commits)
+            E.commit_batch_partitions(sigs, 7, idx, initial_path=gen1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+        finally:
+            stalled_done.set()
+
+    t = threading.Thread(target=stalled_writer, daemon=True)
+    t.start()
+    time.sleep(0.3)  # marker exists, writer is stalled
+    t0 = time.time()
+    E.compact_neardup_index(spark, idx, target_files=1,
+                            quiesce_timeout=1.0)
+    # compaction did NOT wait for the stalled writer's 3s nap: it aged
+    # the marker out at ~1s and flipped
+    assert time.time() - t0 < 3.0
+    gen2 = E.resolve_neardup_index(idx)
+    assert gen2 != gen1
+    assert not E._inflight_markers(idx)  # the orphan marker was reaped
+
+    assert stalled_done.wait(timeout=120) and not errs, errs
+    after = E.read_neardup_index(spark, idx)
+    # the stalled batch's rows landed in the CURRENT generation via the
+    # re-resolve loop: nothing lost, nothing duplicated
+    assert ({r["doc_id"] for r in after.select("doc_id").collect()}
+            == {r["doc_id"] for r in docs.select("doc_id").collect()})
+    assert after.count() == 36
+    assert after.count() == after.select("doc_id").distinct().count()
+    assert after.filter(F.col("_batch_id") == 7).count() == 12
+    # and a replay of the once-stalled batch stays idempotent
+    E.commit_batch_partitions(sigs, 7, idx)
+    again = E.read_neardup_index(spark, idx)
+    assert again.count() == 36
