@@ -653,3 +653,89 @@ def test_recall_decay_gauge_measured_at_compaction(spark, tmp_path):
         path3, batch_id=0)
     AX.compact_ivf_index(spark, path3, gauge=False)
     assert "gauge" not in AX.read_ivf_meta(path3)
+
+
+@pytest.mark.slow
+def test_persisted_hier_index_at_20m(spark, tmp_path):
+    """Scale pin (VERDICT r8 item 7), gated on ANDL_SCALE_20M: the
+    persisted index at the two-level auto-dispatch regime (N=20M >
+    16.7M) — build stores the hier quantizer, a served batch through
+    the pruned index holds recall@5 ≥ 0.9 against the analytic ground
+    truth (the r7-validated 100-copy construction), deletion masks at
+    scale, and appends assign via the stored two-level quantizer.
+    Timings recorded in SCALE_r09.md (the rehearsal script run)."""
+    import os
+
+    if not os.environ.get("ANDL_SCALE_20M"):
+        pytest.skip("set ANDL_SCALE_20M=1 for the 20M persisted-index pin")
+
+    N_BASE, COPIES, DIM = 200_000, 100, 8
+    N = N_BASE * COPIES
+    base = F.col("id") % N_BASE
+    copy = (F.col("id") / N_BASE).cast("long")
+
+    def coord(j):
+        c = ((base * (2 * j + 3)) % 101 - 50).cast("double") / 10.0
+        if j == 0:
+            c = c + copy.cast("double") * 0.001
+        if j == 1:
+            c = c + (base % 2003).cast("double") * 0.01
+        return c
+
+    emb = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[coord(j) for j in range(DIM)]).alias("embedding"))
+    path = str(tmp_path / "ivf20m")
+    meta = AX.build_ivf_index(emb, path, corpus_count=N)
+    assert meta["kind"] == "hier" and meta["n1"] * meta["n2"] > 4096
+
+    queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    got = AX.topk_ivf_index(spark, queries, path, k=5)
+    g = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+    want = {(q, q + c * N_BASE) for q in range(10) for c in range(1, 6)}
+    assert len(g & want) / len(want) >= 0.9
+
+    # deletion masks at scale
+    AX.ivf_index_delete([q + N_BASE for q in range(10)], path,
+                        batch_id=0, spark=spark)
+    g2 = {(r["query_id"], r["cand_id"]) for r in
+          AX.topk_ivf_index(spark, queries, path, k=5).collect()}
+    assert not ({c for _, c in g2} & {q + N_BASE for q in range(10)})
+
+    # appends quantize via the stored two-level quantizer
+    AX.ivf_index_append(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + N), path, batch_id=1)
+    data = AX.read_ivf_data(spark, path)
+    assert data.filter(F.col("_batch_id") == 1).count() == 20
+
+
+def test_snapshot_data_cache_invalidates_on_batch_changes(
+        spark, emb, tmp_path):
+    """r9: read_ivf_snapshot reuses the generation's DataFrame (its
+    FileIndex holds the O(cells×batches) listing — the measured
+    dominant serve cost at 4k+ cells) keyed on the top-level batch-dir
+    set: repeat queries hit the cache, while an append, a delete or a
+    compaction changes the key and serves fresh files."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, nlist=8)
+    _, d1 = AX.read_ivf_snapshot(spark, path)
+    _, d2 = AX.read_ivf_snapshot(spark, path)
+    assert d1 is d2  # unchanged tree: the listing is paid once
+
+    AX.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1).limit(20),
+                        path, batch_id=0)
+    _, d3 = AX.read_ivf_snapshot(spark, path)
+    assert d3 is not d1
+    assert d3.filter(F.col("_batch_id") == 0).count() == 20  # fresh files
+
+    AX.ivf_index_delete([1], path, batch_id=1, spark=spark)
+    _, d4 = AX.read_ivf_snapshot(spark, path)
+    assert d4 is not d3  # the delete's batch dir changed the key
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
+                            path, k=30, nprobe=8)
+    assert 1 not in {r["cand_id"] for r in got.collect()}
+
+    AX.compact_ivf_index(spark, path)
+    _, d5 = AX.read_ivf_snapshot(spark, path)
+    assert d5 is not d4  # new generation
