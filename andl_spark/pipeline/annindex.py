@@ -31,8 +31,18 @@ tested protocol rather than re-implemented, with
 ``part_cols=("_batch_id", "list_id")`` nesting the cell partitions
 under the batch dirs so probe-time partition pruning keeps working.
 Appended vectors quantize against the STORED centroids (standard IVF
-practice — cells drift as the corpus grows; rebuild when the
-calibration's measured recall decays).
+practice — cells drift as the corpus grows; rebuild when the recall
+gauge says so).
+
+Lifecycle (r9): the pointer commits RENAME-FREE
+(:mod:`andl_spark.pointer` — object-store safe); ``ivf_index_delete``
+tombstones vectors (queries antijoin, compaction physically removes);
+``measure_ivf_recall`` re-measures recall under the frozen quantizer
+at each compaction and commits the gauge into the meta — the rebuild
+trigger is a stored number, and ``build_ivf_index(carry_appended=
+True)`` is the rebuild that keeps streamed vectors; hot cells write
+salted (``_cell_shape``); serving reuses the generation's FileIndex
+(the measured dominant cost at 4k+ cells — SCALE_r09.md §2).
 
 Reference: david-pfx/Andl has no ANN surface — this extends SURVEY.md
 §2.8's similarity-search ops (simsearch.py) with the index-persistence

@@ -739,3 +739,79 @@ def test_snapshot_data_cache_invalidates_on_batch_changes(
     AX.compact_ivf_index(spark, path)
     _, d5 = AX.read_ivf_snapshot(spark, path)
     assert d5 is not d4  # new generation
+
+
+def test_ivf_live_soak_with_concurrent_deletes(spark, emb, tmp_path):
+    """r9 soak: deletes race the ingest stream AND the compactor —
+    the three writers the index supports, concurrently. Final state:
+    every streamed vector present exactly once UNLESS deleted, deleted
+    ids never served (pre- or post-fold), tombstones carry the masked
+    set, and at least one compaction ran against live traffic."""
+    import threading
+    import time
+
+    path = str(tmp_path / "ivf")
+    src = str(tmp_path / "incoming")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    AX.build_ivf_index(old, path, nlist=16)
+    for i in range(6):
+        (new.filter(F.col("vec_id") % 12 == 2 * i + 1).repartition(1)
+         .write.mode("append").parquet(src))
+    # delete targets: some seeded (evens), some that arrive mid-stream
+    victims = [0, 2, 4, 1, 3, 13]
+
+    stop = threading.Event()
+    compactions = {"n": 0}
+    errs: list = []
+
+    def compactor():
+        while not stop.is_set():
+            time.sleep(1.2)
+            try:
+                AX.compact_ivf_index(spark, path)
+                compactions["n"] += 1
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    def deleter():
+        for j, v in enumerate(victims):
+            time.sleep(0.7)
+            try:
+                # deletes use their own high batch-id space so they
+                # never collide with the stream's foreachBatch ids
+                AX.ivf_index_delete([v], path, batch_id=1000 + j,
+                                    spark=spark)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    tc = threading.Thread(target=compactor, daemon=True)
+    td = threading.Thread(target=deleter, daemon=True)
+    tc.start(); td.start()
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = AX.ivf_ingest_stream(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    td.join(timeout=60)
+    stop.set()
+    tc.join(timeout=60)
+    assert not errs, errs
+    assert compactions["n"] >= 1
+    AX.compact_ivf_index(spark, path)  # final fold
+
+    data = AX.read_ivf_data(spark, path)
+    live = (data.filter(F.col("list_id") != AX.TOMBSTONE_LIST)
+            .join(AX._tombstone_ids(data), "vec_id", "left_anti"))
+    want_ids = ({r["vec_id"] for r in emb.select("vec_id").collect()}
+                - set(victims))
+    got_ids = [r["vec_id"] for r in live.select("vec_id").collect()]
+    assert sorted(got_ids) == sorted(want_ids)      # once each, none lost
+    assert set(got_ids) == want_ids
+    # masked set survives the folds
+    assert {r["vec_id"] for r in AX._tombstone_ids(data).collect()} \
+        == set(victims)
+    # deleted ids never served
+    served = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") < 8),
+                               path, k=50, nprobe=16)
+    assert not ({r["cand_id"] for r in served.collect()} & set(victims))
