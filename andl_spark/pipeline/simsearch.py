@@ -80,6 +80,38 @@ def cosine_n_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot_expr(a, b) / (na * nb)
 
 
+#: dims up to which the fixed-dim unrolled dot/norm is used — beyond
+#: this the expression tree bloat outweighs the codegen win (Spark
+#: splits >64KB methods, but compile time and plan size grow linearly)
+UNROLL_MAX_DIM = 256
+
+
+def dot_expr_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product UNROLLED for a known dimension (r9): the HOF path
+    (zip_with + aggregate) is interpreted per element and allocates an
+    intermediate array per PAIR — measured as the dominant serve cost
+    on the 20M index (SCALE_r09 §2: 20.2 s → 13.9 s with this form).
+    The sum is left-associated in element order, exactly the HOF
+    fold's order (whose leading 0.0 + v1 ≡ v1 in IEEE), so results
+    are BITWISE IDENTICAL to dot_expr — pinned on the 20M fixture and
+    by the index-vs-per-call row-identity tests."""
+    t = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+    for i in range(2, dim + 1):
+        t = t + (F.element_at(a, i).cast("double")
+                 * F.element_at(b, i).cast("double"))
+    return t
+
+
+def norm_expr_fixed(a: Column, dim: int) -> Column:
+    """norm_expr unrolled for a known dimension — see dot_expr_fixed
+    (same bitwise-identity argument, squares instead of products)."""
+    t = F.element_at(a, 1).cast("double") * F.element_at(a, 1).cast("double")
+    for i in range(2, dim + 1):
+        t = t + (F.element_at(a, i).cast("double")
+                 * F.element_at(a, i).cast("double"))
+    return F.sqrt(t)
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
