@@ -898,11 +898,15 @@ def embedding_dup_pairs(
     bucket_bits=0 compares all pairs (correctness baseline for tests
     only — a cartesian product, never the declared path at scale).
     """
-    from .simsearch import cosine_n_expr, hyperplane_bucket, norm_expr
+    from .simsearch import _score_exprs, hyperplane_bucket
 
+    # fixed-dim unrolled scorer when dim is known — bitwise-identical
+    # to the HOF forms (simsearch.dot_expr_fixed), so oracle pair sets
+    # and cosines are unchanged; the bucketed path always knows dim
+    _norm, _cos = _score_exprs(dim)
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        norm_expr(F.col(vec_col)).alias("nrm"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     if bucket_bits > 0:
         if dim is None:
@@ -951,7 +955,7 @@ def embedding_dup_pairs(
             )
         # corpus-sized both sides: shuffle-hash, never AQE-broadcast
         a, b = left.alias("a"), e.alias("b").hint("shuffle_hash")
-        cos = cosine_n_expr(
+        cos = _cos(
             F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
         )
         # cosine + threshold evaluate MAP-SIDE on the bucket join's
@@ -973,7 +977,7 @@ def embedding_dup_pairs(
         )
     a, b = v.alias("a"), v.alias("b")
     joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
-    cos = cosine_n_expr(
+    cos = _cos(
         F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
     )
     return (

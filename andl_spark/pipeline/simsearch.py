@@ -112,6 +112,20 @@ def norm_expr_fixed(a: Column, dim: int) -> Column:
     return F.sqrt(t)
 
 
+def _score_exprs(dim: int | None):
+    """(norm_fn, cosine_fn) for the pair-scoring hot path: the
+    fixed-dim unrolled forms when the dimension is known and within
+    UNROLL_MAX_DIM, else the generic HOF forms. Results are bitwise
+    identical either way (dot_expr_fixed), so oracle hashes and
+    rank tie-breaks cannot move. Assignment expressions
+    (nearest_lists_cosine) stay HOF-based deliberately: unrolling a
+    per-centroid dot would multiply the plan by nlist×dim nodes."""
+    if dim and 0 < dim <= UNROLL_MAX_DIM:
+        return (lambda col: norm_expr_fixed(col, dim),
+                lambda a, b, na, nb: dot_expr_fixed(a, b, dim) / (na * nb))
+    return norm_expr, cosine_n_expr
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,6 +133,7 @@ def topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     max_queries: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -141,19 +156,20 @@ def topk_bruteforce(
             "|queries| x |corpus| pairs). Use topk_lsh/topk_ivf for bulk "
             "k-NN, or pass a larger max_queries deliberately."
         )
+    _norm, _cos = _score_exprs(dim)  # pass dim= to unroll the scorer
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-            norm_expr(F.col(vec_col)).alias("qn"),
+            _norm(F.col(vec_col)).alias("qn"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id")).select(
         "query_id", "cand_id",
-        cosine_n_expr(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")).alias("cosine"),
+        _cos(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -330,6 +346,7 @@ def topk_lsh(
             bits=bits, dim=dim)["multiprobe"]
     elif multiprobe is None:
         multiprobe = 1
+    _norm, _cos = _score_exprs(dim)
     if quantize:
         qz = quantize_embeddings(
             corpus.select(F.col(id_col).alias("cand_id"),
@@ -337,18 +354,18 @@ def topk_lsh(
         c = qz.select(
             "cand_id",
             F.col("q_vec").alias("cvec"),
-            norm_expr(F.col("q_vec")).alias("cn"),
+            _norm(F.col("q_vec")).alias("cn"),
             hyperplane_bucket("__raw", dim, bits).alias("bucket"),
         )
     else:
         c = corpus.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-            norm_expr(F.col(vec_col)).alias("cn"),
+            _norm(F.col(vec_col)).alias("cn"),
             hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
         )
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket0"),
     )
     # probe every bucket at Hamming distance ≤ multiprobe (r8: was
@@ -371,8 +388,8 @@ def topk_lsh(
         F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos(F.col("qvec"), F.col("cvec"),
+                     F.col("qn"), F.col("cn")).alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -753,9 +770,10 @@ def topk_ivf_det(
     # per-centroid transform would re-aggregate it nlist times per row
     # (the dominant interpreted-HOF cost of IVF assignment at corpus
     # scale; measured 31.9s -> see SCALE_r05.md at sf10's 200k vectors).
+    _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        _norm(F.col(vec_col)).alias("cn"),
     ).withColumn(
         "list_id",
         F.element_at(
@@ -763,7 +781,7 @@ def topk_ivf_det(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
     ).withColumn(
         "list_id",
         F.explode(
@@ -773,8 +791,8 @@ def topk_ivf_det(
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos(F.col("qvec"), F.col("cvec"),
+                     F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -792,22 +810,23 @@ def _topk_ivf_det_np(
     NP_ASSIGN_MIN_NLIST)."""
     assign1 = nearest_lists_np(centroids, 1)
     assignp = nearest_lists_np(centroids, nprobe)
+    _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        _norm(F.col(vec_col)).alias("cn"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(assignp(F.col(vec_col))).alias("list_id"),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos(F.col("qvec"), F.col("cvec"),
+                     F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -835,18 +854,19 @@ def _topk_ivf_det_quantized(
         assign1 = F.element_at(
             nearest_lists_cosine("__raw", centroids, 1,
                                  vec_norm=norm_expr(F.col("__raw"))), 1)
+    _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     qz = quantize_embeddings(
         corpus.select(F.col(id_col).alias("cand_id"),
                       F.col(vec_col).alias("__raw")), "__raw")
     c = qz.select(
         "cand_id",
         F.col("q_vec").alias("cvec"),
-        norm_expr(F.col("q_vec")).alias("cn"),
+        _norm(F.col("q_vec")).alias("cn"),
         assign1.alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     if big:
         q = q.withColumn(
@@ -862,8 +882,8 @@ def _topk_ivf_det_quantized(
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos(F.col("qvec"), F.col("cvec"),
+                     F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -1170,6 +1190,7 @@ def topk_ivf_hier(
             quantizer=quantizer, cents=cents)["p1"]
     else:
         p1 = p1 or max(2, math.ceil(n1 * AUTO_PROBE_FRAC))
+    _norm, _cos = _score_exprs(len(C1[0]) if C1 else None)
     if quantize:
         qz = quantize_embeddings(
             corpus.select(F.col(id_col).alias("cand_id"),
@@ -1177,26 +1198,26 @@ def topk_ivf_hier(
         c = qz.select(
             "cand_id",
             F.col("q_vec").alias("cvec"),
-            norm_expr(F.col("q_vec")).alias("cn"),
+            _norm(F.col("q_vec")).alias("cn"),
             hier_assign_np(C1, C2)(F.col("__raw")).alias("list_id"),
         )
     else:
         c = corpus.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-            norm_expr(F.col(vec_col)).alias("cn"),
+            _norm(F.col(vec_col)).alias("cn"),
             hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
         )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(hier_probe_np(C1, C2, p1)(F.col(vec_col))).alias("list_id"),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos(F.col("qvec"), F.col("cvec"),
+                     F.col("qn"), F.col("cn")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id"))
@@ -1237,7 +1258,7 @@ def _calib_cache_put(key: tuple, rec: dict) -> dict:
 
 
 def _calib_pass(c: DataFrame, grid: DataFrame, hold: DataFrame,
-                k: int) -> list:
+                k: int, dim: int | None = None) -> list:
     """The single distributed calibration pass: broadcast the exploded
     probe grid (SLIM — query_id, probe_pos, list_id only; broadcasting
     the grid WITH vectors would repeat every holdout vector once per
@@ -1254,8 +1275,12 @@ def _calib_pass(c: DataFrame, grid: DataFrame, hold: DataFrame,
         .join(F.broadcast(hold), "query_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "probe_pos", "cand_id",
-                cosine_n_expr(F.col("qvec"), F.col("cvec"),
-                              F.col("qn"), F.col("cn")).alias("cosine"))
+                # fixed-dim unrolled when the caller knows dim —
+                # bitwise-identical, and this exhaustive pass is the
+                # calibrator's (and the r9 recall gauge's) whole cost
+                _score_exprs(dim)[1](F.col("qvec"), F.col("cvec"),
+                                     F.col("qn"), F.col("cn"))
+                .alias("cosine"))
         .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("query_id", "probe_pos").orderBy(
@@ -1427,7 +1452,8 @@ def calibrate_probe(
                                      vec_norm=F.col("qn"))
     grid = h.select("query_id", F.posexplode(order).alias("pos0", "list_id")
                     ).withColumn("probe_pos", F.col("pos0") + 1)
-    rows = _calib_pass(c, grid, h, k)
+    rows = _calib_pass(c, grid, h, k,
+                       dim=len(centroids[0]) if centroids else None)
     if not rows:
         raise ValueError("calibrate_probe: empty calibration pass — the "
                          "corpus has no nonzero-norm vectors to hold out")
@@ -1510,7 +1536,7 @@ def calibrate_probe_hier(
                      ).alias("pos0", "list_id")
     ).withColumn(  # full probe list is n1 contiguous blocks of n2
         "probe_pos", (F.col("pos0") / F.lit(n2)).cast("int") + 1)
-    rows = _calib_pass(c, grid, h, k)
+    rows = _calib_pass(c, grid, h, k, dim=len(C1[0]) if C1 else None)
     if not rows:
         raise ValueError("calibrate_probe_hier: empty calibration pass — "
                          "the corpus has no nonzero-norm vectors to hold out")
@@ -1577,7 +1603,7 @@ def calibrate_probe_lsh(
             F.col("bucket0").bitwiseXOR(F.col("list_id"))) + 1)
         .drop("bucket0")
     )
-    rows = _calib_pass(c, grid, h, k)
+    rows = _calib_pass(c, grid, h, k, dim=dim)
     if not rows:
         raise ValueError("calibrate_probe_lsh: empty calibration pass — "
                          "the corpus has no nonzero-norm vectors to hold out")

@@ -1144,7 +1144,7 @@ def q_ann_bruteforce(spark, sf_dir):
     """Brute-force cosine top-5 for 10 query vectors (simsearch.py)."""
     emb = _t(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    out = SS.topk_bruteforce(emb, queries, "vec_id", "embedding", k=5, dim=64)
     return out.select("query_id", "cand_id", r4(F.col("cosine")).alias("cosine"), "rank")
 
 
