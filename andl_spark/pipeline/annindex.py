@@ -179,11 +179,11 @@ def _flat_assigned(df: DataFrame, id_col: str, vec_col: str,
     review r8b). The numpy path ignores vec_norm."""
     dim = len(centroids[0]) if centroids else 0
     _norm = (norm_expr_fixed if 0 < dim <= UNROLL_MAX_DIM
-             else lambda col, *_: norm_expr(col))
+             else lambda name, *_: norm_expr(F.col(name)))
     return (
         df.select(F.col(id_col).alias("vec_id"),
                   F.col(vec_col).alias("embedding"))
-        .withColumn("__n", _norm(F.col("embedding"), dim))
+        .withColumn("__n", _norm("embedding", dim))
         .select("vec_id", "embedding",
                 F.element_at(_assign_expr(
                     F.col("embedding"), centroids, 1,
@@ -746,15 +746,12 @@ def topk_ivf_index(
     # to fixed-dim codegen'd arithmetic (r9) — bitwise identical to
     # the HOF forms (pinned row-identical to topk_ivf_det), measured
     # 20.2 → 13.9 s on the 20M serve (SCALE_r09 §2)
-    dim = int(meta.get("dim") or 0)
-    if 0 < dim <= UNROLL_MAX_DIM:
-        _norm = lambda col: norm_expr_fixed(col, dim)
-        _cos = lambda a, b, na, nb: dot_expr_fixed(a, b, dim) / (na * nb)
-    else:
-        _norm, _cos = norm_expr, cosine_n_expr
+    from .simsearch import _score_exprs
+
+    _norm, _cos = _score_exprs(int(meta.get("dim") or 0))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     ).withColumn("probe", probe_expr).localCheckpoint()  # probe lists computed ONCE: reused for the
     # driver-side partition-filter collect AND the probe join
     cells = sorted({c for r in q.select(
@@ -765,7 +762,7 @@ def topk_ivf_index(
         .filter(F.col("list_id").isin(cells))  # partition pruning
         .select(F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("cvec"),
-                _norm(F.col("embedding")).alias("cn"), "list_id")
+                _norm("embedding").alias("cn"), "list_id")
     )
     # deleted vectors never surface (ivf_index_delete): antijoin the
     # tombstone set — its scan prunes to the list_id=-1 dirs alone.
@@ -781,8 +778,7 @@ def topk_ivf_index(
         F.broadcast(qx).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id"))

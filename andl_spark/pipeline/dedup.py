@@ -906,7 +906,7 @@ def embedding_dup_pairs(
     _norm, _cos = _score_exprs(dim)
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        _norm(vec_col).alias("nrm"),
     )
     if bucket_bits > 0:
         if dim is None:
@@ -955,9 +955,7 @@ def embedding_dup_pairs(
             )
         # corpus-sized both sides: shuffle-hash, never AQE-broadcast
         a, b = left.alias("a"), e.alias("b").hint("shuffle_hash")
-        cos = _cos(
-            F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
-        )
+        cos = _cos("a.vec", "b.vec", "a.nrm", "b.nrm")
         # cosine + threshold evaluate MAP-SIDE on the bucket join's
         # output, BEFORE any pair dedup: deduping first means shuffling
         # every candidate pair with BOTH vectors attached (measured
@@ -977,9 +975,7 @@ def embedding_dup_pairs(
         )
     a, b = v.alias("a"), v.alias("b")
     joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
-    cos = _cos(
-        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
-    )
+    cos = _cos("a.vec", "b.vec", "a.nrm", "b.nrm")
     return (
         joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")

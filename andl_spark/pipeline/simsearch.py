@@ -80,50 +80,76 @@ def cosine_n_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot_expr(a, b) / (na * nb)
 
 
-#: dims up to which the fixed-dim unrolled dot/norm is used — beyond
-#: this the expression tree bloat outweighs the codegen win (Spark
-#: splits >64KB methods, but compile time and plan size grow linearly)
-UNROLL_MAX_DIM = 256
+#: dims up to which the fixed-dim unrolled dot/norm is used. MEASURED
+#: cliff (2M-row sum-of-dots probe, r9): the unrolled form beats the
+#: HOF by 2-3.7x at dims 8/16/32 (dim 32: 0.56s vs 2.09s) and then
+#: falls off a JIT method-size limit — the generated code for a
+#: dim-48 term chain exceeds the huge-method threshold, the JVM runs
+#: it interpreted, and the same probe measures 16-18s vs the HOF's
+#: 5s. 32 is the measured safe bound, not a guess; above it the HOF
+#: forms (tight specialized loop, small method) win.
+UNROLL_MAX_DIM = 32
 
 
-def dot_expr_fixed(a: Column, b: Column, dim: int) -> Column:
+def _sql_name(ref: str) -> str:
+    """A column reference for an F.expr fragment: plain names get
+    backticks; alias-qualified references (``a.vec``) pass through."""
+    if not isinstance(ref, str):
+        raise TypeError(
+            f"fixed-dim scorers take column NAMES, got {type(ref).__name__} "
+            "(the expression builds as one parsed SQL string — a Column "
+            "has no reliable SQL rendering)")
+    return ref if "." in ref or "`" in ref else f"`{ref}`"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled dot as ONE SQL string. Building the same tree via
+    Column operators costs ~4 py4j round-trips per term (measured
+    2.1 s for dim 64 — more than the sf0.1 queries it was meant to
+    speed up); parsing one string is milliseconds and yields the
+    identical expression tree. 0-based ``a[i]`` ≡ element_at(a, i+1);
+    ``+`` parses left-associative, the HOF fold's order."""
+    qa, qb = _sql_name(a), _sql_name(b)
+    return " + ".join(
+        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))"
+        for i in range(dim))
+
+
+def dot_expr_fixed(a: str, b: str, dim: int) -> Column:
     """Dot product UNROLLED for a known dimension (r9): the HOF path
     (zip_with + aggregate) is interpreted per element and allocates an
     intermediate array per PAIR — measured as the dominant serve cost
     on the 20M index (SCALE_r09 §2: 20.2 s → 13.9 s with this form).
-    The sum is left-associated in element order, exactly the HOF
-    fold's order (whose leading 0.0 + v1 ≡ v1 in IEEE), so results
-    are BITWISE IDENTICAL to dot_expr — pinned on the 20M fixture and
-    by the index-vs-per-call row-identity tests."""
-    t = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
-    for i in range(2, dim + 1):
-        t = t + (F.element_at(a, i).cast("double")
-                 * F.element_at(b, i).cast("double"))
-    return t
+    Takes column NAMES (the expression builds as one parsed SQL
+    string — see _dot_sql). The sum is left-associated in element
+    order, exactly the HOF fold's order (whose leading 0.0 + v1 ≡ v1
+    in IEEE), so results are BITWISE IDENTICAL to dot_expr — pinned on
+    the 20M fixture and by the index-vs-per-call row-identity tests."""
+    return F.expr(_dot_sql(a, b, dim))
 
 
-def norm_expr_fixed(a: Column, dim: int) -> Column:
+def norm_expr_fixed(a: str, dim: int) -> Column:
     """norm_expr unrolled for a known dimension — see dot_expr_fixed
     (same bitwise-identity argument, squares instead of products)."""
-    t = F.element_at(a, 1).cast("double") * F.element_at(a, 1).cast("double")
-    for i in range(2, dim + 1):
-        t = t + (F.element_at(a, i).cast("double")
-                 * F.element_at(a, i).cast("double"))
-    return F.sqrt(t)
+    return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
 
 
 def _score_exprs(dim: int | None):
-    """(norm_fn, cosine_fn) for the pair-scoring hot path: the
-    fixed-dim unrolled forms when the dimension is known and within
-    UNROLL_MAX_DIM, else the generic HOF forms. Results are bitwise
-    identical either way (dot_expr_fixed), so oracle hashes and
-    rank tie-breaks cannot move. Assignment expressions
-    (nearest_lists_cosine) stay HOF-based deliberately: unrolling a
-    per-centroid dot would multiply the plan by nlist×dim nodes."""
+    """(norm_fn, cosine_fn) for the pair-scoring hot path, taking
+    column NAME strings: the fixed-dim unrolled forms when the
+    dimension is known and within UNROLL_MAX_DIM, else the generic
+    HOF forms. Results are bitwise identical either way
+    (dot_expr_fixed), so oracle hashes and rank tie-breaks cannot
+    move. Assignment expressions (nearest_lists_cosine) stay
+    HOF-based deliberately: unrolling a per-centroid dot would
+    multiply the plan by nlist×dim nodes."""
     if dim and 0 < dim <= UNROLL_MAX_DIM:
-        return (lambda col: norm_expr_fixed(col, dim),
-                lambda a, b, na, nb: dot_expr_fixed(a, b, dim) / (na * nb))
-    return norm_expr, cosine_n_expr
+        return (lambda name: norm_expr_fixed(name, dim),
+                lambda a, b, na, nb: dot_expr_fixed(a, b, dim)
+                / (F.col(na) * F.col(nb)))
+    return (lambda name: norm_expr(F.col(name)),
+            lambda a, b, na, nb: cosine_n_expr(
+                F.col(a), F.col(b), F.col(na), F.col(nb)))
 
 
 def topk_bruteforce(
@@ -160,16 +186,16 @@ def topk_bruteforce(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-            _norm(F.col(vec_col)).alias("qn"),
+            _norm(vec_col).alias("qn"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
+        _norm(vec_col).alias("cn"),
     )
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id")).select(
         "query_id", "cand_id",
-        _cos(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")).alias("cosine"),
+        _cos("qvec", "cvec", "qn", "cn").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -354,18 +380,18 @@ def topk_lsh(
         c = qz.select(
             "cand_id",
             F.col("q_vec").alias("cvec"),
-            _norm(F.col("q_vec")).alias("cn"),
+            _norm("q_vec").alias("cn"),
             hyperplane_bucket("__raw", dim, bits).alias("bucket"),
         )
     else:
         c = corpus.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-            _norm(F.col(vec_col)).alias("cn"),
+            _norm(vec_col).alias("cn"),
             hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
         )
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket0"),
     )
     # probe every bucket at Hamming distance ≤ multiprobe (r8: was
@@ -388,8 +414,7 @@ def topk_lsh(
         F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -773,7 +798,7 @@ def topk_ivf_det(
     _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
+        _norm(vec_col).alias("cn"),
     ).withColumn(
         "list_id",
         F.element_at(
@@ -781,7 +806,7 @@ def topk_ivf_det(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     ).withColumn(
         "list_id",
         F.explode(
@@ -791,8 +816,7 @@ def topk_ivf_det(
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -813,20 +837,19 @@ def _topk_ivf_det_np(
     _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
+        _norm(vec_col).alias("cn"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
         F.explode(assignp(F.col(vec_col))).alias("list_id"),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -861,12 +884,12 @@ def _topk_ivf_det_quantized(
     c = qz.select(
         "cand_id",
         F.col("q_vec").alias("cvec"),
-        _norm(F.col("q_vec")).alias("cn"),
+        _norm("q_vec").alias("cn"),
         assign1.alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     )
     if big:
         q = q.withColumn(
@@ -882,8 +905,7 @@ def _topk_ivf_det_quantized(
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -1198,26 +1220,25 @@ def topk_ivf_hier(
         c = qz.select(
             "cand_id",
             F.col("q_vec").alias("cvec"),
-            _norm(F.col("q_vec")).alias("cn"),
+            _norm("q_vec").alias("cn"),
             hier_assign_np(C1, C2)(F.col("__raw")).alias("list_id"),
         )
     else:
         c = corpus.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-            _norm(F.col(vec_col)).alias("cn"),
+            _norm(vec_col).alias("cn"),
             hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
         )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
         F.explode(hier_probe_np(C1, C2, p1)(F.col(vec_col))).alias("list_id"),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                _cos(F.col("qvec"), F.col("cvec"),
-                     F.col("qn"), F.col("cn")).alias("cosine"))
+                _cos("qvec", "cvec", "qn", "cn").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id"))
@@ -1278,8 +1299,7 @@ def _calib_pass(c: DataFrame, grid: DataFrame, hold: DataFrame,
                 # fixed-dim unrolled when the caller knows dim —
                 # bitwise-identical, and this exhaustive pass is the
                 # calibrator's (and the r9 recall gauge's) whole cost
-                _score_exprs(dim)[1](F.col("qvec"), F.col("cvec"),
-                                     F.col("qn"), F.col("cn"))
+                _score_exprs(dim)[1]("qvec", "cvec", "qn", "cn")
                 .alias("cosine"))
         .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
