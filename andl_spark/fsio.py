@@ -39,6 +39,7 @@ import shutil
 __all__ = [
     "exists", "read_text", "write_text", "write_text_atomic",
     "write_text_create", "listdir", "delete", "mkdirs", "join", "stat",
+    "copy_tree",
 ]
 
 _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -178,9 +179,20 @@ def write_text_create(path: str, text: str) -> bool:
     """CREATE-ONLY small-file write: returns False (touching nothing)
     when the path already exists. The primitive the rename-free pointer
     protocol (:mod:`andl_spark.pointer`) commits through — ``open(x)``
-    locally, ``FileSystem.create(overwrite=False)`` through Hadoop
-    (a conditional PUT on object stores that support it; HDFS create
-    is atomic-exclusive natively)."""
+    locally, ``FileSystem.create(overwrite=False)`` through Hadoop.
+
+    EXCLUSIVITY CONTRACT BY BACKEND (ADVICE r9): POSIX ``open("x")``
+    and HDFS create are atomically exclusive; stores with a
+    conditional PUT (S3 ``If-None-Match`` through connectors that wire
+    it up, GCS precondition, ABFS create) are too. On an S3A build
+    WITHOUT conditional-write support, ``create(overwrite=False)`` is
+    a HEAD-then-PUT — two racing committers can BOTH "succeed" with
+    last-PUT-wins, so exclusivity there is ADVISORY: it still fails
+    loudly on every sequential double-commit (the common misuse), but
+    the single-committer discipline the pointer protocol documents is
+    the actual guarantee for sub-millisecond races. See
+    :mod:`andl_spark.pointer` for which protocol properties depend on
+    which guarantee."""
     if not _is_uri(path):
         try:
             with open(path, "x") as f:
@@ -192,7 +204,19 @@ def write_text_create(path: str, text: str) -> bool:
     try:
         out = fs.create(jp, False)
     except Exception as e:  # py4j wraps FileAlreadyExistsException
-        if "AlreadyExists" in str(e) or "already exists" in str(e):
+        # match the JAVA EXCEPTION CLASS first (ADVICE r9: message
+        # substrings are brittle across connectors); keep the
+        # substring check as a fallback for wrappers that chain the
+        # class name into the message only
+        jcls = ""
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            try:
+                jcls = je.getClass().getName()
+            except Exception:
+                jcls = ""
+        if (jcls.endswith("FileAlreadyExistsException")
+                or "AlreadyExists" in str(e) or "already exists" in str(e)):
             return False
         raise
     try:
@@ -251,3 +275,32 @@ def mkdirs(path: str) -> None:
         return
     _, _, fs, jp = _jvm_fs(path)
     fs.mkdirs(jp)
+
+
+def copy_tree(src: str, dst: str) -> None:
+    """Recursive carry of a directory tree WITHOUT decoding — the
+    incremental-compaction primitive (annindex r10; VERDICT r9 item 1):
+    an untouched cell's parquet files move generations as bytes, never
+    through a Spark job. Local paths HARDLINK each file (free; parquet
+    files are immutable once written and generation reclaim only
+    unlinks, so shared inodes are safe), falling back to a byte copy
+    across filesystems; URI paths go through Hadoop ``FileUtil.copy``
+    (a byte copy client-side — on S3 the connector turns same-bucket
+    copies into server-side COPY; still no decode and no shuffle)."""
+    if not _is_uri(src) and not _is_uri(dst):
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.isdir(s):
+                copy_tree(s, d)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:  # cross-device or exists: byte copy
+                    shutil.copy2(s, d)
+        return
+    spark, jvm, fs, jsrc = _jvm_fs(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, jsrc, fs, jdst, False, True,
+        spark._jsc.hadoopConfiguration())

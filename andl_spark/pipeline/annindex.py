@@ -298,6 +298,7 @@ def build_ivf_index(
                            meta_files={"_meta.json": json.dumps(meta)},
                            max_records_per_file=rows_per_task)
         _invalidate_meta_cache(path)
+        _invalidate_data_cache(path)
         return meta
     if quantizer == "trained":
         centroids = trained_centroids(corpus, id_col, vec_col, nlist)
@@ -343,6 +344,7 @@ def build_ivf_index(
                        meta_files={"_meta.json": json.dumps(meta)},
                        max_records_per_file=rows_per_task)
     _invalidate_meta_cache(path)
+    _invalidate_data_cache(path)
     return meta
 
 
@@ -398,15 +400,50 @@ def _meta_at(path: str, gen_dir: str) -> dict:
 #: rehearsal showed every fresh spark.read.parquet paying a PARALLEL
 #: PARTITION DISCOVERY job over all ~4,400 leaf dirs (one LIST per
 #: cell×batch dir — the dominant serve cost, and on an object store
-#: thousands of LIST calls per query batch). A generation's file set
-#: only changes when a batch partition lands, so the DataFrame (whose
+#: thousands of LIST calls per query batch). The DataFrame (whose
 #: FileIndex holds the listing) is reused keyed on the TOP-LEVEL batch
-#: dir set — one cheap O(#batches) listing per call replaces the
-#: O(#batches × #cells) recursive one. Replays rewrite a batch with
-#: identical rows (the ingest contract), so an unchanged batch set
-#: implies unchanged served content.
+#: dirs PLUS EACH BATCH DIR'S OWN fsio.stat IDENTITY (ADVICE r9: the
+#: batch-dir NAME set alone conflated logical content with the
+#: physical file listing Spark scans — a foreachBatch replay rewrites
+#: an existing ``_batch_id=N`` with NEW part files and deletes the old
+#: ones, and a delete committed under an existing batch id adds a
+#: tombstone leaf, BOTH leaving the name set unchanged; the first left
+#: the cached FileIndex pointing at deleted files — every read threw
+#: FileNotFoundException — and the second kept serving deleted
+#: vectors). Dynamic overwrite and tombstone commits add/remove leaf
+#: dirs under the batch dir, which bumps its mtime on every backend
+#: that has one, so the stat identity catches cross-process writers;
+#: in-process writers additionally invalidate explicitly
+#: (:func:`_invalidate_data_cache`), which also covers stores whose
+#: "directory" mtimes are synthetic (object stores) for the
+#: single-driver case. One cheap O(#batches) listing + stat pass per
+#: call replaces the O(#batches × #cells) recursive one.
 _DATA_CACHE: dict[tuple, DataFrame] = {}
 _DATA_CACHE_MAX = 8
+
+
+def _invalidate_data_cache(path: str) -> None:
+    """Drop cached generation DataFrames for ``path`` — every
+    in-process writer (build, append, delete, compact) calls this so a
+    later read never serves a FileIndex listing files the write just
+    replaced (ADVICE r9)."""
+    for k in [k for k in _DATA_CACHE if k[1] == path]:
+        _DATA_CACHE.pop(k, None)
+
+
+def _batch_dirs_ident(gen_dir: str) -> tuple:
+    """(name, mtime, length) per top-level batch dir — the physical
+    identity the data cache keys on (see _DATA_CACHE). A dir whose
+    stat races a concurrent delete keys on a fresh sentinel object:
+    never equal to any stored key, so the read goes to disk."""
+    out = []
+    for n in sorted(n for n in fsio.listdir(gen_dir)
+                    if n.startswith("_batch_id=")):
+        try:
+            out.append((n,) + fsio.stat(fsio.join(gen_dir, n)))
+        except OSError:
+            out.append((n, object()))  # racing writer: force a miss
+    return tuple(out)
 
 
 def read_ivf_snapshot(spark: SparkSession, path: str):
@@ -416,14 +453,13 @@ def read_ivf_snapshot(spark: SparkSession, path: str):
     pointer in between and a reader pairs one generation's centroids
     with another's cells (review r8b; the torn pairing the in-
     generation meta commit exists to prevent). The data frame is
-    served from the generation-scoped cache above; appends, deletes
-    and compactions all change the batch-dir set or the generation and
-    therefore miss it."""
+    served from the generation-scoped cache above; appends, deletes,
+    compactions and same-batch replays all change the batch-dir stat
+    identity (or invalidate in-process) and therefore miss it."""
     data_root = fsio.join(path, "data")
     gen_dir = resolve_neardup_index(data_root)
-    batches = frozenset(n for n in fsio.listdir(gen_dir)
-                        if n.startswith("_batch_id="))
-    key = (spark.sparkContext.applicationId, path, gen_dir, batches)
+    key = (spark.sparkContext.applicationId, path, gen_dir,
+           _batch_dirs_ident(gen_dir))
     df = _DATA_CACHE.get(key)
     if df is None:
         while len(_DATA_CACHE) >= _DATA_CACHE_MAX:  # bounded FIFO
@@ -463,21 +499,17 @@ def ivf_index_append(
     strengthened to re-QUANTIZE because a rebuild changes what the
     cell ids mean (review r8b: committing stale-centroid rows into a
     rebuilt generation would make those vectors unfindable forever)."""
-    import time as _time
-
-    from ..streaming.events import _INFLIGHT_PREFIX
+    from ..streaming.events import _held_marker
 
     data_root = fsio.join(path, "data")
     # in-flight marker: the quiesce signal compact waits on before its
     # flip — the same no-double-writer protocol as the near-dup ingest
-    # (see compact_neardup_index's r8b hardening note)
-    marker = fsio.join(data_root, f"{_INFLIGHT_PREFIX}{batch_id}")
-    fsio.write_text(marker, repr(_time.time()))  # aged by mtime
-    try:
+    # (see compact_neardup_index's r8b hardening note); _held_marker
+    # refreshes the mtime during long write jobs (ADVICE r9)
+    with _held_marker(data_root, batch_id):
         _append_loop(batch, path, data_root, batch_id, id_col, vec_col,
                      rows_per_task)
-    finally:
-        fsio.delete(marker)
+    _invalidate_data_cache(path)  # replays rewrote this batch's files
 
 
 def _append_loop(batch, path, data_root, batch_id, id_col, vec_col,
@@ -550,6 +582,10 @@ def ivf_index_delete(ids, path: str, batch_id: int,
         F.lit(TOMBSTONE_LIST).alias("list_id"))
     commit_batch_partitions(tomb, batch_id, fsio.join(path, "data"),
                             part_cols=PART_COLS)
+    # a delete under an ALREADY-EXISTING batch id adds only a leaf
+    # tombstone dir — invalidate so a cached FileIndex can't keep
+    # serving the deleted vectors (ADVICE r9)
+    _invalidate_data_cache(path)
 
 
 def _tombstone_ids(data: DataFrame) -> DataFrame:
@@ -559,9 +595,22 @@ def _tombstone_ids(data: DataFrame) -> DataFrame:
             .select("vec_id").distinct())
 
 
+#: corpus rows the recall gauge exhaustively scores against (r10;
+#: VERDICT r9 item 2): the r9 gauge re-scored holdout × N cosines at
+#: every compaction — the dominant slice of the 20M rehearsal's
+#: 1227.8 s compact. Same bounded class as the quantizer-training
+#: sample caps (simsearch). The estimate is CONSERVATIVE: a uniform
+#: row subsample's true top-k are farther neighbors than the full
+#: corpus's, and nearer neighbors are likelier to share the query's
+#: probed cells — so sampled recall reads low, never high, and the
+#: decay trigger fires earlier, never later.
+GAUGE_SAMPLE_ROWS = 262_144
+
+
 def measure_ivf_recall(spark: SparkSession, path: str,
                        n_holdout: int = 32,
-                       holdout: DataFrame | None = None) -> dict:
+                       holdout: DataFrame | None = None,
+                       sample_rows: int | None = GAUGE_SAMPLE_ROWS) -> dict:
     """Measure the index's CURRENT recall under its FROZEN quantizer
     (r9; VERDICT r8 item 4 — annindex's own 'rebuild when the
     calibration's measured recall decays' advice, made measurable):
@@ -581,7 +630,16 @@ def measure_ivf_recall(spark: SparkSession, path: str,
     rebuild trigger as a number. :func:`compact_ivf_index` runs this
     beside each compaction (when the index stores a calibration and
     has appended batches) and commits it into the new generation's
-    ``_meta.json`` next to the build-time calibration."""
+    ``_meta.json`` next to the build-time calibration.
+
+    ``sample_rows`` (r10; VERDICT r9 item 2): above this many live
+    rows the exhaustive pass runs against a DETERMINISTIC
+    xxhash64(vec_id) row sample instead of the whole corpus — gauge
+    cost becomes O(holdout × sample) instead of O(holdout × N), a 76×
+    cut at the 20M rehearsal's geometry. The sampled reading is a
+    conservative (biased-low) estimate — see GAUGE_SAMPLE_ROWS — and
+    the gauge record says when and how it sampled (``sampled_n`` /
+    ``corpus_n``). ``sample_rows=None`` forces the exhaustive pass."""
     meta, data = read_ivf_snapshot(spark, path)
     cal = meta.get("calibration")
     target = cal["target"] if cal else 0.9
@@ -597,6 +655,16 @@ def measure_ivf_recall(spark: SparkSession, path: str,
             holdout_batch = max(appended)
             holdout = live.filter(F.col("_batch_id") == holdout_batch)
     corpus = live.drop("_batch_id")
+    corpus_n = sampled_n = None
+    if sample_rows is not None:
+        # column-pruned count (vec_id/list_id only — embeddings unread)
+        corpus_n = corpus.count()
+        if corpus_n > sample_rows:
+            denom = 1_000_000
+            thresh = max(1, int(denom * sample_rows / corpus_n))
+            corpus = corpus.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) < thresh)
+            sampled_n = corpus.count()
     hier = meta.get("kind") == "hier"
     if hier:
         stored = cal["p1"] if cal else None
@@ -628,6 +696,12 @@ def measure_ivf_recall(spark: SparkSession, path: str,
         "holdout_batch": holdout_batch,
         "decayed": (at_stored is not None and at_stored < target),
     }
+    if sampled_n is not None:
+        # the reading came from a row sample: conservative (biased
+        # low — see GAUGE_SAMPLE_ROWS), recorded so a reader of the
+        # meta knows the estimate's basis
+        gauge["corpus_n"] = corpus_n
+        gauge["sampled_n"] = sampled_n
     if gauge["decayed"]:
         import logging
 
@@ -639,10 +713,72 @@ def measure_ivf_recall(spark: SparkSession, path: str,
     return gauge
 
 
+def _incremental_fold_plan(raw: DataFrame, max_bid, src: str):
+    """The dirty-cell compaction plan (r10; VERDICT r9 item 1): the
+    r9 compact folded the ENTIRE generation — at the 20M rehearsal,
+    1227.8 s to rewrite all rows even when one batch had landed in a
+    few cells; at 100 TB that is a corpus rewrite per compaction. A
+    cell's folded content can only differ from its current seed files
+    when (a) a non-kept batch delivered rows into it, or (b) a
+    tombstone masks one of its rows. So:
+
+    - DIRTY CELLS are found with a column-pruned scan of (vec_id,
+      list_id, _batch_id) alone — parquet never reads the embedding
+      bytes for this — and collected driver-side (bounded by nlist);
+    - the fold reads and rewrites ONLY dirty cells' full rows (the
+      ``isin`` lands in PartitionFilters, so clean cells' bytes are
+      never opened) plus the always-rewritten tombstone partition;
+    - every CLEAN seed cell and the kept max batch carry into the new
+      generation VERBATIM via fsio.copy_tree — hardlinks on POSIX, a
+      byte copy (no decode, no shuffle) elsewhere.
+
+    Semantics are row-identical to the full fold by construction: a
+    clean cell's seed files already hold exactly its live rows
+    (pinned in tests/test_annindex.py against the full fold)."""
+    slim = raw.select("vec_id", "list_id", "_batch_id")
+    has_kept = max_bid is not None and max_bid >= 0
+    fold_slim = (slim.filter(F.col("_batch_id") != max_bid)
+                 if has_kept else slim)
+    # tombstones from ALL batches (kept included) mask folded rows —
+    # the same set the full fold's fold_transform used
+    tomb = (raw.filter(F.col("list_id") == TOMBSTONE_LIST)
+            .select("vec_id").distinct())
+    dirty_df = (
+        fold_slim.filter((F.col("_batch_id") >= 0)
+                         & (F.col("list_id") != TOMBSTONE_LIST))
+        .select("list_id")
+        .unionByName(
+            fold_slim.filter(F.col("list_id") != TOMBSTONE_LIST)
+            .join(tomb, "vec_id", "left_semi").select("list_id"))
+        .distinct())
+    dirty = sorted(r[0] for r in dirty_df.collect())
+
+    fold_src = (raw.filter(F.col("_batch_id") != max_bid)
+                if has_kept else raw)
+    live = (fold_src.filter(F.col("list_id").isin(dirty))
+            .join(tomb, "vec_id", "left_anti"))
+    rows = (live.unionByName(
+        fold_src.filter(F.col("list_id") == TOMBSTONE_LIST))
+        .drop("_batch_id").withColumn("_batch_id", F.lit(-1)))
+
+    dirty_set = set(dirty)
+    copy_rel = []
+    seed_dir = fsio.join(src, "_batch_id=-1")
+    for n in fsio.listdir(seed_dir):
+        if n.startswith("list_id="):
+            cid = int(n.split("=", 1)[1])
+            if cid not in dirty_set and cid != TOMBSTONE_LIST:
+                copy_rel.append(fsio.join("_batch_id=-1", n))
+    if has_kept:
+        copy_rel.append(f"_batch_id={max_bid}")
+    return rows, copy_rel
+
+
 def compact_ivf_index(spark: SparkSession, path: str,
                       rows_per_task: int = SALT_ROWS_PER_TASK,
                       gauge: bool | None = None,
-                      gauge_holdout: int = 32) -> None:
+                      gauge_holdout: int = 32,
+                      incremental: bool = True) -> None:
     """Fold the accumulated ``_batch_id`` partitions into the seed
     partition behind an atomic generation flip — exactly
     compact_neardup_index with the cell-nested layout; see its
@@ -653,19 +789,43 @@ def compact_ivf_index(spark: SparkSession, path: str,
     hot-cell salting — see _cell_shape), so there is no target_files
     knob here.
 
+    ``incremental`` (r10, default; VERDICT r9 item 1): fold ONLY the
+    cells that batch fragments or tombstone masks actually touched and
+    carry every clean cell file into the new generation by
+    hardlink/byte-copy — compaction cost becomes proportional to the
+    DIRTY FRACTION instead of the corpus (the r9 rehearsal's 1227.8 s
+    full fold at 20M is the measured number this removes). Results are
+    row-identical to the full fold (``incremental=False``), pinned in
+    tests. The full fold remains the right tool after heavy churn
+    (most cells dirty) since it also re-shapes cold cells' files.
+
     Tombstoned vectors (ivf_index_delete) are PHYSICALLY removed from
-    the folded rows here — the fold antijoins every data row against
-    the full tombstone set (folded + kept batches) — while the
+    the folded rows here — the fold antijoins every dirty data row
+    against the full tombstone set (folded + kept batches) — while the
     tombstone rows themselves fold into the seed partition and keep
     masking ids that a kept-batch replay or late-carried batch could
     re-deliver (see ivf_index_delete's retention rationale).
+
+    RETENTION BOUNDS at high churn (VERDICT r9 item 8), as functions
+    of the append rate a and delete-batch rate d between compactions:
+    pointer files ≤ KEEP+1 (= 3) regardless of churn (pointer.commit
+    GCs); top-level batch dirs in the live generation grow as a + d
+    and collapse to ≤ 2 (seed + kept max batch) at each compaction;
+    tombstone ROWS grow with total deletes since the last rebuild
+    (≈ 16 bytes/id in parquet — negligible next to the vectors they
+    mask) and their FILES collapse to the single folded ``list_id=-1``
+    partition per compaction; on-disk generations are always ≤ 2
+    (current + retained). Pinned by the high-churn soak in
+    tests/test_annindex.py.
 
     ``gauge`` (r9; VERDICT r8 item 4): None = auto — when the index
     stores a build-time calibration AND has appended batches, run
     :func:`measure_ivf_recall` against the current generation (holdout
     = newest appended batch) and commit the gauge record into the new
     generation's ``_meta.json``, making recall decay a stored number
-    instead of a guess. True forces it, False skips it."""
+    instead of a guess. True forces it, False skips it. r10: the gauge
+    bounds its corpus pass to a deterministic row sample (see
+    measure_ivf_recall), so it no longer dominates compaction."""
     do_gauge = gauge
     if do_gauge is None:
         try:
@@ -695,9 +855,12 @@ def compact_ivf_index(spark: SparkSession, path: str,
     compact_neardup_index(spark, fsio.join(path, "data"),
                           part_cols=PART_COLS,
                           fold_transform=_fold,
+                          fold_plan=(_incremental_fold_plan
+                                     if incremental else None),
                           shape=lambda df: _cell_shape(df, rows_per_task),
                           max_records_per_file=rows_per_task,
                           meta_overrides=meta_overrides)
+    _invalidate_data_cache(path)
 
 
 def topk_ivf_index(
@@ -708,6 +871,7 @@ def topk_ivf_index(
     nprobe: int | None = None,
     id_col: str | None = None,
     vec_col: str | None = None,
+    mode: str = "join",
 ) -> DataFrame:
     """Query the persisted index: assign each query its ``nprobe``
     nearest cells, then scan ONLY those cells — the probe set is
@@ -723,7 +887,21 @@ def topk_ivf_index(
 
     The query batch is broadcast (the topk_bruteforce contract): bulk
     k-NN over a huge query set should go through the pair ops, not a
-    per-query probe."""
+    per-query probe.
+
+    ``mode="shared"`` (r10; VERDICT r9 item 3 — the SCALE_r09 §2
+    residual, where 32 scattered queries probed 66% of a 20M corpus
+    and the per-pair scoring expression dominated): group the query
+    batch BY PROBED CELL and score each cell's rows against all of its
+    probing queries in one vectorized Arrow pass (mapInPandas) with a
+    per-chunk top-k cut, so each candidate row is decoded once per
+    BATCH and only ≤ k×chunks×queries pairs ever reach the final
+    ranking window instead of all |cell|×queries pairs. The numpy
+    scoring accumulates dot and norm PER COORDINATE IN ELEMENT ORDER —
+    the same left-associated IEEE float64 fold as the JVM expression —
+    so cosines are BITWISE IDENTICAL to mode="join" and the row sets
+    match exactly (pinned in tests). Use it for multi-query serving
+    batches; single queries gain nothing over the join."""
     meta, data = read_ivf_snapshot(spark, path)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
@@ -757,6 +935,11 @@ def topk_ivf_index(
     cells = sorted({c for r in q.select(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
+    has_tombs = any("list_id=-1" in f for f in data.inputFiles())
+    if mode == "shared":
+        return _topk_shared(spark, q, data, cells, k, has_tombs)
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r} (join | shared)")
     c = (
         data  # same generation as the meta above (one pointer read)
         .filter(F.col("list_id").isin(cells))  # partition pruning
@@ -768,7 +951,7 @@ def topk_ivf_index(
     # tombstone set — its scan prunes to the list_id=-1 dirs alone.
     # Skipped entirely when the generation's (cached) file listing
     # shows no tombstone partition — the common case pays nothing.
-    if any("list_id=-1" in f for f in data.inputFiles()):
+    if has_tombs:
         c = c.join(
             _tombstone_ids(data).withColumnRenamed("vec_id", "cand_id"),
             "cand_id", "left_anti")
@@ -784,6 +967,103 @@ def topk_ivf_index(
         F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
+                 cells: list, k: int, has_tombs: bool) -> DataFrame:
+    """The cell-shared batch serve (see topk_ivf_index mode="shared").
+
+    Shape: the probed-cell scan (same PartitionFilters pruning as the
+    join mode) feeds mapInPandas; each Arrow chunk groups its rows by
+    cell, scores them against the cell's probing queries with
+    element-order float64 accumulation (bitwise-equal to the JVM
+    fold — see the caller's docstring), cuts to top-k per query per
+    chunk under the final (cosine desc, cand_id asc) order — a global
+    top-k row is necessarily in its own chunk's top-k under the same
+    total order — and the tiny survivor set ranks through the usual
+    window. The query batch rides a broadcast variable keyed by cell
+    (bounded: the caller's per-query-probe contract)."""
+    import numpy as np
+
+    qrows = q.select("query_id", "qvec", "probe").collect()
+
+    def _leftfold_norm(vec: "np.ndarray") -> float:
+        acc = float(vec[0]) * float(vec[0])
+        for x in vec[1:]:
+            acc += float(x) * float(x)
+        return float(np.sqrt(acc))
+
+    percell: dict = {}
+    for r in qrows:
+        vec = np.asarray(r["qvec"], dtype=np.float64)
+        for cell in r["probe"]:
+            if cell is not None:
+                percell.setdefault(cell, []).append(
+                    (r["query_id"], vec, _leftfold_norm(vec)))
+    cellmap = {
+        cell: (np.array([t[0] for t in entries]),
+               np.stack([t[1] for t in entries]),
+               np.array([t[2] for t in entries], dtype=np.float64))
+        for cell, entries in percell.items()
+    }
+    bc = spark.sparkContext.broadcast(cellmap)
+
+    cand = (data.filter(F.col("list_id").isin(cells))
+            .select(F.col("vec_id").alias("cand_id"), "embedding",
+                    "list_id"))
+    if has_tombs:
+        cand = cand.join(
+            _tombstone_ids(data).withColumnRenamed("vec_id", "cand_id"),
+            "cand_id", "left_anti")
+
+    def _score(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            outs = []
+            for cell, grp in pdf.groupby("list_id", sort=False):
+                entry = m.get(cell)
+                if entry is None:
+                    continue
+                qids, Q, qn = entry
+                C = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in grp["embedding"]])
+                ids = grp["cand_id"].to_numpy()
+                d = C.shape[1]
+                # element-order accumulation == the JVM left fold:
+                # bitwise-identical cosines (see caller docstring)
+                S = np.multiply.outer(C[:, 0], Q[:, 0])
+                cn = C[:, 0] * C[:, 0]
+                for i in range(1, d):
+                    S += np.multiply.outer(C[:, i], Q[:, i])
+                    cn += C[:, i] * C[:, i]
+                cn = np.sqrt(cn)
+                cos = S / np.multiply.outer(cn, qn)
+                for j in range(len(qids)):
+                    keep = ids != qids[j]
+                    cc, vv = ids[keep], cos[keep, j]
+                    if not len(cc):
+                        continue
+                    if len(cc) > k:  # top-k under (cos desc, id asc)
+                        sel = np.lexsort((cc, -vv))[:k]
+                        cc, vv = cc[sel], vv[sel]
+                    outs.append(pd.DataFrame(
+                        {"query_id": qids[j], "cand_id": cc,
+                         "cosine": vv}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    qt = q.schema["query_id"].dataType.simpleString()
+    ct = data.schema["vec_id"].dataType.simpleString()
+    pairs = cand.mapInPandas(
+        _score, f"query_id {qt}, cand_id {ct}, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

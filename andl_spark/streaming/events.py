@@ -252,12 +252,84 @@ def _flip_gen(index_path: str, gen: int, schema_json: str | None = None) -> None
 #: pointer flip — see commit_batch_partitions / compact_neardup_index
 _INFLIGHT_PREFIX = "_inflight_"
 
+#: seconds between marker mtime refreshes while a commit's write job
+#: runs (ADVICE r9): compaction ages ORPHAN markers by mtime, so a
+#: single write job longer than the quiesce window would otherwise be
+#: aged out while its writer is alive — reopening exactly the
+#: concurrent-dynamic-overwrite window the marker exists to close. A
+#: live writer's marker now stays younger than any quiesce_timeout >
+#: this interval (the default window is 120 s).
+_MARKER_REFRESH = 15.0
+
 
 def _inflight_markers(index_path: str) -> list[str]:
     from .. import fsio
 
     return [n for n in fsio.listdir(index_path)
             if n.startswith(_INFLIGHT_PREFIX)]
+
+
+def _held_marker(index_path: str, batch_id: int):
+    """Context manager: create the ``_inflight_<batch>`` marker, keep
+    its mtime FRESH from a daemon thread every :data:`_MARKER_REFRESH`
+    seconds for as long as the commit runs, delete it on exit. The
+    refresh is what makes orphan aging sound (ADVICE r9): an orphan
+    older than the quiesce window now implies a DEAD writer — a live
+    one refreshed within the last interval — so compaction's age-out
+    can never strand a running write job without its quiesce signal.
+    A failed refresh (transient store error) is absorbed: the marker
+    merely ages one interval and the next refresh restores it."""
+    import contextlib
+    import threading
+    import time as _time
+
+    from .. import fsio
+
+    @contextlib.contextmanager
+    def _cm():
+        marker = fsio.join(index_path, f"{_INFLIGHT_PREFIX}{batch_id}")
+        fsio.write_text(marker, repr(_time.time()))  # body = breadcrumb
+        stop = threading.Event()
+
+        def _refresh():
+            while not stop.wait(_MARKER_REFRESH):
+                try:
+                    fsio.write_text(marker, repr(_time.time()))
+                except Exception:
+                    pass  # absorbed: ages ≤ one interval, next one heals
+
+        t = threading.Thread(target=_refresh, daemon=True,
+                             name=f"inflight-refresh-{batch_id}")
+        t.start()
+        try:
+            yield marker
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            fsio.delete(marker)
+
+    return _cm()
+
+
+def _store_now(index_path: str) -> float:
+    """The STORE's own current time: write a probe file and read its
+    mtime back. Orphan-marker aging compares against marker mtimes the
+    store stamped, so 'now' must come from the same clock — driver
+    wall time skews across hosts, silently widening or collapsing the
+    age window (ADVICE r9). Degrades to the driver clock only when the
+    probe itself fails."""
+    from .. import fsio
+
+    probe = fsio.join(index_path, "_clockprobe")
+    try:
+        fsio.write_text(probe, "")
+        return fsio.stat(probe)[0]
+    except OSError:
+        import time as _time
+
+        return _time.time()
+    finally:
+        fsio.delete(probe)
 
 
 def resolve_neardup_index(index_path: str) -> str:
@@ -411,6 +483,7 @@ def compact_neardup_index(spark, index_path: str,
                           part_cols: tuple = ("_batch_id",),
                           quiesce_timeout: float = 120.0,
                           fold_transform=None,
+                          fold_plan=None,
                           shape=None,
                           meta_overrides: dict | None = None,
                           max_records_per_file: int | None = None,
@@ -480,8 +553,15 @@ def compact_neardup_index(spark, index_path: str,
     - an ingest whose marker appeared after that final check either
       resolves the NEW generation directly (nothing to do) or wrote
       into the old one and re-resolves into the new one itself — and
-      since compaction never writes after the flip, that re-commit has
-      no concurrent writer. No lost batch, no double writer.
+      since compaction never writes to the OLD generation after the
+      flip, that re-commit has no concurrent writer. No lost batch,
+      no double writer.
+    - r10 (ADVICE r9): the one interleaving the above missed — a
+      publish AND its re-resolve both squeezed into the gap between
+      the final listing and the flip — is closed by a post-flip AUDIT
+      that carries exactly the batches whose writer provably exited
+      (marker gone) without reaching the new generation; see the
+      inline analysis at the audit site.
 
     (A replay of an ALREADY-snapshotted batch id rewrites its
     partition with the same rows — ingest is idempotent per batch_id —
@@ -511,6 +591,18 @@ def compact_neardup_index(spark, index_path: str,
     replaces/extends the carried ``_meta*`` sidecars in the new
     generation (the recall-decay gauge records itself this way —
     committed WITH the generation, never mutating a flipped one).
+
+    ``fold_plan(raw, max_bid, src)`` (r10, incremental compaction —
+    VERDICT r9 item 1) REPLACES the whole default fold composition
+    (kept-batch split, relabel, fold_transform): it returns
+    ``(rows_df, copy_rel_dirs)`` — the rows to WRITE into the new
+    generation (already carrying their final ``_batch_id`` values)
+    plus a list of src-relative leaf directories to carry into the new
+    generation VERBATIM via :func:`andl_spark.fsio.copy_tree` (no
+    decode, no shuffle; hardlinks on POSIX). The quiesce/carry/flip
+    protocol around the fold is unchanged — late batches still land by
+    dynamic overwrite, which composes with copied dirs because copied
+    and written leaves are disjoint by the plan's own construction.
 
     ``part_cols`` mirrors seed_neardup_index (r8b): extra partition
     columns nest under the leading ``_batch_id`` — the snapshot and
@@ -554,25 +646,32 @@ def compact_neardup_index(spark, index_path: str,
             return df.repartition(*part_cols[1:])
         return df.coalesce(target_files)
 
-    if max_bid is not None and max_bid >= 0:
-        fold_src = raw.filter(F.col("_batch_id") != max_bid)
-        kept = raw.filter(F.col("_batch_id") == max_bid)
+    copy_rel: list[str] = []
+    if fold_plan is not None:
+        rows, copy_rel = fold_plan(raw, max_bid, src)
+        df = _shape(rows).localCheckpoint(eager=True)
     else:
-        fold_src, kept = raw, None
-    folded_rows = (fold_src.drop("_batch_id")
-                   .withColumn("_batch_id", F.lit(-1)))
-    if fold_transform is not None:
-        folded_rows = fold_transform(folded_rows, kept)
-    folded = _shape(folded_rows)
-    df = (
-        folded.unionByName(kept) if kept is not None else folded
-    ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
+        if max_bid is not None and max_bid >= 0:
+            fold_src = raw.filter(F.col("_batch_id") != max_bid)
+            kept = raw.filter(F.col("_batch_id") == max_bid)
+        else:
+            fold_src, kept = raw, None
+        folded_rows = (fold_src.drop("_batch_id")
+                       .withColumn("_batch_id", F.lit(-1)))
+        if fold_transform is not None:
+            folded_rows = fold_transform(folded_rows, kept)
+        folded = _shape(folded_rows)
+        df = (
+            folded.unionByName(kept) if kept is not None else folded
+        ).localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     new_gen = (cur or 0) + 1
     target = fsio.join(index_path, f"gen={new_gen}")
     writer = df.write
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*part_cols).parquet(target)
+    for rel in copy_rel:  # untouched leaves carried without decoding
+        fsio.copy_tree(fsio.join(src, rel), fsio.join(target, rel))
     for name in fsio.listdir(src):  # carry meta sidecars (see seed)
         if name.startswith("_meta"):
             text = fsio.read_text(fsio.join(src, name))
@@ -583,30 +682,34 @@ def compact_neardup_index(spark, index_path: str,
         if name not in fsio.listdir(target):
             fsio.write_text(fsio.join(target, name), text)
 
+    def _write_carry(names: list[str]) -> None:
+        """Copy the named src batch partitions into the target via
+        dynamic partition OVERWRITE — idempotent against the ingest
+        re-commit loop writing the same partition with the same rows."""
+        carried_df = (
+            spark.read.option("basePath", src)
+            .parquet(*[fsio.join(src, n) for n in names])
+        )
+        if shape is not None:
+            carried_df = shape(carried_df)
+        elif len(part_cols) > 1:  # one task per leaf cell (see _shape)
+            carried_df = carried_df.repartition(*part_cols[1:])
+        w = (carried_df.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic"))
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.partitionBy(*part_cols).parquet(target)
+
     def _carry_late(already: set[str]) -> set[str]:
-        """Copy batch partitions committed into the source generation
-        after the snapshot, each via dynamic partition OVERWRITE —
-        idempotent against the ingest re-commit loop writing the same
-        partition with the same rows."""
+        """Batch partitions committed into the source generation after
+        the snapshot → carried into the target (see _write_carry)."""
         late = sorted(
             n for n in fsio.listdir(src)
             if n.startswith("_batch_id=")
             and n not in seen_parts and n not in already
         )
         if late:
-            carried_df = (
-                spark.read.option("basePath", src)
-                .parquet(*[fsio.join(src, n) for n in late])
-            )
-            if shape is not None:
-                carried_df = shape(carried_df)
-            elif len(part_cols) > 1:  # one task per leaf cell (see _shape)
-                carried_df = carried_df.repartition(*part_cols[1:])
-            w = (carried_df.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic"))
-            if max_records_per_file:
-                w = w.option("maxRecordsPerFile", max_records_per_file)
-            w.partitionBy(*part_cols).parquet(target)
+            _write_carry(late)
         return already | set(late)
 
     if _pre_flip_hook is not None:
@@ -638,16 +741,19 @@ def compact_neardup_index(spark, index_path: str,
             # deadline passed: a crashed ingest's orphan marker must
             # neither wedge maintenance forever NOR force every future
             # compaction down this path (review r8b round 2). Age by
-            # the STORE's OWN clock — the marker file's mtime — not a
-            # writer-written wall-clock timestamp, which skews across
-            # hosts near the window boundary (ADVICE r8). An orphan
-            # older than the window has a dead writer (a live commit
-            # finishes or its foreachBatch replays); a YOUNGER marker
-            # belongs to a live ingest we stop waiting for (the
-            # timeout contract): its re-resolve loop re-commits into
-            # the new generation, and compaction never writes
-            # post-flip, so nothing is lost or doubly written.
-            now = _time.time()
+            # the STORE's OWN clock on BOTH sides — the marker's mtime
+            # against a probe file's mtime (_store_now) — never the
+            # driver's wall clock, which skews across hosts (ADVICE
+            # r9). An orphan older than the window has a DEAD writer —
+            # a live one refreshes its marker every _MARKER_REFRESH
+            # seconds (_held_marker), so even a write job longer than
+            # the window stays young; a YOUNGER marker belongs to a
+            # live ingest we stop waiting for (the timeout contract):
+            # its re-resolve loop re-commits into the new generation
+            # (backstopped by the post-flip audit below), and
+            # compaction never writes to the OLD generation post-flip,
+            # so nothing is lost or doubly written.
+            now = _store_now(index_path)
             for name in markers:
                 p = fsio.join(index_path, name)
                 try:
@@ -671,6 +777,32 @@ def compact_neardup_index(spark, index_path: str,
         if late_now <= carried:
             break
     _flip_gen(index_path, new_gen)
+    # POST-FLIP AUDIT (ADVICE r9): an ingest whose publish landed in
+    # the gap between the final late_now listing and the flip, and
+    # whose re-resolve ALSO ran before the flip, saw "generation
+    # unchanged" and exited — its batch would exist only in the
+    # superseded tree. Detect exactly that: a never-carried batch dir
+    # in src whose in-flight marker is GONE (a writer holds its marker
+    # through its whole re-resolve loop, so marker-gone means its
+    # final state is knowable) and whose partition is absent from the
+    # new generation (present would mean its final write already
+    # targeted the new generation). Carrying it here has NO concurrent
+    # writer — that writer exited — so the no-double-writer invariant
+    # holds. A leftover whose marker is still present belongs to a
+    # LIVE writer that will re-resolve into the new generation itself
+    # (or a crashed one whose foreachBatch replay re-commits there);
+    # carrying those would BE the double writer, so they are left to
+    # their own protocol.
+    live = set(_inflight_markers(index_path))
+    for name in sorted(
+            n for n in fsio.listdir(src)
+            if n.startswith("_batch_id=")
+            and n not in seen_parts and n not in carried):
+        bid = name.split("=", 1)[1]
+        if f"{_INFLIGHT_PREFIX}{bid}" in live:
+            continue  # live/replayable writer: it re-commits itself
+        if not fsio.exists(fsio.join(target, name)):
+            _write_carry([name])
     # the superseded tree (generation `cur`, or the legacy root dirs
     # when cur is None) is RETAINED until the next flip — in-flight
     # readers keep intact files either way; older generations reclaim
@@ -749,21 +881,13 @@ def commit_batch_partitions(
     index's appends (pipeline/annindex.py).
 
     Holds an ``_inflight_<batch>`` marker for the duration (created
-    before the first write, removed after the loop settles) — the
-    quiesce signal compact_neardup_index waits on before its pointer
-    flip, which is what guarantees this loop and compaction's carry
-    never write the same partition concurrently (r8b; see the compact
-    docstring for the measured duplication that forced this)."""
-    import time as _time
-
-    from .. import fsio
-
-    marker = fsio.join(index_path, f"{_INFLIGHT_PREFIX}{batch_id}")
-    # plain put (single-object PUT, no rename): compaction ages the
-    # marker by its file MTIME — the store's clock — so the writer-side
-    # timestamp in the body is debugging breadcrumb only (ADVICE r8)
-    fsio.write_text(marker, repr(_time.time()))
-    try:
+    before the first write, mtime-refreshed while the write job runs —
+    ADVICE r9 — removed after the loop settles) — the quiesce signal
+    compact_neardup_index waits on before its pointer flip, which is
+    what guarantees this loop and compaction's carry never write the
+    same partition concurrently (r8b; see the compact docstring for
+    the measured duplication that forced this)."""
+    with _held_marker(index_path, batch_id):
         data_path = initial_path or resolve_neardup_index(index_path)
         while True:
             (
@@ -777,8 +901,6 @@ def commit_batch_partitions(
             if cur == data_path:
                 return
             data_path = cur
-    finally:
-        fsio.delete(marker)
 
 
 def neardup_ingest_stream(

@@ -241,14 +241,59 @@ R8_ANCHOR: dict[str, float] = {
     "q_dedup_simhash_prod": 1.850,
 }
 
+# ---------------------------------------------------------------------
+# r9 anchors (VERDICT r9 item 7): the round-9 idle warm suite
+# (BENCH_WARM_r09.json, sf0.1, load 0.18) adopted as the standing
+# default so the drift reference stays CURRENT — 1.109× the r8 warm
+# anchors overall, inside the container's documented ±40% per-query
+# swing, with none of the r9 code changes on these queries' paths.
+# r1/r5/r7/r8 stay above for history.
+# ---------------------------------------------------------------------
+R9_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 0.532,
+    "q3_shipping_priority": 0.905,
+    "q5_local_supplier": 1.142,
+    "q10_returned_items": 0.688,
+    "q14_promo_revenue": 0.378,
+    "q18_large_orders": 0.633,
+    "q_text_quality": 0.267,
+    "q_top_ngrams": 0.667,
+    "q_agg_fold": 0.243,
+    "q_topk_orders": 0.384,
+    "q_window_running": 0.232,
+    "q_rdivide": 0.596,
+    "q_image_agg": 0.249,
+    "q_while_closure": 3.831,
+    "q_nest_unnest": 0.438,
+    "q_clean_corpus": 0.61,
+    "q_train_split": 0.234,
+    "q_corpus_profile": 0.336,
+    "q_asof_join": 0.305,
+    "q_decontaminate": 1.052,
+    "q_pii_scrub": 0.306,
+    "q_dedup_exact": 0.162,
+    "q_token_count": 0.121,
+    "q_lang_id": 0.225,
+    "q_ngram_jaccard": 2.454,
+    "q_ann_bruteforce": 0.718,
+    "q_dedup_spans": 1.932,
+    "q_ann_ivf": 1.761,
+    "q_ann_lsh": 1.163,
+    "q_events_window": 0.325,
+    "q_events_session": 0.415,
+    "q_dedup_minhash_prod": 2.514,
+    "q_dedup_simhash_prod": 2.256,
+}
+
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
     "r5": (R5_ANCHOR, set()),
     "r7": (R7_ANCHOR, set()),
     "r8": (R8_ANCHOR, set()),
+    "r9": (R9_ANCHOR, set()),
 }
-DEFAULT_ANCHORS = "r8"
+DEFAULT_ANCHORS = "r9"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
 
 

@@ -815,3 +815,320 @@ def test_ivf_live_soak_with_concurrent_deletes(spark, emb, tmp_path):
     served = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") < 8),
                                path, k=50, nprobe=16)
     assert not ({r["cand_id"] for r in served.collect()} & set(victims))
+
+
+# ---------------------------------------------------------------------
+# r10: data-cache physical identity (ADVICE r9 high), incremental
+# compaction, sampled gauge, churn bounds
+# ---------------------------------------------------------------------
+def test_data_cache_sees_same_batch_replay_files(
+        spark, emb, tmp_path, monkeypatch):
+    """ADVICE r9 (high): a foreachBatch replay rewrites an EXISTING
+    _batch_id=N with NEW part files — the batch-dir NAME set is
+    unchanged, so the r9 cache key kept serving a FileIndex of deleted
+    files (FileNotFoundException on every read). The key now carries
+    each batch dir's stat identity; this pin disables the in-process
+    invalidation entirely to prove the key alone catches it (the
+    cross-process-writer scenario)."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, nlist=8)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(20).localCheckpoint()
+    monkeypatch.setattr(ax, "_invalidate_data_cache", lambda p: None)
+    AX.ivf_index_append(batch, path, batch_id=3)
+    _, d1 = AX.read_ivf_snapshot(spark, path)
+    assert d1.filter(F.col("_batch_id") == 3).count() == 20  # cache warm
+    AX.ivf_index_append(batch, path, batch_id=3)  # replay: new files
+    _, d2 = AX.read_ivf_snapshot(spark, path)
+    assert d2 is not d1  # stat identity changed -> fresh FileIndex
+    # and the fresh frame reads without FileNotFoundException
+    assert d2.filter(F.col("_batch_id") == 3).count() == 20
+
+
+def test_data_cache_sees_delete_under_existing_batch_id(
+        spark, emb, tmp_path, monkeypatch):
+    """ADVICE r9 (high), second scenario: a delete committed under an
+    ALREADY-EXISTING batch_id adds only a leaf tombstone dir — no
+    top-level change — so the r9 cache kept serving deleted vectors.
+    In-process invalidation disabled to prove the stat key catches
+    it."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, nlist=8)
+    AX.ivf_index_append(
+        emb.filter(F.col("vec_id") % 2 == 1).limit(20), path, batch_id=0)
+    queries = emb.filter(F.col("vec_id") == 2)
+    before = AX.topk_ivf_index(spark, queries, path, k=30, nprobe=8)
+    victim = sorted(r["cand_id"] for r in before.collect())[0]
+    monkeypatch.setattr(ax, "_invalidate_data_cache", lambda p: None)
+    # same batch_id as the existing append: only a list_id=-1 leaf lands
+    AX.ivf_index_delete([victim], path, batch_id=0, spark=spark)
+    got = AX.topk_ivf_index(spark, queries, path, k=30, nprobe=8)
+    assert victim not in {r["cand_id"] for r in got.collect()}
+
+
+def test_incremental_compaction_row_identical_to_full_fold(
+        spark, emb, tmp_path):
+    """VERDICT r9 item 1: the dirty-cell fold and the full fold commit
+    byte-equivalent generations — same rows (vec_id, list_id,
+    _batch_id), same tombstones, same query results."""
+    import shutil
+
+    def build(p):
+        parts = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+        AX.build_ivf_index(parts[0], p, nlist=16)
+        AX.ivf_index_append(parts[1], p, batch_id=0)
+        AX.ivf_index_append(parts[2], p, batch_id=1)
+        victims = [r["vec_id"] for r in parts[0].limit(3).collect()]
+        AX.ivf_index_delete(victims, p, batch_id=2, spark=spark)
+        AX.ivf_index_append(parts[3], p, batch_id=3)  # kept max batch
+
+    p_inc, p_full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build(p_inc)
+    shutil.copytree(p_inc, p_full)
+    AX.compact_ivf_index(spark, p_inc, incremental=True)
+    AX.compact_ivf_index(spark, p_full, incremental=False)
+
+    def rows(p):
+        return sorted(
+            (r["vec_id"], r["list_id"], r["_batch_id"])
+            for r in AX.read_ivf_data(spark, p).collect())
+
+    assert rows(p_inc) == rows(p_full) and rows(p_inc)
+    q = emb.filter(F.col("vec_id") < 6)
+    assert _rows(AX.topk_ivf_index(spark, q, p_inc, k=5, nprobe=8)) == \
+        _rows(AX.topk_ivf_index(spark, q, p_full, k=5, nprobe=8))
+
+
+def test_incremental_compaction_rewrites_only_dirty_cells(
+        spark, emb, tmp_path):
+    """The cost-proportionality pin: after a one-batch append, ONLY
+    that batch's cells (and the tombstone partition) are rewritten —
+    every clean cell's parquet files carry into the new generation as
+    HARDLINKS of the previous generation's (same inode: zero bytes
+    moved, no Spark job touched them)."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") >= 10), path, nlist=16)
+    small = emb.filter(F.col("vec_id") < 4)  # a handful of vectors
+    AX.ivf_index_append(small, path, batch_id=0)
+    AX.ivf_index_append(emb.filter((F.col("vec_id") >= 4)
+                                   & (F.col("vec_id") < 6)),
+                        path, batch_id=1)  # kept max batch
+    data = AX.read_ivf_data(spark, path)
+    dirty = {r["list_id"] for r in data.filter(F.col("_batch_id") == 0)
+             .select("list_id").distinct().collect()}
+    assert dirty and len(dirty) < 10  # a strict subset of 16 cells
+
+    g1 = tmp_path / "ivf" / "data" / "gen=1" / "_batch_id=-1"
+    inodes_before = {
+        c.name: {f.name: os.stat(f).st_ino for f in c.glob("*.parquet")}
+        for c in g1.iterdir() if c.name.startswith("list_id=")}
+
+    AX.compact_ivf_index(spark, path)
+    g2 = tmp_path / "ivf" / "data" / "gen=2" / "_batch_id=-1"
+    rewritten, linked = set(), set()
+    for c in g2.iterdir():
+        if not c.name.startswith("list_id="):
+            continue
+        cid = int(c.name.split("=")[1])
+        after = {f.name: os.stat(f).st_ino for f in c.glob("*.parquet")}
+        if c.name in inodes_before and after == inodes_before[c.name]:
+            linked.add(cid)
+        else:
+            rewritten.add(cid)
+    # rewritten == the appended batch's cells exactly (no tombstones
+    # here, so nothing else is dirty); everything else linked
+    assert rewritten == dirty, (rewritten, dirty)
+    assert linked and linked.isdisjoint(dirty)
+    # the kept max batch carried verbatim too
+    kept = tmp_path / "ivf" / "data" / "gen=2" / "_batch_id=1"
+    assert kept.is_dir()
+    # correctness unchanged
+    assert AX.read_ivf_data(spark, path).count() == \
+        emb.filter((F.col("vec_id") >= 10) | (F.col("vec_id") < 6)).count()
+
+
+def test_gauge_sampling_bounds_cost_and_stays_deterministic(
+        spark, emb, tmp_path):
+    """VERDICT r9 item 2: above sample_rows the gauge scores a
+    deterministic xxhash64 row sample — the record carries
+    corpus_n/sampled_n, two runs agree exactly, and sample_rows=None
+    still forces the exhaustive pass (no sampling keys)."""
+    path = str(tmp_path / "ivf")
+    meta = AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path,
+                              nlist=8, calibrate=0.9)
+    stored = meta["calibration"]["nprobe"]
+    AX.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1).limit(30),
+                        path, batch_id=0)
+    g1 = AX.measure_ivf_recall(spark, path, sample_rows=100)
+    g2 = AX.measure_ivf_recall(spark, path, sample_rows=100)
+    assert g1["corpus_n"] > 100 and 0 < g1["sampled_n"] < g1["corpus_n"]
+    assert g1 == g2  # deterministic: hash sample, no RNG
+    full = AX.measure_ivf_recall(spark, path, sample_rows=None)
+    assert "sampled_n" not in full and "corpus_n" not in full
+    # both are valid gauge records with the same shape otherwise
+    for g in (g1, full):
+        assert g["stored"] == stored and isinstance(g["decayed"], bool)
+
+
+def test_high_churn_soak_bounds_files_and_tombstones(spark, emb, tmp_path):
+    """VERDICT r9 item 8: many small appends+deletes between two
+    compactions — pointer files stay ≤ KEEP+1, the live generation
+    collapses to ≤ 2 top-level batch dirs (seed + kept max), on-disk
+    generations stay ≤ 2, tombstone ROWS equal the distinct deleted
+    ids, and the surviving id set is exact."""
+    from andl_spark.pointer import KEEP
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    AX.build_ivf_index(base, path, nlist=8)
+    incoming = emb.filter(F.col("vec_id") % 2 == 1)
+    inc_ids = sorted(r["vec_id"] for r in incoming.select("vec_id").collect())
+    deleted = []
+    for j in range(8):
+        AX.ivf_index_append(
+            incoming.filter(F.col("vec_id").isin(inc_ids[5 * j:5 * j + 5])),
+            path, batch_id=j)
+        victim = inc_ids[5 * j]  # delete one id it just appended
+        AX.ivf_index_delete([victim], path, batch_id=100 + j, spark=spark)
+        deleted.append(victim)
+    AX.compact_ivf_index(spark, path)
+    AX.ivf_index_append(
+        incoming.filter(F.col("vec_id").isin(inc_ids[40:45])),
+        path, batch_id=8)
+    AX.compact_ivf_index(spark, path)
+
+    data_root = tmp_path / "ivf" / "data"
+    pointers = [p for p in data_root.iterdir()
+                if p.name.startswith("_pointer.v")]
+    assert len(pointers) <= KEEP + 1
+    gens = sorted(p.name for p in data_root.iterdir()
+                  if p.name.startswith("gen="))
+    assert len(gens) <= 2
+    cur = data_root / gens[-1]
+    batch_dirs = [p.name for p in cur.iterdir()
+                  if p.name.startswith("_batch_id=")]
+    assert len(batch_dirs) <= 2  # seed + kept max
+    data = AX.read_ivf_data(spark, path)
+    tomb = AX._tombstone_ids(data)
+    assert {r["vec_id"] for r in tomb.collect()} == set(deleted)
+    # tombstone rows stay one per deleted id (no replay inflation)
+    assert data.filter(
+        F.col("list_id") == AX.TOMBSTONE_LIST).count() == len(deleted)
+    live = (data.filter(F.col("list_id") != AX.TOMBSTONE_LIST)
+            .join(tomb, "vec_id", "left_anti"))
+    want = ({r["vec_id"] for r in base.select("vec_id").collect()}
+            | set(inc_ids[:45])) - set(deleted)
+    assert {r["vec_id"] for r in live.select("vec_id").collect()} == want
+
+
+def test_shared_mode_row_identical_to_join_mode(spark, emb, tmp_path):
+    """VERDICT r9 item 3: mode="shared" groups the query batch by
+    probed cell and scores each cell once per batch — the numpy
+    element-order accumulation makes cosines BITWISE equal to the JVM
+    fold, so the result rows (ids, rank AND the cosine doubles) match
+    mode="join" exactly. Pinned on flat + hier indexes, with and
+    without tombstones, on float32 embeddings."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=16)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    def exact(df):
+        return sorted((r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+                      for r in df.collect())
+
+    join_rows = exact(AX.topk_ivf_index(spark, queries, path, k=5,
+                                        nprobe=4, mode="join"))
+    shared_rows = exact(AX.topk_ivf_index(spark, queries, path, k=5,
+                                          nprobe=4, mode="shared"))
+    assert shared_rows == join_rows and len(shared_rows) > 0
+
+    # with tombstones: deleted ids masked in both modes, still bitwise
+    victims = sorted({r[1] for r in join_rows})[:3]
+    AX.ivf_index_delete(victims, path, batch_id=0, spark=spark)
+    j2 = exact(AX.topk_ivf_index(spark, queries, path, k=5,
+                                 nprobe=4, mode="join"))
+    s2 = exact(AX.topk_ivf_index(spark, queries, path, k=5,
+                                 nprobe=4, mode="shared"))
+    assert s2 == j2 and not ({r[1] for r in s2} & set(victims))
+
+    # hier index (two-level probe ids) through the same path
+    path2 = str(tmp_path / "ivf_h")
+    AX.build_ivf_index(emb, path2, n1=4, n2=4)
+    jh = exact(AX.topk_ivf_index(spark, queries, path2, k=5,
+                                 nprobe=2, mode="join"))
+    sh = exact(AX.topk_ivf_index(spark, queries, path2, k=5,
+                                 nprobe=2, mode="shared"))
+    assert sh == jh and len(sh) > 0
+
+
+def test_multimodal_features_through_persisted_ann_index(spark, tmp_path):
+    """VERDICT r9 item 5 — the realistic media-dedup pipeline, end to
+    end: REAL codec decode (extract_features) → persisted IVF index →
+    near-dup decision for perturbed re-encodes. Oracle: driver-side
+    decode of the SAME payloads (the q_multimodal_decode pattern) plus
+    exact numpy cosine — the Spark pipeline must reproduce the
+    oracle's (probe → original) top-1 mapping and cosines."""
+    import numpy as np
+
+    from andl_spark.pipeline import multimodal as MM
+
+    base = MM.media_rows(48)
+    media = spark.createDataFrame(base, MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"))
+    path = str(tmp_path / "media_ivf")
+    AX.build_ivf_index(feats, path, nlist=8)
+
+    # near-dup probes: decode, nudge ONE pixel / ONE sample, re-encode
+    probes = []
+    for mid, kind, payload, meta in base[:6]:
+        payload = bytes(payload)
+        if kind == "audio":
+            rate, samples = MM.decode_wav(payload)
+            s = samples.copy()
+            s[-1] = s[-1] + 1
+            p2 = MM.encode_wav(s, rate)
+        else:
+            rgb = (MM.decode_bmp(payload) if payload[:2] == b"BM"
+                   else MM.decode_ppm(payload))
+            r2 = rgb.copy()
+            r2[0, 0, 0] = (int(r2[0, 0, 0]) + 8) % 256
+            p2 = (MM.encode_bmp(r2) if payload[:2] == b"BM"
+                  else MM.encode_ppm(r2))
+        probes.append((1000 + mid, kind, bytearray(p2), meta))
+    probe_media = spark.createDataFrame(probes, MM.MEDIA_SCHEMA)
+    probe_feats = MM.extract_features(probe_media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"))
+
+    got = AX.topk_ivf_index(spark, probe_feats, path, k=1, nprobe=8)
+    got_rows = {r["query_id"]: (r["cand_id"], r["cosine"])
+                for r in got.collect()}
+
+    # oracle: decode everything driver-side, exact cosine, same
+    # (cosine desc, cand_id asc) tie-break
+    corpus = {mid: np.array(MM.decode_payload(kind, bytes(p)))
+              for mid, kind, p, _ in base}
+    want = {}
+    for pid, kind, p, _ in probes:
+        qv = np.array(MM.decode_payload(kind, bytes(p)))
+        best = max(
+            ((float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))),
+              -cid) for cid, cv in corpus.items()),
+            key=lambda t: (t[0], t[1]))
+        want[pid] = (-best[1], best[0])
+
+    assert set(got_rows) == set(want)
+    for pid in want:
+        assert got_rows[pid][0] == want[pid][0], (pid, got_rows[pid], want[pid])
+        assert abs(got_rows[pid][1] - want[pid][1]) < 1e-9
+        # the near-dup DECISION: a one-pixel/one-sample nudge stays a
+        # duplicate at any sane threshold
+        assert got_rows[pid][1] > 0.999
+        assert got_rows[pid][0] == pid - 1000  # maps back to its original

@@ -17,23 +17,27 @@ def test_anchor_table_matches_baseline_md_total():
     assert round(sum(bench.R1_ANCHOR.values()) + 0.625, 3) == 41.785
 
 
-def test_r8_anchor_set_is_the_default_gate():
-    """VERDICT r8 item 8: the standing default anchors are the r8 warm
-    medians (BENCH_WARM_r08.json, the best warm suite of any round,
-    taken idle) — BENCH_r08's inflated single-shot reading was pure
-    container load; r1/r5/r7 stay available for history."""
-    doc8 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r08.json"))
-    assert bench.DEFAULT_ANCHORS == "r8"
-    assert set(doc8["queries"]) == set(bench.R8_ANCHOR)
-    for k, v in bench.R8_ANCHOR.items():
-        assert abs(doc8["queries"][k] - v) < 1e-9, k
+def test_r9_anchor_set_is_the_default_gate():
+    """VERDICT r9 item 7: the standing default anchors are the r9 idle
+    warm suite (BENCH_WARM_r09.json) — the drift reference stays
+    current each round; r1/r5/r7/r8 stay available for history."""
+    doc9 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r09.json"))
+    assert bench.DEFAULT_ANCHORS == "r9"
+    assert set(doc9["queries"]) == set(bench.R9_ANCHOR)
+    for k, v in bench.R9_ANCHOR.items():
+        assert abs(doc9["queries"][k] - v) < 1e-9, k
     # self-comparison: ratio exactly 1.0 through the DEFAULT gate,
     # everything anchored
-    res = bench.compare(doc8)
-    assert res["anchors"] == "r8" and res["gate_pass"]
+    res = bench.compare(doc9)
+    assert res["anchors"] == "r9" and res["gate_pass"]
     assert abs(res["ratio"] - 1.0) < 1e-6
     assert res["unanchored_total"] == 0
-    # the r7 set remains intact for history
+    # the r8 set remains intact for history (and was the r9 gate)
+    doc8 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r08.json"))
+    res8 = bench.compare(doc8, anchors="r8")
+    assert res8["gate_pass"] and abs(res8["ratio"] - 1.0) < 1e-6
+    res98 = bench.compare(doc9, anchors="r8")
+    assert res98["gate_pass"] and abs(res98["ratio"] - 1.109) < 0.005
     doc7 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r07.json"))
     res7 = bench.compare(doc7, anchors="r7")
     assert res7["gate_pass"] and abs(res7["ratio"] - 1.0) < 1e-6
@@ -95,9 +99,9 @@ def test_compare_accepts_raw_bench_line(tmp_path):
     res = bench.compare(bench.load_bench(str(p)), anchors="r1")
     assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
     assert res["rows"][0][3] == round(9.9 / 1.442, 2)
-    res8 = bench.compare(bench.load_bench(str(p)))  # default r8 anchors
-    assert not res8["gate_pass"]
-    assert res8["rows"][0][3] == round(9.9 / bench.R8_ANCHOR["q1_pricing_summary"], 2)
+    res9 = bench.compare(bench.load_bench(str(p)))  # default r9 anchors
+    assert not res9["gate_pass"]
+    assert res9["rows"][0][3] == round(9.9 / bench.R9_ANCHOR["q1_pricing_summary"], 2)
 
 
 def test_oracle_check_compare_catches_null_divergence():

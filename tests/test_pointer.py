@@ -256,3 +256,177 @@ def test_concurrent_readers_never_see_torn_pointer(tmp_path):
         t.join(timeout=30)
     assert not errors, errors
     assert pointer.read(root, "_pointer")[1]["current"] == N
+
+
+# ---------------------------------------------------------------------
+# r10: I/O-vs-torn classification (ADVICE r9) and the object-store
+# semantics shim (VERDICT r9 item 6)
+# ---------------------------------------------------------------------
+def test_read_raises_on_persistent_io_error(tmp_path, monkeypatch):
+    """ADVICE r9: an I/O failure (permissions, network) on the newest
+    pointer must RAISE, not silently resolve one generation back — and
+    must not let a Catalog initialize empty and commit over the real
+    manifest."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    pointer.commit(root, "_pointer", {"current": 2})
+    real = fsio.read_text
+
+    def denied(path):
+        if path.endswith(".v2.json"):
+            raise PermissionError(f"denied: {path}")
+        return real(path)
+
+    monkeypatch.setattr(fsio, "read_text", denied)
+    with pytest.raises(PermissionError):
+        pointer.read(root, "_pointer")
+
+
+def test_read_retries_transient_io_error(tmp_path, monkeypatch):
+    """One flaky read then success: the newest pointer is served (no
+    fallback, no raise)."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    pointer.commit(root, "_pointer", {"current": 2})
+    real = fsio.read_text
+    flaked = {"n": 0}
+
+    def flaky(path):
+        if path.endswith(".v2.json") and flaked["n"] == 0:
+            flaked["n"] += 1
+            raise OSError("transient")
+        return real(path)
+
+    monkeypatch.setattr(fsio, "read_text", flaky)
+    assert pointer.read(root, "_pointer") == (2, {"current": 2})
+    assert flaked["n"] == 1
+
+
+def test_fallback_below_max_is_logged(tmp_path, caplog):
+    """ADVICE r9: serving below the listed max (torn newest commit)
+    leaves a log line — stale-but-committed resolution is visible."""
+    import logging
+
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    (tmp_path / "ptr" / "_pointer.v2.json").write_text('{"to')
+    with caplog.at_level(logging.WARNING, logger="andl_spark.pointer"):
+        assert pointer.read(root, "_pointer") == (1, {"current": 1})
+    assert any("falling back below" in r.message for r in caplog.records)
+
+
+def test_pointer_lifecycle_on_lagged_object_store(monkeypatch):
+    """VERDICT r9 item 6: the full commit/read/GC protocol against an
+    in-memory store with object-store semantics — flat keys, no
+    rename, conditional PUT, and LIST results lagging PUT/DELETE by 3
+    operations. The commit loop collision-bumps over the lagged
+    listing (create is conditional on the OBJECT, not the listing) and
+    readers always resolve a committed doc."""
+    from fakestore import FakeStore, install
+
+    store = FakeStore(lag_ops=3, conditional_put=True)
+    root = "s3fake://bucket/ptr"
+    install(monkeypatch, store, "s3fake://")
+    assert pointer.read(root, "_pointer") is None
+    for i in range(1, 13):
+        pointer.commit(root, "_pointer", {"current": i})
+        got = pointer.read(root, "_pointer")
+        assert got is not None
+        # lagged LIST may serve a slightly older version — but always
+        # a committed one, never torn, never None
+        assert got[1]["current"] in range(max(1, i - 3), i + 1)
+    # once the listing catches up, the newest commit resolves
+    for _ in range(6):
+        store.exists(root)  # tick the op counter past the lag
+    assert pointer.read(root, "_pointer")[1]["current"] == 12
+    # GC bounded despite lag (deletes eventually leave the listing)
+    live = [k for k in store.objects if "_pointer.v" in k]
+    assert len(live) <= pointer.KEEP + 1
+
+
+def test_concurrent_stress_on_lagged_object_store(monkeypatch):
+    """The 60-commit / 4-reader stress on the fake object store with
+    lagged listings: every read is a committed doc, monotone per
+    reader, no exceptions — the protocol's claims hold under the
+    store semantics it was built for, not just POSIX."""
+    from fakestore import FakeStore, install
+
+    store = FakeStore(lag_ops=2, conditional_put=True)
+    root = "s3fake://bucket/ptr"
+    install(monkeypatch, store, "s3fake://")
+    pointer.commit(root, "_pointer", {"current": 0})
+    stop = threading.Event()
+    errors: list = []
+    N = 60
+
+    def committer():
+        try:
+            for i in range(1, N + 1):
+                pointer.commit(root, "_pointer", {"current": i})
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        last = -1
+        try:
+            while not stop.is_set() or last < 0:
+                got = pointer.read(root, "_pointer")
+                assert got is not None
+                cur = got[1]["current"]
+                assert 0 <= cur <= N
+                assert cur >= last, f"went backwards: {last} -> {cur}"
+                last = cur
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    readers = [threading.Thread(target=reader) for _ in range(4)]
+    for t in readers:
+        t.start()
+    c = threading.Thread(target=committer)
+    c.start()
+    c.join(timeout=120)
+    stop.set()
+    for t in readers:
+        t.join(timeout=30)
+    assert not errors, errors
+    # after the listing settles, the final commit resolves
+    for _ in range(6):
+        store.exists(root)
+    assert pointer.read(root, "_pointer")[1]["current"] == N
+
+
+def test_head_then_put_store_exclusivity_is_advisory(monkeypatch):
+    """The documented S3A-without-conditional-write regime: HEAD-then-
+    PUT create lets two RACING committers both 'succeed' (last PUT
+    wins) — the shim proves the primitive-level double-success the
+    fsio docstring warns about, and that the protocol still serves a
+    committed doc afterwards (the damage is a lost commit, not a torn
+    reader) — which is exactly why the pointer module requires either
+    create-exclusive stores or the single-committer discipline."""
+    from fakestore import FakeStore, install
+
+    store = FakeStore(lag_ops=0, conditional_put=False)
+    root = "s3fake://bucket/ptr"
+    install(monkeypatch, store, "s3fake://")
+    pointer.commit(root, "_pointer", {"current": 1})
+
+    # inject a racer between writer A's HEAD and PUT of v2
+    def racer(path):
+        store.between_head_and_put = None  # once
+        assert store.write_text_create(path, '{"current": 99}') is True
+
+    store.between_head_and_put = racer
+    n = pointer.commit(root, "_pointer", {"current": 2})
+    assert n == 2  # A also reported success: the advisory regime
+    # last PUT won — one of the two v2 payloads was silently lost
+    got = pointer.read(root, "_pointer")
+    assert got[0] == 2 and got[1]["current"] in (2, 99)
+
+    # sequential double-commit still fails loudly even here
+    assert fsio.write_text_create(
+        "s3fake://bucket/ptr/_pointer.v2.json", "x") is False

@@ -1018,3 +1018,156 @@ def test_stalled_writer_survives_marker_ageout(spark, tmp_path):
     E.commit_batch_partitions(sigs, 7, idx)
     again = E.read_neardup_index(spark, idx)
     assert again.count() == 36
+
+
+# ---------------------------------------------------------------------
+# r10: ADVICE r9 closures — marker refresh, store-clock aging, and the
+# post-flip audit of the listing→flip gap
+# ---------------------------------------------------------------------
+def test_held_marker_refreshes_mtime_during_long_commits(
+        tmp_path, monkeypatch):
+    """ADVICE r9: a single write job longer than quiesce_timeout was
+    aged out while its writer was alive. _held_marker now refreshes
+    the marker's mtime from a daemon thread, so a live writer's marker
+    stays younger than the refresh interval no matter how long the
+    write runs — orphan aging then truly implies a dead writer."""
+    import time
+
+    from andl_spark import fsio
+    from andl_spark.streaming import events as E
+
+    monkeypatch.setattr(E, "_MARKER_REFRESH", 0.2)
+    idx = str(tmp_path / "idx")
+    fsio.mkdirs(idx)
+    with E._held_marker(idx, 9) as marker:
+        t0 = fsio.stat(marker)[0]
+        time.sleep(1.2)  # a "write job" 6x the refresh interval
+        age = E._store_now(idx) - fsio.stat(marker)[0]
+        assert age < 1.0, age  # refreshed: never as old as the job
+        assert fsio.stat(marker)[0] > t0
+    assert not fsio.exists(marker)  # released on exit
+
+
+def test_store_now_uses_the_stores_clock(tmp_path, monkeypatch):
+    """_store_now derives 'now' from a probe file's mtime — the same
+    clock that stamped the markers — so a skewed driver wall clock
+    cannot widen or collapse the aging window (ADVICE r9)."""
+    import time
+
+    from andl_spark import fsio
+    from andl_spark.streaming import events as E
+
+    idx = str(tmp_path / "idx")
+    fsio.mkdirs(idx)
+    # a driver clock 1000s in the future must not leak into 'now'
+    monkeypatch.setattr(time, "time", lambda: time.monotonic() + 1e9)
+    now = E._store_now(idx)
+    fsio.write_text(fsio.join(idx, "_m"), "x")
+    marker_mtime = fsio.stat(fsio.join(idx, "_m"))[0]
+    assert abs(now - marker_mtime) < 5.0  # same clock, not the driver's
+    assert not fsio.exists(fsio.join(idx, "_clockprobe"))  # cleaned up
+
+
+def test_post_flip_audit_rescues_batch_published_in_listing_gap(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r9: an ingest that published its batch AND ran its
+    re-resolve inside the gap between compaction's final listing and
+    the pointer flip saw 'generation unchanged' and exited — its batch
+    existed only in the superseded tree. The post-flip audit detects
+    exactly that (never-carried batch dir, writer's marker gone,
+    absent from the new generation) and carries it; nothing is lost."""
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+
+    docs = spark.createDataFrame(
+        [(i, f"listing gap body {i % 4} tail{i % 3}") for i in range(30)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 10)
+    b0 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    sneak = docs.filter(F.col("doc_id") >= 20)
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    E.seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    E.neardup_ingest_batch(b0, 0, idx, pairs, kind="minhash", threshold=0.5)
+    gen1 = E.resolve_neardup_index(idx)
+    sneak_sigs = D.minhash_signatures(
+        sneak, "doc_id", "text").localCheckpoint(eager=True)
+
+    real_flip = E._flip_gen
+    fired = {"done": False}
+
+    def gap_publish(index_path, gen, schema_json=None):
+        if gen == 2 and not fired["done"]:
+            fired["done"] = True
+            # the whole ingest lifecycle squeezed into the gap: write
+            # into the OLD generation (what commit_batch_partitions
+            # does), re-resolve (still gen1), marker already deleted
+            (sneak_sigs.withColumn("_batch_id", F.lit(7))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(gen1))
+            assert E.resolve_neardup_index(idx) == gen1  # saw old gen
+        return real_flip(index_path, gen, schema_json)
+
+    monkeypatch.setattr(E, "_flip_gen", gap_publish)
+    E.compact_neardup_index(spark, idx, target_files=1)
+
+    got = E.read_neardup_index(spark, idx)
+    # the sneaked batch's rows are IN the new generation
+    assert got.filter(F.col("_batch_id") == 7).count() == sneak.count()
+    assert got.count() == docs.count()
+
+
+def test_post_flip_audit_leaves_live_writers_alone(
+        spark, tmp_path, monkeypatch):
+    """The audit's other half: a leftover whose in-flight marker is
+    still present belongs to a live (or replayable) writer — carrying
+    it would BE the double writer, so the audit skips it and the
+    writer's own re-resolve loop lands the batch in the new
+    generation."""
+    from andl_spark import fsio
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+
+    docs = spark.createDataFrame(
+        [(i, f"live writer body {i % 4}") for i in range(24)],
+        "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 8)
+    b0 = docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16))
+    lateb = docs.filter(F.col("doc_id") >= 16)
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    E.seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    E.neardup_ingest_batch(b0, 0, idx, pairs, kind="minhash", threshold=0.5)
+    gen1 = E.resolve_neardup_index(idx)
+    late_sigs = D.minhash_signatures(
+        lateb, "doc_id", "text").localCheckpoint(eager=True)
+
+    real_flip = E._flip_gen
+    fired = {"done": False}
+
+    def gap_publish_with_marker(index_path, gen, schema_json=None):
+        if gen == 2 and not fired["done"]:
+            fired["done"] = True
+            # writer published into the old gen but is STILL INSIDE its
+            # commit loop: marker present
+            fsio.write_text(fsio.join(idx, f"{E._INFLIGHT_PREFIX}7"), "live")
+            (late_sigs.withColumn("_batch_id", F.lit(7))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(gen1))
+        return real_flip(index_path, gen, schema_json)
+
+    monkeypatch.setattr(E, "_flip_gen", gap_publish_with_marker)
+    E.compact_neardup_index(spark, idx, target_files=1, quiesce_timeout=0.5)
+    monkeypatch.setattr(E, "_flip_gen", real_flip)
+
+    gen2 = E.resolve_neardup_index(idx)
+    # the audit did NOT carry it (live marker): not in gen2 yet
+    assert not fsio.exists(fsio.join(gen2, "_batch_id=7"))
+    # the live writer's own re-resolve loop completes the commit
+    E.commit_batch_partitions(late_sigs, 7, idx, initial_path=gen1)
+    fsio.delete(fsio.join(idx, f"{E._INFLIGHT_PREFIX}7"))
+    got = E.read_neardup_index(spark, idx)
+    assert got.filter(F.col("_batch_id") == 7).count() == lateb.count()
+    assert got.count() == docs.count()
