@@ -1132,3 +1132,63 @@ def test_multimodal_features_through_persisted_ann_index(spark, tmp_path):
         # duplicate at any sane threshold
         assert got_rows[pid][1] > 0.999
         assert got_rows[pid][0] == pid - 1000  # maps back to its original
+
+
+@pytest.mark.slow
+def test_persisted_index_at_20m_skewed(spark, tmp_path):
+    """Scale pin (VERDICT r9 item 4), gated on ANDL_SCALE_20M: the r9
+    20M fixture had uniform cells, so _cell_shape salting never engaged
+    at scale. This re-runs build/serve/compact at 20M on a CLUSTERED
+    corpus (30% of vectors in one cell): salting engages with
+    files-per-cell ≤ the salt-width bound, join and shared serve modes
+    agree row-identically, and the incremental compact commits a
+    generation row-identical to what the protocol requires. Timings
+    recorded in SCALE_r10.md (tools/rehearse_20m_skew.py)."""
+    import os
+    import sys
+
+    if not os.environ.get("ANDL_SCALE_20M"):
+        pytest.skip("set ANDL_SCALE_20M=1 for the 20M skewed-index pin")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from rehearse_20m_skew import skewed_corpus
+
+    N = 20_000_000
+    corpus = skewed_corpus(spark, N)
+    path = str(tmp_path / "ivf20m_skew")
+    meta = AX.build_ivf_index(corpus, path, corpus_count=N)
+    assert meta["kind"] == "hier"
+    # salting engaged: the hot cell wrote >1 and ≤ width files
+    gen_dir = tmp_path / "ivf20m_skew" / "data" / "gen=1" / "_batch_id=-1"
+    files = {c.name: len(list(c.glob("*.parquet")))
+             for c in gen_dir.iterdir() if c.name.startswith("list_id=")}
+    hot_rows = corpus.filter((F.col("vec_id") % 10) < 3).count()
+    width = -(-hot_rows // AX.SALT_ROWS_PER_TASK)
+    assert max(files.values()) > 1
+    assert max(files.values()) <= width + 1, (max(files.values()), width)
+
+    queries = corpus.filter(
+        (F.col("vec_id") % 625_000 == 7) & ((F.col("vec_id") % 10) >= 3)
+    ).limit(32).localCheckpoint()
+
+    def exact(df):
+        return sorted((r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+                      for r in df.collect())
+
+    j = exact(AX.topk_ivf_index(spark, queries, path, k=5, mode="join"))
+    s = exact(AX.topk_ivf_index(spark, queries, path, k=5, mode="shared"))
+    assert j == s and len(j) > 0
+
+    # clustered append → incremental compact touches few cells, stays
+    # row-identical at this scale
+    batch = (corpus.filter((F.col("vec_id") % 10) == 4).limit(100_000)
+             .withColumn("vec_id", F.col("vec_id") + N))
+    AX.ivf_index_append(batch, path, batch_id=0)
+    AX.ivf_index_append(corpus.limit(500).withColumn(
+        "vec_id", F.col("vec_id") + 2 * N), path, batch_id=1)
+    before = AX.read_ivf_data(spark, path).count()
+    AX.compact_ivf_index(spark, path)
+    assert AX.read_ivf_data(spark, path).count() == before
+    s2 = exact(AX.topk_ivf_index(spark, queries, path, k=5, mode="shared"))
+    assert {(r[0], r[1]) for r in s2} == {(r[0], r[1]) for r in s}
