@@ -39,7 +39,7 @@ import shutil
 __all__ = [
     "exists", "read_text", "write_text", "write_text_atomic",
     "write_text_create", "listdir", "delete", "mkdirs", "join", "stat",
-    "copy_tree",
+    "copy_tree", "java_exception_class",
 ]
 
 _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -47,6 +47,22 @@ _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 def _is_uri(path: str) -> bool:
     return bool(_SCHEME.match(path))
+
+
+def java_exception_class(e: Exception) -> str:
+    """Fully-qualified Java class name of a py4j-wrapped exception, or
+    "" — the ONE place that knows how to interrogate a py4j error
+    (ADVICE r9 / review r10: message-substring matching is brittle
+    across connectors, and the extraction snippet must not fork
+    between callers). Shared by write_text_create and
+    andl_spark.pointer's read classification."""
+    je = getattr(e, "java_exception", None)
+    if je is None:
+        return ""
+    try:
+        return je.getClass().getName()
+    except Exception:
+        return ""
 
 
 def join(base: str, *parts: str) -> str:
@@ -208,14 +224,7 @@ def write_text_create(path: str, text: str) -> bool:
         # substrings are brittle across connectors); keep the
         # substring check as a fallback for wrappers that chain the
         # class name into the message only
-        jcls = ""
-        je = getattr(e, "java_exception", None)
-        if je is not None:
-            try:
-                jcls = je.getClass().getName()
-            except Exception:
-                jcls = ""
-        if (jcls.endswith("FileAlreadyExistsException")
+        if (java_exception_class(e).endswith("FileAlreadyExistsException")
                 or "AlreadyExists" in str(e) or "already exists" in str(e)):
             return False
         raise

@@ -431,18 +431,19 @@ def _invalidate_data_cache(path: str) -> None:
         _DATA_CACHE.pop(k, None)
 
 
-def _batch_dirs_ident(gen_dir: str) -> tuple:
+def _batch_dirs_ident(gen_dir: str) -> tuple | None:
     """(name, mtime, length) per top-level batch dir — the physical
-    identity the data cache keys on (see _DATA_CACHE). A dir whose
-    stat races a concurrent delete keys on a fresh sentinel object:
-    never equal to any stored key, so the read goes to disk."""
+    identity the data cache keys on (see _DATA_CACHE) — or None when a
+    stat raced a concurrent delete: the caller then reads UNCACHED
+    (caching under an unmatchable sentinel would evict a live entry
+    from the bounded FIFO for nothing; review r10)."""
     out = []
     for n in sorted(n for n in fsio.listdir(gen_dir)
                     if n.startswith("_batch_id=")):
         try:
             out.append((n,) + fsio.stat(fsio.join(gen_dir, n)))
         except OSError:
-            out.append((n, object()))  # racing writer: force a miss
+            return None  # racing writer: serve this read from disk
     return tuple(out)
 
 
@@ -458,8 +459,10 @@ def read_ivf_snapshot(spark: SparkSession, path: str):
     identity (or invalidate in-process) and therefore miss it."""
     data_root = fsio.join(path, "data")
     gen_dir = resolve_neardup_index(data_root)
-    key = (spark.sparkContext.applicationId, path, gen_dir,
-           _batch_dirs_ident(gen_dir))
+    ident = _batch_dirs_ident(gen_dir)
+    if ident is None:  # mid-write race: one uncached read
+        return _meta_at(path, gen_dir), spark.read.parquet(gen_dir)
+    key = (spark.sparkContext.applicationId, path, gen_dir, ident)
     df = _DATA_CACHE.get(key)
     if df is None:
         while len(_DATA_CACHE) >= _DATA_CACHE_MAX:  # bounded FIFO
@@ -506,10 +509,16 @@ def ivf_index_append(
     # flip — the same no-double-writer protocol as the near-dup ingest
     # (see compact_neardup_index's r8b hardening note); _held_marker
     # refreshes the mtime during long write jobs (ADVICE r9)
-    with _held_marker(data_root, batch_id):
-        _append_loop(batch, path, data_root, batch_id, id_col, vec_col,
-                     rows_per_task)
-    _invalidate_data_cache(path)  # replays rewrote this batch's files
+    try:
+        with _held_marker(data_root, batch_id):
+            _append_loop(batch, path, data_root, batch_id, id_col,
+                         vec_col, rows_per_task)
+    finally:
+        # in a FINALLY (review r10): a failure after the write already
+        # replaced this batch's files must still drop the cached
+        # FileIndex — on object stores the stat identity is synthetic
+        # and cannot catch it cross-call
+        _invalidate_data_cache(path)
 
 
 def _append_loop(batch, path, data_root, batch_id, id_col, vec_col,
@@ -580,12 +589,15 @@ def ivf_index_delete(ids, path: str, batch_id: int,
         F.lit(None).cast(data.schema["embedding"].dataType)
         .alias("embedding"),
         F.lit(TOMBSTONE_LIST).alias("list_id"))
-    commit_batch_partitions(tomb, batch_id, fsio.join(path, "data"),
-                            part_cols=PART_COLS)
-    # a delete under an ALREADY-EXISTING batch id adds only a leaf
-    # tombstone dir — invalidate so a cached FileIndex can't keep
-    # serving the deleted vectors (ADVICE r9)
-    _invalidate_data_cache(path)
+    try:
+        commit_batch_partitions(tomb, batch_id, fsio.join(path, "data"),
+                                part_cols=PART_COLS)
+    finally:
+        # a delete under an ALREADY-EXISTING batch id adds only a leaf
+        # tombstone dir — invalidate (even on failure after the write)
+        # so a cached FileIndex can't keep serving deleted vectors
+        # (ADVICE r9 + review r10)
+        _invalidate_data_cache(path)
 
 
 def _tombstone_ids(data: DataFrame) -> DataFrame:
@@ -878,15 +890,18 @@ def compact_ivf_index(spark: SparkSession, path: str,
         return live.unionByName(
             folded.filter(F.col("list_id") == TOMBSTONE_LIST))
 
-    compact_neardup_index(spark, fsio.join(path, "data"),
-                          part_cols=PART_COLS,
-                          fold_transform=_fold,
-                          fold_plan=(_incremental_fold_plan
-                                     if incremental else None),
-                          shape=lambda df: _cell_shape(df, rows_per_task),
-                          max_records_per_file=rows_per_task,
-                          meta_overrides=meta_overrides)
-    _invalidate_data_cache(path)
+    try:
+        compact_neardup_index(spark, fsio.join(path, "data"),
+                              part_cols=PART_COLS,
+                              fold_transform=_fold,
+                              fold_plan=(_incremental_fold_plan
+                                         if incremental else None),
+                              shape=lambda df: _cell_shape(df,
+                                                           rows_per_task),
+                              max_records_per_file=rows_per_task,
+                              meta_overrides=meta_overrides)
+    finally:
+        _invalidate_data_cache(path)
 
 
 def topk_ivf_index(
@@ -972,6 +987,11 @@ def topk_ivf_index(
         .select(F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("cvec"),
                 _norm("embedding").alias("cn"), "list_id")
+        # zero-norm vectors (padding/null-embedding artifacts) have no
+        # defined cosine — under ANSI mode the division would ABORT
+        # the whole serve (review r10); they are unservable by
+        # contract, in both modes
+        .filter(F.col("cn") != 0)
     )
     # deleted vectors never surface (ivf_index_delete): antijoin the
     # tombstone set — its scan prunes to the list_id=-1 dirs alone.
@@ -981,8 +1001,8 @@ def topk_ivf_index(
         c = c.join(
             _tombstone_ids(data).withColumnRenamed("vec_id", "cand_id"),
             "cand_id", "left_anti")
-    qx = q.select("query_id", "qvec", "qn",
-                  F.explode("probe").alias("list_id"))
+    qx = q.filter(F.col("qn") != 0).select(
+        "query_id", "qvec", "qn", F.explode("probe").alias("list_id"))
     scored = (
         F.broadcast(qx).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -997,6 +1017,11 @@ def topk_ivf_index(
     )
 
 
+#: query-batch bound for mode="shared" (the topk_bruteforce contract):
+#: every task holds the broadcast cell→query-matrix map
+SHARED_MAX_QUERIES = 10_000
+
+
 def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
                  cells: list, k: int, has_tombs: bool) -> DataFrame:
     """The cell-shared batch serve (see topk_ivf_index mode="shared").
@@ -1009,25 +1034,33 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
     chunk under the final (cosine desc, cand_id asc) order — a global
     top-k row is necessarily in its own chunk's top-k under the same
     total order — and the tiny survivor set ranks through the usual
-    window. The query batch rides a broadcast variable keyed by cell
-    (bounded: the caller's per-query-probe contract)."""
+    window. The query batch rides a broadcast variable keyed by cell,
+    bounded by the same guard as topk_bruteforce: serving batches are
+    small by contract; bulk k-NN goes through the pair operators."""
     import numpy as np
 
-    qrows = q.select("query_id", "qvec", "probe").collect()
-
-    def _leftfold_norm(vec: "np.ndarray") -> float:
-        acc = float(vec[0]) * float(vec[0])
-        for x in vec[1:]:
-            acc += float(x) * float(x)
-        return float(np.sqrt(acc))
+    qrows = q.limit(SHARED_MAX_QUERIES + 1).collect()
+    if len(qrows) > SHARED_MAX_QUERIES:
+        raise ValueError(
+            f"topk_ivf_index(mode='shared'): query batch exceeds "
+            f"{SHARED_MAX_QUERIES} — the per-cell query matrices are "
+            "broadcast to every task, so an unbounded batch is a "
+            "driver/executor memory hazard. Use the bucketed pair ops "
+            "(embedding_dup_pairs) for bulk corpus×corpus k-NN.")
 
     percell: dict = {}
     for r in qrows:
         vec = np.asarray(r["qvec"], dtype=np.float64)
+        # qn is the JVM-computed left-fold norm collected with the
+        # batch — identical to what the join mode divides by (review
+        # r10: an earlier cut recomputed it per PROBED CELL in Python)
+        qn = float(r["qn"])
+        if qn == 0:
+            continue  # zero-norm query: no defined cosine (see caller)
         for cell in r["probe"]:
             if cell is not None:
                 percell.setdefault(cell, []).append(
-                    (r["query_id"], vec, _leftfold_norm(vec)))
+                    (r["query_id"], vec, qn))
     cellmap = {
         cell: (np.array([t[0] for t in entries]),
                np.stack([t[1] for t in entries]),
@@ -1067,14 +1100,33 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
                     S += np.multiply.outer(C[:, i], Q[:, i])
                     cn += C[:, i] * C[:, i]
                 cn = np.sqrt(cn)
+                nz = cn != 0  # unservable zero-norm candidates (the
+                # join mode filters them scan-side; same contract)
+                if not nz.all():
+                    C, cn, ids = C[nz], cn[nz], ids[nz]
+                    S = S[nz]
+                if not len(ids):
+                    continue
                 cos = S / np.multiply.outer(cn, qn)
                 for j in range(len(qids)):
                     keep = ids != qids[j]
                     cc, vv = ids[keep], cos[keep, j]
                     if not len(cc):
                         continue
-                    if len(cc) > k:  # top-k under (cos desc, id asc)
-                        sel = np.lexsort((cc, -vv))[:k]
+                    if len(cc) > k:  # top-k under (cos desc, id asc).
+                        # Spark's desc window ranks NaN GREATEST (a
+                        # zero-norm vector's 0/0 cosine); numpy sorts
+                        # NaN last — map NaN to -inf on the negated
+                        # key so both modes keep identical rows
+                        # (review r10)
+                        key = np.where(np.isnan(vv), -np.inf, -vv)
+                        try:
+                            sel = np.lexsort((cc, key))[:k]
+                        except TypeError:  # non-numeric ids (object
+                            # dtype): same total order via python sort
+                            sel = np.array(sorted(
+                                range(len(cc)),
+                                key=lambda i: (key[i], cc[i]))[:k])
                         cc, vv = cc[sel], vv[sel]
                     outs.append(pd.DataFrame(
                         {"query_id": qids[j], "cand_id": cc,

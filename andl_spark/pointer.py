@@ -116,16 +116,9 @@ def _classify(e: Exception) -> str:
         return "missing"
     if isinstance(e, (json.JSONDecodeError, UnicodeDecodeError)):
         return "torn"
-    # py4j-wrapped Hadoop exceptions: classify by java class name,
-    # message substring as the fallback
-    jcls = ""
-    je = getattr(e, "java_exception", None)
-    if je is not None:
-        try:
-            jcls = je.getClass().getName()
-        except Exception:
-            jcls = ""
-    s = jcls or str(e)
+    # py4j-wrapped Hadoop exceptions: classify by java class name
+    # (the shared fsio helper), message substring as the fallback
+    s = fsio.java_exception_class(e) or str(e)
     if "FileNotFoundException" in s or "FileNotFoundException" in str(e):
         return "missing"
     if "EOFException" in s:  # listed mid-create: shorter than expected
@@ -133,11 +126,12 @@ def _classify(e: Exception) -> str:
     return "io"
 
 
-def _read_candidate(path: str) -> str | None:
-    """One pointer candidate's text; None when it is MISSING or TORN
-    (→ fall back one version). Persistent I/O errors RAISE after two
-    retries — see _classify for why falling back on those would be
-    silently wrong."""
+def _read_candidate(path: str) -> tuple[str, str | None]:
+    """("ok", text) for a readable candidate; ("missing"|"torn", None)
+    → fall back one version (read() distinguishes the two: a LISTED
+    file going missing proves newer commits exist). Persistent I/O
+    errors RAISE after two retries — see _classify for why falling
+    back on those would be silently wrong."""
     import time as _time
 
     last: Exception | None = None
@@ -145,10 +139,11 @@ def _read_candidate(path: str) -> str | None:
         if attempt:
             _time.sleep(0.05 * attempt)
         try:
-            return fsio.read_text(path)
+            return "ok", fsio.read_text(path)
         except Exception as e:
-            if _classify(e) != "io":
-                return None
+            kind = _classify(e)
+            if kind != "io":
+                return kind, None
             last = e
     raise last  # type: ignore[misc]
 
@@ -170,6 +165,7 @@ def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
     reads) — re-list and retry: newer committed files now exist, so
     the retry terminates with a strictly fresher pointer. Bounded only
     as a corruption backstop; the race itself converges in one pass."""
+    saw_listed_missing = False
     for _ in range(8):
         versions = _versions(dir_path, stem)
         top = versions[-1] if versions else 0
@@ -178,8 +174,13 @@ def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
         candidates = list(range(top + PROBE_AHEAD, top, -1)) \
             + list(reversed(versions))
         for n in candidates:
-            text = _read_candidate(_vpath(dir_path, stem, n))
+            kind, text = _read_candidate(_vpath(dir_path, stem, n))
             if text is None:
+                # a LISTED file that is MISSING was GC'd under us —
+                # proof that newer commits exist somewhere (review
+                # r10: this tree must never read as fresh/legacy)
+                if kind == "missing" and n in versions:
+                    saw_listed_missing = True
                 continue  # missing/torn: previous commit is intact
             try:
                 doc = json.loads(text)
@@ -193,6 +194,17 @@ def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
             return n, doc
         if not versions:
             break  # nothing resolvable at all: legacy or fresh tree
+    if saw_listed_missing:
+        # every retry lost the GC race AND files the listing promised
+        # are gone: commits exist that this reader cannot see (a LIST
+        # lagging further than PROBE_AHEAD covers). Returning None
+        # would make resolve fall back to a legacy/fresh tree and a
+        # Catalog initialize EMPTY over real state — refuse instead.
+        raise RuntimeError(
+            f"pointer {dir_path}/{stem}: listed pointer files vanished "
+            f"across 8 retries (listing lags commits beyond "
+            f"PROBE_AHEAD={PROBE_AHEAD}); refusing to treat a "
+            "committed tree as empty")
     legacy = fsio.join(dir_path, stem + ".json")
     if fsio.exists(legacy):
         try:

@@ -272,13 +272,22 @@ def _inflight_markers(index_path: str) -> list[str]:
 def _held_marker(index_path: str, batch_id: int):
     """Context manager: create the ``_inflight_<batch>`` marker, keep
     its mtime FRESH from a daemon thread every :data:`_MARKER_REFRESH`
-    seconds for as long as the commit runs, delete it on exit. The
-    refresh is what makes orphan aging sound (ADVICE r9): an orphan
-    older than the quiesce window now implies a DEAD writer — a live
-    one refreshed within the last interval — so compaction's age-out
-    can never strand a running write job without its quiesce signal.
-    A failed refresh (transient store error) is absorbed: the marker
-    merely ages one interval and the next refresh restores it."""
+    seconds for as long as the commit runs, delete it on SUCCESSFUL
+    exit. The refresh is what makes orphan aging sound (ADVICE r9): an
+    orphan older than the quiesce window now implies a DEAD writer — a
+    live one refreshed within the last interval — so compaction's
+    age-out can never strand a running write job without its quiesce
+    signal. A failed refresh (transient store error) is absorbed: the
+    marker merely ages one interval and the next refresh restores it.
+
+    On an EXCEPTION the marker is deliberately RETAINED (review r10):
+    marker-gone must mean "this batch's commit protocol COMPLETED" —
+    the post-flip audit carries marker-less leftover batches on that
+    premise, and a crashed writer's partition may be half-superseded
+    state its foreachBatch replay is about to rewrite. The retained
+    orphan stops refreshing (the writer is gone), so the next
+    compaction ages it out; the replay's own _held_marker for the same
+    batch_id overwrites and then clears it."""
     import contextlib
     import threading
     import time as _time
@@ -303,10 +312,13 @@ def _held_marker(index_path: str, batch_id: int):
         t.start()
         try:
             yield marker
-        finally:
+        except BaseException:
             stop.set()
             t.join(timeout=5)
-            fsio.delete(marker)
+            raise  # marker retained: commit did NOT complete
+        stop.set()
+        t.join(timeout=5)
+        fsio.delete(marker)
 
     return _cm()
 
@@ -322,14 +334,21 @@ def _store_now(index_path: str) -> float:
 
     probe = fsio.join(index_path, "_clockprobe")
     try:
+        # catch EVERYTHING: URI backends raise py4j-wrapped Hadoop
+        # exceptions, not OSError (review r10) — a transient probe
+        # failure must degrade to the driver clock, never abort the
+        # compaction that is mid-protocol
         fsio.write_text(probe, "")
         return fsio.stat(probe)[0]
-    except OSError:
+    except Exception:
         import time as _time
 
         return _time.time()
     finally:
-        fsio.delete(probe)
+        try:
+            fsio.delete(probe)
+        except Exception:
+            pass  # stray probe file: ignored by every listing filter
 
 
 def resolve_neardup_index(index_path: str) -> str:
@@ -792,16 +811,35 @@ def compact_neardup_index(spark, index_path: str,
     # LIVE writer that will re-resolve into the new generation itself
     # (or a crashed one whose foreachBatch replay re-commits there);
     # carrying those would BE the double writer, so they are left to
-    # their own protocol.
-    live = set(_inflight_markers(index_path))
-    for name in sorted(
-            n for n in fsio.listdir(src)
-            if n.startswith("_batch_id=")
-            and n not in seen_parts and n not in carried):
+    # their own protocol. ORDER MATTERS (review r10): the src listing
+    # happens BEFORE the marker listing — a writer whose partition we
+    # saw either still holds its marker (skip: it finishes its own
+    # protocol) or completed AFTER our listing and before the marker
+    # check, in which case marker-gone means its whole re-resolve loop
+    # ran (markers survive failures — see _held_marker) and its final
+    # state is knowable from the target. Listing markers first would
+    # let a writer publish between the two listings and look
+    # marker-less while still running.
+    leftover = sorted(
+        n for n in fsio.listdir(src)
+        if n.startswith("_batch_id=")
+        and n not in seen_parts and n not in carried)
+    live = set(_inflight_markers(index_path)) if leftover else set()
+    for name in leftover:
         bid = name.split("=", 1)[1]
         if f"{_INFLIGHT_PREFIX}{bid}" in live:
-            continue  # live/replayable writer: it re-commits itself
+            continue  # live (or crashed-awaiting-replay) writer
         if not fsio.exists(fsio.join(target, name)):
+            # Residual (documented): a replay of this SUCCESSFULLY
+            # committed batch (possible only when the stream crashed
+            # between the batch's success and its checkpoint advance,
+            # then restarted exactly during this carry) would write
+            # the same partition concurrently. Skipping the carry
+            # instead would LOSE the batch in the overwhelmingly more
+            # likely case — successful batch, checkpoint advanced, no
+            # replay ever comes — so the carry wins; the race needs a
+            # triple coincidence where the original ADVICE r9 hole
+            # needed only the listing-gap publish.
             _write_carry([name])
     # the superseded tree (generation `cur`, or the legacy root dirs
     # when cur is None) is RETAINED until the next flip — in-flight

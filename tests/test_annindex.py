@@ -1261,3 +1261,32 @@ def test_scattered_churn_falls_back_to_one_pass_fold(spark, emb, tmp_path):
         assert after != inodes_before.get(c.name), c.name
     assert (tmp_path / "ivf" / "data" / "gen=2" / "_batch_id=1").is_dir()
     assert AX.read_ivf_data(spark, path).count() == before
+
+
+def test_zero_norm_vectors_are_unservable_in_both_modes(spark, tmp_path):
+    """review r10: a zero-norm vector (padding/null-embedding
+    artifact) has no defined cosine — under Spark's ANSI mode the
+    serve DIVISION used to abort the entire query batch with
+    DIVIDE_BY_ZERO. Both modes now exclude zero-norm candidates (and
+    zero-norm queries) by contract: no crash, identical rows, the
+    degenerate vector never served."""
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1),
+                 float((i * 5) % 11 + 1), 1.0]) for i in range(40)]
+    rows.append((100, [0.0, 0.0, 0.0, 0.0]))  # zero-norm candidate
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(corpus, path, nlist=2)
+    queries = corpus.filter((F.col("vec_id") < 3)
+                            | (F.col("vec_id") == 100))
+
+    def exact(df):
+        return sorted((r["query_id"], r["cand_id"], r["cosine"],
+                       r["rank"]) for r in df.collect())
+
+    j = exact(AX.topk_ivf_index(spark, queries, path, k=3, nprobe=2,
+                                mode="join"))
+    s = exact(AX.topk_ivf_index(spark, queries, path, k=3, nprobe=2,
+                                mode="shared"))
+    assert j == s and len(j) > 0
+    assert 100 not in {t[1] for t in j}  # never served as a candidate
+    assert 100 not in {t[0] for t in j}  # zero-norm query: no rows

@@ -430,3 +430,25 @@ def test_head_then_put_store_exclusivity_is_advisory(monkeypatch):
     # sequential double-commit still fails loudly even here
     assert fsio.write_text_create(
         "s3fake://bucket/ptr/_pointer.v2.json", "x") is False
+
+
+def test_vanished_listed_pointers_raise_not_fresh(monkeypatch):
+    """review r10: when files the LISTING promised are gone across
+    every retry (a LIST lagging further than PROBE_AHEAD hides), the
+    tree provably has commits this reader cannot see — read() must
+    RAISE, not return None (None would make resolve fall back to a
+    legacy/fresh tree and a Catalog initialize empty over real state)."""
+    from fakestore import FakeStore, install
+
+    store = FakeStore(lag_ops=0, conditional_put=True)
+    root = "s3fake://bucket/ptr"
+    install(monkeypatch, store, "s3fake://")
+    pointer.commit(root, "_pointer", {"current": 1})
+    pointer.commit(root, "_pointer", {"current": 2})
+    # simulate deep GC-lag: the objects vanish, the listing still
+    # shows them (delete visibility never arrives)
+    for k in list(store.objects):
+        if "_pointer.v" in k:
+            del store.objects[k]
+    with pytest.raises(RuntimeError, match="vanished"):
+        pointer.read(root, "_pointer")

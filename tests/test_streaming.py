@@ -1171,3 +1171,28 @@ def test_post_flip_audit_leaves_live_writers_alone(
     got = E.read_neardup_index(spark, idx)
     assert got.filter(F.col("_batch_id") == 7).count() == lateb.count()
     assert got.count() == docs.count()
+
+
+def test_failed_commit_retains_marker_for_the_audit(tmp_path):
+    """review r10: marker-gone must mean 'commit protocol COMPLETED'.
+    A writer that raises keeps its marker (stops refreshing, so the
+    next compaction ages it out; the replay's own marker supersedes
+    it) — otherwise the post-flip audit would carry a crashed writer's
+    partition while its foreachBatch replay concurrently rewrites it."""
+    import pytest
+
+    from andl_spark import fsio
+    from andl_spark.streaming import events as E
+
+    idx = str(tmp_path / "idx")
+    fsio.mkdirs(idx)
+    marker = fsio.join(idx, f"{E._INFLIGHT_PREFIX}5")
+    with pytest.raises(RuntimeError, match="boom"):
+        with E._held_marker(idx, 5):
+            assert fsio.exists(marker)
+            raise RuntimeError("boom")
+    assert fsio.exists(marker)  # retained: commit did not complete
+    # the replay's own marker lifecycle supersedes and clears it
+    with E._held_marker(idx, 5):
+        pass
+    assert not fsio.exists(marker)
