@@ -1290,3 +1290,18 @@ def test_zero_norm_vectors_are_unservable_in_both_modes(spark, tmp_path):
     assert j == s and len(j) > 0
     assert 100 not in {t[1] for t in j}  # never served as a candidate
     assert 100 not in {t[0] for t in j}  # zero-norm query: no rows
+
+
+def test_shared_mode_query_batch_bound(spark, emb, tmp_path, monkeypatch):
+    """mode='shared' broadcasts per-cell query matrices to every task:
+    the batch is bounded like topk_bruteforce — oversized batches fail
+    loudly with redirection to the pair ops instead of OOMing the
+    cluster."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.limit(200), path, nlist=4)
+    monkeypatch.setattr(ax, "SHARED_MAX_QUERIES", 4)
+    with pytest.raises(ValueError, match="query batch exceeds 4"):
+        AX.topk_ivf_index(spark, emb.limit(10), path, k=3, nprobe=2,
+                          mode="shared")
