@@ -912,7 +912,7 @@ def topk_ivf_index(
     nprobe: int | None = None,
     id_col: str | None = None,
     vec_col: str | None = None,
-    mode: str = "join",
+    mode: str | None = None,
 ) -> DataFrame:
     """Query the persisted index: assign each query its ``nprobe``
     nearest cells, then scan ONLY those cells — the probe set is
@@ -941,8 +941,13 @@ def topk_ivf_index(
     scoring accumulates dot and norm PER COORDINATE IN ELEMENT ORDER —
     the same left-associated IEEE float64 fold as the JVM expression —
     so cosines are BITWISE IDENTICAL to mode="join" and the row sets
-    match exactly (pinned in tests). Use it for multi-query serving
-    batches; single queries gain nothing over the join."""
+    match exactly (pinned in tests). ``mode=None`` (default)
+    AUTO-DISPATCHES: because the results are bitwise identical, the
+    choice is purely a cost decision — multi-query batches (2 ..
+    SHARED_MAX_QUERIES) take the shared path, single queries and
+    oversized batches keep the join (a single query has nothing to
+    share; an oversized batch would trip the shared broadcast bound,
+    which explicit ``mode="shared"`` still enforces loudly)."""
     meta, data = read_ivf_snapshot(spark, path)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
@@ -977,6 +982,10 @@ def topk_ivf_index(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
     has_tombs = any("list_id=-1" in f for f in data.inputFiles())
+    if mode is None:
+        # auto (r10): one tiny count on the checkpointed query frame
+        n_q = q.limit(SHARED_MAX_QUERIES + 1).count()
+        mode = "shared" if 1 < n_q <= SHARED_MAX_QUERIES else "join"
     if mode == "shared":
         return _topk_shared(spark, q, data, cells, k, has_tombs)
     if mode != "join":

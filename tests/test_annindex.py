@@ -1305,3 +1305,42 @@ def test_shared_mode_query_batch_bound(spark, emb, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="query batch exceeds 4"):
         AX.topk_ivf_index(spark, emb.limit(10), path, k=3, nprobe=2,
                           mode="shared")
+
+
+def test_topk_mode_auto_dispatch(spark, emb, tmp_path, monkeypatch):
+    """mode=None auto-dispatches on pure cost (the results are bitwise
+    identical either way): multi-query batches share cells, a single
+    query keeps the join, an oversized batch falls back to the join
+    instead of tripping the shared broadcast bound — and the default
+    result equals both explicit modes."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    multi = emb.filter(F.col("vec_id") < 5)
+
+    def exact(df):
+        return sorted((r["query_id"], r["cand_id"], r["cosine"],
+                       r["rank"]) for r in df.collect())
+
+    auto = exact(AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4))
+    assert auto == exact(AX.topk_ivf_index(spark, multi, path, k=3,
+                                           nprobe=4, mode="join"))
+    assert auto == exact(AX.topk_ivf_index(spark, multi, path, k=3,
+                                           nprobe=4, mode="shared"))
+
+    # observe the dispatch itself: shared path poisoned
+    def boom(*a, **k):
+        raise AssertionError("shared path taken")
+
+    monkeypatch.setattr(ax, "_topk_shared", boom)
+    # single query -> join (no raise)
+    assert AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
+                             path, k=3, nprobe=4).count() > 0
+    # oversized batch -> join fallback (no raise)
+    monkeypatch.setattr(ax, "SHARED_MAX_QUERIES", 3)
+    assert AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4).count() > 0
+    # multi-query within bound -> shared
+    monkeypatch.setattr(ax, "SHARED_MAX_QUERIES", 100)
+    with pytest.raises(AssertionError, match="shared path taken"):
+        AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4)

@@ -286,3 +286,31 @@ def test_compaction_pointer_flip_never_breaks_readers(spark, tmp_path):
     assert not os.path.isdir(gen1)
     assert os.path.isdir(gen2)
     assert read_neardup_index(spark, idx).count() == docs.count()
+
+
+def test_catalog_refuses_to_open_empty_on_manifest_io_error(
+        spark, tmp_path, monkeypatch):
+    """r10 (the ADVICE r9 disaster scenario, pinned at the Catalog
+    level): a transient I/O failure reading the manifest pointer must
+    RAISE out of Catalog.__init__ — an empty-initialized catalog's
+    next _flush would commit over the real manifest."""
+    from andl_spark import fsio, pointer
+    from andl_spark.sources.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.put("t", spark.range(4).withColumnRenamed("id", "x"))
+    real = fsio.read_text
+
+    def denied(path):
+        if "_catalog.v" in path:
+            raise PermissionError(f"denied: {path}")
+        return real(path)
+
+    monkeypatch.setattr(fsio, "read_text", denied)
+    with pytest.raises(PermissionError):
+        Catalog(spark, root)
+    monkeypatch.setattr(fsio, "read_text", real)
+    # the real manifest survives untouched
+    cat2 = Catalog(spark, root)
+    assert cat2.names() == ["t"] and cat2.get("t").count() == 4
