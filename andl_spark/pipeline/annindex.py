@@ -767,19 +767,27 @@ def _incremental_fold_plan(raw: DataFrame, max_bid, src: str):
     has_kept = max_bid is not None and max_bid >= 0
     fold_slim = (slim.filter(F.col("_batch_id") != max_bid)
                  if has_kept else slim)
-    # tombstones from ALL batches (kept included) mask folded rows —
-    # the same set the full fold's fold_transform used
-    tomb = (raw.filter(F.col("list_id") == TOMBSTONE_LIST)
-            .select("vec_id").distinct())
+    # the APPEND-ONLY fast path (r10): with no tombstone partition
+    # anywhere in the generation (the read's own file listing — free),
+    # masked-row detection is skipped entirely, so the dirty scan
+    # touches only the batch partitions (partition-pruned) instead of
+    # semi-joining every seed row's vec_id against the tombstone set
+    tomb_exists = any(f"list_id={TOMBSTONE_LIST}" in f
+                      for f in raw.inputFiles())
     dirty_df = (
         fold_slim.filter((F.col("_batch_id") >= 0)
                          & (F.col("list_id") != TOMBSTONE_LIST))
-        .select("list_id")
-        .unionByName(
+        .select("list_id"))
+    tomb = None
+    if tomb_exists:
+        # tombstones from ALL batches (kept included) mask folded
+        # rows — the same set the full fold's fold_transform used
+        tomb = (raw.filter(F.col("list_id") == TOMBSTONE_LIST)
+                .select("vec_id").distinct())
+        dirty_df = dirty_df.unionByName(
             fold_slim.filter(F.col("list_id") != TOMBSTONE_LIST)
             .join(tomb, "vec_id", "left_semi").select("list_id"))
-        .distinct())
-    dirty = sorted(r[0] for r in dirty_df.collect())
+    dirty = sorted(r[0] for r in dirty_df.distinct().collect())
     dirty_set = set(dirty)
 
     seed_cells = {
@@ -796,10 +804,13 @@ def _incremental_fold_plan(raw: DataFrame, max_bid, src: str):
     live = fold_src.filter(F.col("list_id") != TOMBSTONE_LIST)
     if not fold_all:  # prune the scan to dirty cells only
         live = live.filter(F.col("list_id").isin(dirty))
-    live = live.join(tomb, "vec_id", "left_anti")
-    rows = (live.unionByName(
-        fold_src.filter(F.col("list_id") == TOMBSTONE_LIST))
-        .drop("_batch_id").withColumn("_batch_id", F.lit(-1)))
+    if tomb is not None:
+        live = live.join(tomb, "vec_id", "left_anti")
+        rows = live.unionByName(
+            fold_src.filter(F.col("list_id") == TOMBSTONE_LIST))
+    else:
+        rows = live  # append-only: nothing masked, nothing to retain
+    rows = rows.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
 
     copy_rel = []
     if not fold_all:
