@@ -314,3 +314,62 @@ def test_catalog_refuses_to_open_empty_on_manifest_io_error(
     # the real manifest survives untouched
     cat2 = Catalog(spark, root)
     assert cat2.names() == ["t"] and cat2.get("t").count() == 4
+
+
+def test_tiered_neardup_compaction_bounds_rewrites(spark, tmp_path,
+                                                   monkeypatch):
+    """r10: compact_neardup_index(incremental=True) — the flat-layout
+    tiered fold. Each compaction folds ONLY the batch partitions into
+    new seed files and carries the existing seed files by hardlink
+    (proven by inode identity), so the per-compaction rewrite is the
+    new data, not the corpus; when the seed reaches target_files ×
+    TIER_MAX_FACTOR files, a full re-fold merges the tiers. Row sets
+    stay identical to a full recompute throughout."""
+    import os
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+
+    monkeypatch.setattr(E, "TIER_MAX_FACTOR", 2)  # merge after ~2 tiers
+    docs = spark.createDataFrame(
+        [(i, f"tiered fold body {i % 6} tail{i % 4} x{i}")
+         for i in range(60)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    E.seed_neardup_index(
+        D.minhash_signatures(docs.filter(F.col("doc_id") < 10),
+                             "doc_id", "text"), idx)
+
+    def seed_inodes():
+        gen = E.resolve_neardup_index(idx)
+        d = os.path.join(gen, "_batch_id=-1")
+        return {n: os.stat(os.path.join(d, n)).st_ino
+                for n in os.listdir(d) if n.endswith(".parquet")}
+
+    merged = carried = False
+    for j in range(5):
+        lo, hi = 10 + 10 * j, 20 + 10 * j
+        E.neardup_ingest_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            j, idx, pairs, kind="minhash", threshold=0.5)
+        before = seed_inodes()
+        E.compact_neardup_index(spark, idx, target_files=1,
+                                incremental=True)
+        after = seed_inodes()
+        # growth bound: tiers never exceed the merge threshold + 1 fold
+        assert len(after) <= 1 * 2 + 1, after
+        if before and all(before[n] == after.get(n) for n in before):
+            carried = True  # old seed files hardlink-carried
+        if before and not (set(before) & set(after)):
+            merged = True   # tier merge: full re-fold happened
+        # row set == full recompute of everything ingested so far
+        got = {(r["doc_id"], tuple(r["signature"]))
+               for r in E.read_neardup_index(spark, idx)
+               .select("doc_id", "signature").collect()}
+        want = {(r["doc_id"], tuple(r["signature"]))
+                for r in D.minhash_signatures(
+                    docs.filter(F.col("doc_id") < hi),
+                    "doc_id", "text").collect()}
+        assert got == want
+    assert carried and merged
