@@ -293,9 +293,21 @@ def copy_tree(src: str, dst: str) -> None:
     through a Spark job. Local paths HARDLINK each file (free; parquet
     files are immutable once written and generation reclaim only
     unlinks, so shared inodes are safe), falling back to a byte copy
-    across filesystems; URI paths go through Hadoop ``FileUtil.copy``
-    (a byte copy client-side — on S3 the connector turns same-bucket
-    copies into server-side COPY; still no decode and no shuffle)."""
+    across filesystems; URI paths copy file-by-file through Hadoop
+    ``FileUtil.copy`` (a byte copy client-side — on S3 the connector
+    turns same-bucket copies into server-side COPY; still no decode
+    and no shuffle).
+
+    BOTH backends MERGE into an existing destination (ADVICE r10
+    high): the tiered near-dup fold copies ``src/_batch_id=-1`` into a
+    target whose parquet write already created that directory. Handing
+    ``FileUtil.copy`` the whole SOURCE DIRECTORY would trip its
+    checkDest rule — an existing destination dir resolves to
+    ``dst/<srcName>``, nesting ``_batch_id=-1/_batch_id=-1/…`` (a
+    duplicate partition column on read) — so the URI branch never does
+    that: it mkdirs the destination, lists the source's children, and
+    copies each FILE to an explicit ``dst/<name>`` (recursing into
+    directories), exactly the local branch's merge semantics."""
     if not _is_uri(src) and not _is_uri(dst):
         os.makedirs(dst, exist_ok=True)
         for name in os.listdir(src):
@@ -309,7 +321,23 @@ def copy_tree(src: str, dst: str) -> None:
                     shutil.copy2(s, d)
         return
     spark, jvm, fs, jsrc = _jvm_fs(src)
+    _copy_tree_jvm(jvm, fs, jsrc, dst, spark._jsc.hadoopConfiguration())
+
+
+def _copy_tree_jvm(jvm, fs, jsrc, dst: str, conf) -> None:
+    """Per-child recursive copy on the Hadoop backend — see copy_tree's
+    merge contract. A FILE copied to an explicit non-existent
+    ``dst/<name>`` never triggers checkDest's into-directory
+    resolution; overwrite=True matches the local branch's
+    exists-falls-back-to-copy behavior."""
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
-    jvm.org.apache.hadoop.fs.FileUtil.copy(
-        fs, jsrc, fs, jdst, False, True,
-        spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jdst)
+    for st in fs.listStatus(jsrc):
+        child = st.getPath()
+        d = posixpath.join(dst, child.getName())
+        if st.isDirectory():
+            _copy_tree_jvm(jvm, fs, child, d, conf)
+        else:
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, child, fs, jvm.org.apache.hadoop.fs.Path(d),
+                False, True, conf)

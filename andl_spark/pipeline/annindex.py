@@ -418,8 +418,21 @@ def _meta_at(path: str, gen_dir: str) -> dict:
 #: "directory" mtimes are synthetic (object stores) for the
 #: single-driver case. One cheap O(#batches) listing + stat pass per
 #: call replaces the O(#batches × #cells) recursive one.
-_DATA_CACHE: dict[tuple, DataFrame] = {}
+#:
+#: r11 (ADVICE r10): on URI paths those synthetic mtimes mean a
+#: MULTI-DRIVER deployment could serve a stale FileIndex indefinitely
+#: — a replay or delete committed by another driver changes neither
+#: the batch-dir name set nor any real mtime, and the other driver's
+#: explicit invalidation is in-process only. Cache entries for URI
+#: generation dirs therefore EXPIRE after :data:`_DATA_CACHE_TTL_URI`
+#: seconds: cross-process writes converge within a known window
+#: instead of "until the next generation flip". Local paths keep the
+#: pure stat identity (real mtimes catch every leaf add/remove).
+_DATA_CACHE: dict[tuple, tuple] = {}  # key → (df, has_tombs, insert time)
 _DATA_CACHE_MAX = 8
+
+#: staleness bound for URI-path cache entries (see _DATA_CACHE)
+_DATA_CACHE_TTL_URI = 30.0
 
 
 def _invalidate_data_cache(path: str) -> None:
@@ -447,6 +460,47 @@ def _batch_dirs_ident(gen_dir: str) -> tuple | None:
     return tuple(out)
 
 
+def _has_tombstones(gen_dir: str) -> bool:
+    """Does the generation hold a tombstone partition? One listdir per
+    top-level batch dir — bounded by the batch count, the same class
+    as _batch_dirs_ident's pass. Replaces the driver-side enumeration
+    of EVERY data file via ``DataFrame.inputFiles()`` (VERDICT r10
+    item 5: at a 100 TB generation that is millions of path strings in
+    driver memory for what is a directory-existence question)."""
+    tomb = f"list_id={TOMBSTONE_LIST}"
+    for n in fsio.listdir(gen_dir):
+        if (n.startswith("_batch_id=")
+                and tomb in fsio.listdir(fsio.join(gen_dir, n))):
+            return True
+    return False
+
+
+def _snapshot_full(spark: SparkSession, path: str):
+    """(meta, data, has_tombstones) — read_ivf_snapshot plus the cached
+    tombstone-partition flag the serve path branches on."""
+    import time as _time
+
+    data_root = fsio.join(path, "data")
+    gen_dir = resolve_neardup_index(data_root)
+    ident = _batch_dirs_ident(gen_dir)
+    if ident is None:  # mid-write race: one uncached read
+        return (_meta_at(path, gen_dir), spark.read.parquet(gen_dir),
+                _has_tombstones(gen_dir))
+    key = (spark.sparkContext.applicationId, path, gen_dir, ident)
+    hit = _DATA_CACHE.get(key)
+    if (hit is not None and fsio._is_uri(gen_dir)
+            and _time.monotonic() - hit[2] > _DATA_CACHE_TTL_URI):
+        _DATA_CACHE.pop(key, None)  # URI staleness bound (ADVICE r10)
+        hit = None
+    if hit is None:
+        while len(_DATA_CACHE) >= _DATA_CACHE_MAX:  # bounded FIFO
+            _DATA_CACHE.pop(next(iter(_DATA_CACHE)))
+        hit = (spark.read.parquet(gen_dir), _has_tombstones(gen_dir),
+               _time.monotonic())
+        _DATA_CACHE[key] = hit
+    return _meta_at(path, gen_dir), hit[0], hit[1]
+
+
 def read_ivf_snapshot(spark: SparkSession, path: str):
     """(meta, data) resolved from ONE pointer read, so the quantizer
     and the cells come from the SAME generation — resolving them
@@ -456,20 +510,10 @@ def read_ivf_snapshot(spark: SparkSession, path: str):
     generation meta commit exists to prevent). The data frame is
     served from the generation-scoped cache above; appends, deletes,
     compactions and same-batch replays all change the batch-dir stat
-    identity (or invalidate in-process) and therefore miss it."""
-    data_root = fsio.join(path, "data")
-    gen_dir = resolve_neardup_index(data_root)
-    ident = _batch_dirs_ident(gen_dir)
-    if ident is None:  # mid-write race: one uncached read
-        return _meta_at(path, gen_dir), spark.read.parquet(gen_dir)
-    key = (spark.sparkContext.applicationId, path, gen_dir, ident)
-    df = _DATA_CACHE.get(key)
-    if df is None:
-        while len(_DATA_CACHE) >= _DATA_CACHE_MAX:  # bounded FIFO
-            _DATA_CACHE.pop(next(iter(_DATA_CACHE)))
-        df = spark.read.parquet(gen_dir)
-        _DATA_CACHE[key] = df
-    return _meta_at(path, gen_dir), df
+    identity (or invalidate in-process, or age out of the URI TTL)
+    and therefore miss it."""
+    meta, df, _ = _snapshot_full(spark, path)
+    return meta, df
 
 
 def read_ivf_meta(path: str) -> dict:
@@ -768,12 +812,13 @@ def _incremental_fold_plan(raw: DataFrame, max_bid, src: str):
     fold_slim = (slim.filter(F.col("_batch_id") != max_bid)
                  if has_kept else slim)
     # the APPEND-ONLY fast path (r10): with no tombstone partition
-    # anywhere in the generation (the read's own file listing — free),
-    # masked-row detection is skipped entirely, so the dirty scan
-    # touches only the batch partitions (partition-pruned) instead of
-    # semi-joining every seed row's vec_id against the tombstone set
-    tomb_exists = any(f"list_id={TOMBSTONE_LIST}" in f
-                      for f in raw.inputFiles())
+    # anywhere in the generation, masked-row detection is skipped
+    # entirely, so the dirty scan touches only the batch partitions
+    # (partition-pruned) instead of semi-joining every seed row's
+    # vec_id against the tombstone set. r11 (VERDICT r10 item 5): the
+    # check is one listdir per batch dir — not a driver-side listing
+    # of every data file via inputFiles()
+    tomb_exists = _has_tombstones(src)
     dirty_df = (
         fold_slim.filter((F.col("_batch_id") >= 0)
                          & (F.col("list_id") != TOMBSTONE_LIST))
@@ -959,7 +1004,7 @@ def topk_ivf_index(
     oversized batches keep the join (a single query has nothing to
     share; an oversized batch would trip the shared broadcast bound,
     which explicit ``mode="shared"`` still enforces loudly)."""
-    meta, data = read_ivf_snapshot(spark, path)
+    meta, data, has_tombs = _snapshot_full(spark, path)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     hier = meta.get("kind") == "hier"
@@ -992,11 +1037,51 @@ def topk_ivf_index(
     cells = sorted({c for r in q.select(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
-    has_tombs = any("list_id=-1" in f for f in data.inputFiles())
-    if mode is None:
-        # auto (r10): one tiny count on the checkpointed query frame
+    if mode is None or mode == "shared":
+        # the shared path is bounded by BYTES, not just query count
+        # (r11; VERDICT r10 item 4): at production embedding widths
+        # (1024–4096 dims) a full 10k-query batch probing wide is
+        # gigabytes of broadcast cellmap, and the per-Arrow-chunk
+        # score matrix (chunk rows × probing queries × 8) is
+        # similarly unbounded by the count alone. Estimate both from
+        # the checkpointed query frame (two tiny aggs) and dispatch
+        # to the join path — or refuse an explicit mode="shared" —
+        # above the bounds.
         n_q = q.limit(SHARED_MAX_QUERIES + 1).count()
-        mode = "shared" if 1 < n_q <= SHARED_MAX_QUERIES else "join"
+        why = None
+        if n_q > SHARED_MAX_QUERIES:
+            why = (f"query batch exceeds {SHARED_MAX_QUERIES} — the "
+                   "per-cell query matrices are broadcast to every "
+                   "task, so an unbounded batch is a driver/executor "
+                   "memory hazard")
+        else:
+            row = (q.select(F.explode("probe").alias("c"))
+                   .groupBy("c").count()
+                   .agg(F.sum("count").alias("p"),
+                        F.max("count").alias("m")).collect()[0])
+            n_pairs, max_per_cell = int(row["p"] or 0), int(row["m"] or 0)
+            dim = int(meta.get("dim") or 0)
+            arrow_rows = int(spark.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                "10000") or 10000)
+            bc_bytes = n_pairs * dim * 8  # one query vector per probe
+            chunk_bytes = max_per_cell * arrow_rows * 8
+            if bc_bytes > SHARED_MAX_BC_BYTES:
+                why = (f"estimated broadcast {bc_bytes >> 20} MiB "
+                       f"(queries × probes × dim × 8) exceeds "
+                       f"{SHARED_MAX_BC_BYTES >> 20} MiB")
+            elif chunk_bytes > SHARED_MAX_CHUNK_BYTES:
+                why = (f"estimated per-chunk score matrix "
+                       f"{chunk_bytes >> 20} MiB (max queries/cell × "
+                       f"Arrow chunk rows × 8) exceeds "
+                       f"{SHARED_MAX_CHUNK_BYTES >> 20} MiB")
+        if mode == "shared" and why is not None:
+            raise ValueError(
+                f"topk_ivf_index(mode='shared'): {why}. Use mode='join' "
+                "for this batch, or knn_join for bulk corpus-scale "
+                "top-k.")
+        if mode is None:
+            mode = "shared" if (1 < n_q and why is None) else "join"
     if mode == "shared":
         return _topk_shared(spark, q, data, cells, k, has_tombs)
     if mode != "join":
@@ -1040,6 +1125,15 @@ def topk_ivf_index(
 #: query-batch bound for mode="shared" (the topk_bruteforce contract):
 #: every task holds the broadcast cell→query-matrix map
 SHARED_MAX_QUERIES = 10_000
+
+#: byte bounds for mode="shared" (r11; VERDICT r10 item 4): the count
+#: bound alone let a wide-dim batch broadcast gigabytes — dispatch
+#: estimates queries×probes×dim×8 (the cellmap, which duplicates each
+#: query vector once per probed cell) and maxQueriesPerCell×chunkRows×8
+#: (the per-Arrow-chunk score matrix) and keeps the join path when
+#: either exceeds its bound
+SHARED_MAX_BC_BYTES = 256 << 20
+SHARED_MAX_CHUNK_BYTES = 256 << 20
 
 
 def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,

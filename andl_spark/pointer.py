@@ -46,10 +46,14 @@ S3-semantics fake store in tests/test_pointer.py):
   still never see a torn pointer because payloads are never
   overwritten after the race settles);
 - **tolerated, not required**: lagging LIST-after-PUT/DELETE. Version
-  numbers are consecutive, so reads probe :data:`PROBE_AHEAD` direct
-  GETs above the listed max — a lag of ≤ PROBE_AHEAD commits is fully
-  hidden; beyond that, readers serve an older committed pointer
-  (never torn, never None on a non-fresh tree).
+  numbers are consecutive, so reads probe ASCENDING direct GETs above
+  the listed max while files keep existing (r11, ADVICE r10: one
+  wasted GET on the happy path instead of a fixed probe window, and
+  lag coverage bounded only by GC — any lag is hidden while the
+  version after the listed max still exists, i.e. up to KEEP+1
+  commits once GC prunes, unbounded before); beyond that, readers
+  serve an older committed pointer (never torn, never None on a
+  non-fresh tree).
 
 Legacy trees: a ``<stem>.json`` written by the r8 rename-based flip is
 read (as sequence 0) only when no versioned file exists, and deleted
@@ -75,18 +79,14 @@ _log = logging.getLogger(__name__)
 #: listed just before a commit + the torn-max fallback both need ≥1)
 KEEP = 2
 
-#: versions PROBED ABOVE the listed max on every read (r10; VERDICT r9
-#: item 6): version numbers are CONSECUTIVE by construction (each
-#: commit creates exactly (true max)+1, collision-bumping over stale
-#: listings), and object-store GET is strongly consistent even where
-#: LIST lags PUT — so probing a few direct GETs above the listing
-#: both finds commits a lagged LIST hasn't surfaced yet and lets a
-#: fresh tree's first commits resolve before they are ever listed.
-#: Cost: ≤ this many 404 GETs per resolve on the happy path. A LIST
-#: lagging by MORE than this many commits degrades to serving an
-#: older COMMITTED pointer (never torn, never None on a non-fresh
-#: tree) — the documented residual.
-PROBE_AHEAD = KEEP + 1
+#: consecutive MISSING probes tolerated when the listing is EMPTY
+#: (fresh-or-outage): a committed tree whose listing never surfaced
+#: anything may have had v1..v(N-KEEP-1) GC'd, so the ascent bridges
+#: up to this many GC'd versions before concluding the tree is fresh —
+#: the same small window the r10 fixed probe covered. On a NON-empty
+#: listing the ascent stops at the first miss (1 wasted GET — the
+#: happy path; ADVICE r10).
+FRESH_PROBE_WINDOW = KEEP + 1
 
 
 def _versions(dir_path: str, stem: str) -> list[int]:
@@ -148,6 +148,50 @@ def _read_candidate(path: str) -> tuple[str, str | None]:
     raise last  # type: ignore[misc]
 
 
+def _probe_above(dir_path: str, stem: str, top: int,
+                 miss_window: int) -> tuple[int, dict] | None:
+    """Newest parseable (n, doc) STRICTLY ABOVE the listed max ``top``,
+    or None. Versions are consecutive, so the ascent ends after
+    ``miss_window`` consecutive MISSING versions: 1 on a non-empty
+    listing (the happy path costs one wasted GET — ADVICE r10), or
+    :data:`FRESH_PROBE_WINDOW` on an empty listing, where a total LIST
+    outage over a committed tree may have had its earliest versions
+    GC'd and the ascent must bridge that gap before concluding the
+    tree is fresh.
+
+    Probe candidates may have NEVER EXISTED, and some stores raise
+    something other than FileNotFound for a read of a missing key
+    (S3A surfacing AccessDenied for HEAD-on-missing without
+    s3:ListBucket — ADVICE r10), so ANY unreadable probe other than a
+    torn EXISTING file counts as a miss, never as a raising I/O error:
+    the listed candidates below keep the strict ADVICE-r9
+    classification; up here a false 'io' would turn readable trees
+    into hard failures. A TORN probe (exists, content unreadable — a
+    crashed commit) resets the miss window and the ascent continues: a
+    later commit sequenced above it."""
+    best = None
+    misses = 0
+    n = top
+    for _ in range(10_000):  # corruption backstop, never the bound
+        n += 1
+        try:
+            text = fsio.read_text(_vpath(dir_path, stem, n))
+        except Exception as e:
+            if _classify(e) == "torn":
+                misses = 0  # exists: the consecutive run continues
+                continue
+            misses += 1
+            if misses >= miss_window:
+                return best
+            continue
+        misses = 0
+        try:
+            best = (n, json.loads(text))
+        except ValueError:
+            pass  # torn content: keep ascending past it
+    return best
+
+
 def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
     """(sequence, doc) of the newest committed pointer, or None when
     the directory holds no readable pointer at all. Tries candidates
@@ -169,17 +213,23 @@ def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
     for _ in range(8):
         versions = _versions(dir_path, stem)
         top = versions[-1] if versions else 0
-        # direct GETs above the listed max counter LIST lag — see
-        # PROBE_AHEAD; candidates descend so the newest committed wins
-        candidates = list(range(top + PROBE_AHEAD, top, -1)) \
-            + list(reversed(versions))
-        for n in candidates:
+        # ascending direct GETs above the listed max counter LIST lag
+        # (r11, ADVICE r10): versions are consecutive, so probing up
+        # from top+1 while files exist finds every unlisted commit at
+        # one wasted GET on the happy path — and anything strictly
+        # above the listing is by construction newer than every
+        # listed candidate, so a hit returns immediately
+        probed = _probe_above(dir_path, stem, top,
+                              FRESH_PROBE_WINDOW if not versions else 1)
+        if probed is not None:
+            return probed
+        for n in reversed(versions):
             kind, text = _read_candidate(_vpath(dir_path, stem, n))
             if text is None:
                 # a LISTED file that is MISSING was GC'd under us —
                 # proof that newer commits exist somewhere (review
                 # r10: this tree must never read as fresh/legacy)
-                if kind == "missing" and n in versions:
+                if kind == "missing":
                     saw_listed_missing = True
                 continue  # missing/torn: previous commit is intact
             try:
@@ -197,13 +247,14 @@ def read(dir_path: str, stem: str) -> tuple[int, dict] | None:
     if saw_listed_missing:
         # every retry lost the GC race AND files the listing promised
         # are gone: commits exist that this reader cannot see (a LIST
-        # lagging further than PROBE_AHEAD covers). Returning None
-        # would make resolve fall back to a legacy/fresh tree and a
-        # Catalog initialize EMPTY over real state — refuse instead.
+        # lagging so far that even the ascending probe's next version
+        # was GC'd). Returning None would make resolve fall back to a
+        # legacy/fresh tree and a Catalog initialize EMPTY over real
+        # state — refuse instead.
         raise RuntimeError(
             f"pointer {dir_path}/{stem}: listed pointer files vanished "
-            f"across 8 retries (listing lags commits beyond "
-            f"PROBE_AHEAD={PROBE_AHEAD}); refusing to treat a "
+            f"across 8 retries (listing lags commits beyond what the "
+            f"ascending probe can bridge); refusing to treat a "
             "committed tree as empty")
     legacy = fsio.join(dir_path, stem + ".json")
     if fsio.exists(legacy):

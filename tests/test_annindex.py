@@ -1344,3 +1344,95 @@ def test_topk_mode_auto_dispatch(spark, emb, tmp_path, monkeypatch):
     monkeypatch.setattr(ax, "SHARED_MAX_QUERIES", 100)
     with pytest.raises(AssertionError, match="shared path taken"):
         AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4)
+
+
+# ---------------------------------------------------------------------
+# r11: URI-path cache TTL (ADVICE r10), shared-serve byte bounds
+# (VERDICT r10 item 4), listdir-based tombstone detection (item 5)
+# ---------------------------------------------------------------------
+def test_data_cache_uri_entries_expire_by_ttl(spark, emb, tmp_path,
+                                              monkeypatch):
+    """ADVICE r10: on object stores the batch-dir mtimes are synthetic
+    and cross-process invalidation is invisible — URI cache entries
+    therefore expire after a TTL so another driver's replay/delete
+    converges within a known window. Local paths keep the pure stat
+    identity (no TTL churn)."""
+    import andl_spark.pipeline.annindex as ax
+
+    local = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.limit(200), local, nlist=4)
+    _, l1 = AX.read_ivf_snapshot(spark, local)
+
+    uri = "file://" + str(tmp_path / "ivf_uri")
+    AX.build_ivf_index(emb.limit(200), uri, nlist=4)
+    _, u1 = AX.read_ivf_snapshot(spark, uri)
+    _, u2 = AX.read_ivf_snapshot(spark, uri)
+    assert u2 is u1  # within TTL: cached
+
+    monkeypatch.setattr(ax, "_DATA_CACHE_TTL_URI", 0.0)
+    _, u3 = AX.read_ivf_snapshot(spark, uri)
+    assert u3 is not u1  # TTL expired: fresh FileIndex
+    # local path unaffected by the TTL
+    _, l2 = AX.read_ivf_snapshot(spark, local)
+    assert l2 is l1
+
+
+def test_shared_mode_byte_bounds(spark, emb, tmp_path, monkeypatch):
+    """VERDICT r10 item 4: the shared path is bounded by estimated
+    BYTES (broadcast cellmap + per-chunk score matrix), not just query
+    count — a wide-dim batch must dispatch to the join path (row
+    identity held) and an explicit mode='shared' must refuse loudly."""
+    import andl_spark.pipeline.annindex as ax
+
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    multi = emb.filter(F.col("vec_id") < 5)
+
+    def exact(df):
+        return sorted((r["query_id"], r["cand_id"], r["cosine"],
+                       r["rank"]) for r in df.collect())
+
+    want = exact(AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4,
+                                   mode="join"))
+
+    for knob, msg in [("SHARED_MAX_BC_BYTES", "estimated broadcast"),
+                      ("SHARED_MAX_CHUNK_BYTES", "score matrix")]:
+        monkeypatch.setattr(ax, knob, 1)
+        with pytest.raises(ValueError, match=msg):
+            AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4,
+                              mode="shared")
+        # auto dispatch falls back to join, results identical
+        def boom(*a, **k):
+            raise AssertionError("shared path taken")
+        monkeypatch.setattr(ax, "_topk_shared", boom)
+        got = exact(AX.topk_ivf_index(spark, multi, path, k=3, nprobe=4))
+        assert got == want and len(got) > 0
+        monkeypatch.undo()
+        monkeypatch.setattr(ax, "SHARED_MAX_QUERIES", 10_000)  # re-arm
+
+
+def test_has_tombstones_is_listing_not_input_files(spark, emb, tmp_path):
+    """VERDICT r10 item 5: tombstone detection is one listdir per batch
+    dir — never a driver-side enumeration of every data file. Pin the
+    helper's truth table across the lifecycle."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.limit(300), path, nlist=8)
+    from andl_spark.streaming.events import resolve_neardup_index
+    from andl_spark import fsio
+
+    gen = resolve_neardup_index(fsio.join(path, "data"))
+    assert AX._has_tombstones(gen) is False
+    AX.ivf_index_append(emb.filter(F.col("vec_id") >= 300).limit(40),
+                        path, batch_id=0)
+    gen = resolve_neardup_index(fsio.join(path, "data"))
+    assert AX._has_tombstones(gen) is False
+    AX.ivf_index_delete([1, 2], path, batch_id=1, spark=spark)
+    gen = resolve_neardup_index(fsio.join(path, "data"))
+    assert AX._has_tombstones(gen) is True
+    AX.compact_ivf_index(spark, path)  # tombstones fold into the seed
+    gen = resolve_neardup_index(fsio.join(path, "data"))
+    assert AX._has_tombstones(gen) is True
+    # and the serve path still masks the deleted ids
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
+                            path, k=50, nprobe=8)
+    assert not ({r["cand_id"] for r in got.collect()} & {1, 2})

@@ -100,6 +100,55 @@ def test_neardup_index_lifecycle_on_file_uri(spark, tmp_path):
     assert read_neardup_index(spark, idx).count() == 30
 
 
+# ---------------------------------------------------------------------
+# copy_tree merge semantics (ADVICE r10 high)
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("scheme", ["bare", "file"])
+def test_copy_tree_merges_into_existing_destination(spark, tmp_path,
+                                                    scheme):
+    """ADVICE r10 (high): the tiered fold copies ``src/_batch_id=-1``
+    into a target dir the parquet write ALREADY CREATED. Hadoop
+    FileUtil.copy of a whole directory resolves an existing destination
+    to ``dst/<srcName>`` — nesting ``_batch_id=-1/_batch_id=-1`` and
+    corrupting the generation layout with a duplicate partition column.
+    Both backends must MERGE instead: per-child copies into explicit
+    names, existing unrelated entries retained, subdirectories
+    recursed."""
+    src = tmp_path / "gsrc" / "_batch_id=-1"
+    (src / "list_id=3").mkdir(parents=True)
+    (src / "list_id=3" / "part-0.parquet").write_text("cell3-bytes")
+    (src / "part-seed.parquet").write_text("seed-bytes")
+    dst = tmp_path / "gdst" / "_batch_id=-1"
+    (dst / "list_id=9").mkdir(parents=True)  # the parquet write's output
+    (dst / "list_id=9" / "part-1.parquet").write_text("cell9-bytes")
+
+    s, d = str(src), str(dst)
+    if scheme == "file":
+        s, d = "file://" + s, "file://" + d
+    fsio.copy_tree(s, d)
+
+    assert not (dst / "_batch_id=-1").exists(), "nested partition dir"
+    assert (dst / "part-seed.parquet").read_text() == "seed-bytes"
+    assert (dst / "list_id=3" / "part-0.parquet").read_text() == "cell3-bytes"
+    # pre-existing content of the destination survives the merge
+    assert (dst / "list_id=9" / "part-1.parquet").read_text() == "cell9-bytes"
+
+
+@pytest.mark.parametrize("scheme", ["bare", "file"])
+def test_copy_tree_fresh_destination(spark, tmp_path, scheme):
+    src = tmp_path / "fsrc"
+    (src / "inner").mkdir(parents=True)
+    (src / "inner" / "f.txt").write_text("x")
+    (src / "top.txt").write_text("y")
+    dst = tmp_path / "fdst"
+    s, d = str(src), str(dst)
+    if scheme == "file":
+        s, d = "file://" + s, "file://" + d
+    fsio.copy_tree(s, d)
+    assert (dst / "inner" / "f.txt").read_text() == "x"
+    assert (dst / "top.txt").read_text() == "y"
+
+
 def test_catalog_on_file_uri(spark, tmp_path):
     """Catalog manifest/GC through the URI backend: put versions, gc
     reclaims old version directories via the Hadoop FileSystem."""

@@ -432,6 +432,85 @@ def test_head_then_put_store_exclusivity_is_advisory(monkeypatch):
         "s3fake://bucket/ptr/_pointer.v2.json", "x") is False
 
 
+# ---------------------------------------------------------------------
+# r11: ascending probe above the listed max (ADVICE r10)
+# ---------------------------------------------------------------------
+def test_ascending_probe_covers_deep_list_lag(tmp_path, monkeypatch):
+    """ADVICE r10: versions are consecutive, so the read probes
+    ASCENDING from top+1 while files exist — a LIST lagging by more
+    commits than any fixed window is fully hidden as long as the next
+    version file still exists (GC-quiet trees: unbounded coverage).
+    Here the listing NEVER surfaces anything, yet 5 committed files
+    resolve to the newest."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    for i in range(1, 6):
+        assert fsio.write_text_create(
+            f"{root}/_pointer.v{i}.json", json.dumps({"current": i}))
+    monkeypatch.setattr(fsio, "listdir", lambda p: [])  # total LIST lag
+    assert pointer.read(root, "_pointer") == (5, {"current": 5})
+
+
+def test_happy_path_probes_one_get_above_max(tmp_path, monkeypatch):
+    """The cost claim: with a fresh listing, exactly ONE wasted GET
+    above the listed max (the old fixed window issued three)."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    pointer.commit(root, "_pointer", {"current": 2})
+    real = fsio.read_text
+    missing_reads = []
+
+    def counting(path):
+        if not fsio.exists(path):
+            missing_reads.append(path)
+        return real(path)
+
+    monkeypatch.setattr(fsio, "read_text", counting)
+    assert pointer.read(root, "_pointer") == (2, {"current": 2})
+    assert len(missing_reads) == 1 and missing_reads[0].endswith(".v3.json")
+
+
+def test_probe_read_failure_above_max_is_missing_not_io(tmp_path,
+                                                        monkeypatch):
+    """ADVICE r10: some stores raise AccessDenied (not FileNotFound)
+    for a read of a never-created key — on probe candidates ABOVE the
+    listed max that must classify as 'missing' (end of the consecutive
+    run), never as a raising I/O error that turns a readable tree into
+    a hard failure. Listed candidates keep the strict ADVICE-r9 raise
+    (test_read_raises_on_persistent_io_error)."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    pointer.commit(root, "_pointer", {"current": 2})
+    real = fsio.read_text
+
+    def denied_above(path):
+        if path.endswith(".v3.json"):
+            raise PermissionError(f"AccessDenied: {path}")
+        return real(path)
+
+    monkeypatch.setattr(fsio, "read_text", denied_above)
+    assert pointer.read(root, "_pointer") == (2, {"current": 2})
+
+
+def test_ascent_continues_past_torn_probe(tmp_path, monkeypatch):
+    """A crashed commit's torn file above the listed max does not end
+    the ascent — a later commit sequenced above it and must win."""
+    root = str(tmp_path / "ptr")
+    fsio.mkdirs(root)
+    pointer.commit(root, "_pointer", {"current": 1})
+    (tmp_path / "ptr" / "_pointer.v2.json").write_text('{"to')  # torn
+    assert fsio.write_text_create(
+        f"{root}/_pointer.v3.json", json.dumps({"current": 3}))
+    real_list = fsio.listdir
+    monkeypatch.setattr(
+        fsio, "listdir",
+        lambda p: [n for n in real_list(p) if not n.endswith(
+            (".v2.json", ".v3.json"))])  # listing lags both
+    assert pointer.read(root, "_pointer") == (3, {"current": 3})
+
+
 def test_vanished_listed_pointers_raise_not_fresh(monkeypatch):
     """review r10: when files the LISTING promised are gone across
     every retry (a LIST lagging further than PROBE_AHEAD hides), the
