@@ -983,8 +983,9 @@ def topk_ivf_index(
     the two return the same rows (pinned in tests).
 
     The query batch is broadcast (the topk_bruteforce contract): bulk
-    k-NN over a huge query set should go through the pair ops, not a
-    per-query probe.
+    k-NN over a huge query set — corpus-as-queries included — goes
+    through :func:`knn_join`, which shuffles queries by cell instead
+    of broadcasting them.
 
     ``mode="shared"`` (r10; VERDICT r9 item 3 — the SCALE_r09 §2
     residual, where 32 scattered queries probed 66% of a 20M corpus
@@ -1159,8 +1160,8 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
             f"topk_ivf_index(mode='shared'): query batch exceeds "
             f"{SHARED_MAX_QUERIES} — the per-cell query matrices are "
             "broadcast to every task, so an unbounded batch is a "
-            "driver/executor memory hazard. Use the bucketed pair ops "
-            "(embedding_dup_pairs) for bulk corpus×corpus k-NN.")
+            "driver/executor memory hazard. Use knn_join for bulk "
+            "corpus-scale top-k.")
 
     percell: dict = {}
     for r in qrows:
@@ -1205,46 +1206,7 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
                 C = np.stack([np.asarray(v, dtype=np.float64)
                               for v in grp["embedding"]])
                 ids = grp["cand_id"].to_numpy()
-                d = C.shape[1]
-                # element-order accumulation == the JVM left fold:
-                # bitwise-identical cosines (see caller docstring)
-                S = np.multiply.outer(C[:, 0], Q[:, 0])
-                cn = C[:, 0] * C[:, 0]
-                for i in range(1, d):
-                    S += np.multiply.outer(C[:, i], Q[:, i])
-                    cn += C[:, i] * C[:, i]
-                cn = np.sqrt(cn)
-                nz = cn != 0  # unservable zero-norm candidates (the
-                # join mode filters them scan-side; same contract)
-                if not nz.all():
-                    C, cn, ids = C[nz], cn[nz], ids[nz]
-                    S = S[nz]
-                if not len(ids):
-                    continue
-                cos = S / np.multiply.outer(cn, qn)
-                for j in range(len(qids)):
-                    keep = ids != qids[j]
-                    cc, vv = ids[keep], cos[keep, j]
-                    if not len(cc):
-                        continue
-                    if len(cc) > k:  # top-k under (cos desc, id asc).
-                        # Spark's desc window ranks NaN GREATEST (a
-                        # zero-norm vector's 0/0 cosine); numpy sorts
-                        # NaN last — map NaN to -inf on the negated
-                        # key so both modes keep identical rows
-                        # (review r10)
-                        key = np.where(np.isnan(vv), -np.inf, -vv)
-                        try:
-                            sel = np.lexsort((cc, key))[:k]
-                        except TypeError:  # non-numeric ids (object
-                            # dtype): same total order via python sort
-                            sel = np.array(sorted(
-                                range(len(cc)),
-                                key=lambda i: (key[i], cc[i]))[:k])
-                        cc, vv = cc[sel], vv[sel]
-                    outs.append(pd.DataFrame(
-                        {"query_id": qids[j], "cand_id": cc,
-                         "cosine": vv}))
+                _score_block_np(qids, Q, qn, ids, C, k, outs)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -1252,6 +1214,228 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
     ct = data.schema["vec_id"].dataType.simpleString()
     pairs = cand.mapInPandas(
         _score, f"query_id {qt}, cand_id {ct}, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _score_block_np(qids, Q, qn, ids, C, k, outs) -> None:
+    """Score one query block × one candidate block and append each
+    query's block-local top-k to ``outs`` (pandas frames of query_id,
+    cand_id, cosine). The dot and norm accumulate PER COORDINATE IN
+    ELEMENT ORDER — the same left-associated IEEE float64 fold as the
+    JVM scoring expression — so cosines are BITWISE IDENTICAL to the
+    join mode's (pinned in tests). Top-k cuts under the final
+    (cosine desc, cand_id asc) total order, so a global top-k row is
+    necessarily in its own block's top-k; self-matches and zero-norm
+    candidates are dropped (the join mode's scan-side contract).
+    Shared by the cell-shared batch serve (_topk_shared) and the bulk
+    kNN join (knn_join)."""
+    import numpy as np
+    import pandas as pd
+
+    d = C.shape[1]
+    S = np.multiply.outer(C[:, 0], Q[:, 0])
+    cn = C[:, 0] * C[:, 0]
+    for i in range(1, d):
+        S += np.multiply.outer(C[:, i], Q[:, i])
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    nz = cn != 0  # unservable zero-norm candidates
+    if not nz.all():
+        cn, ids, S = cn[nz], ids[nz], S[nz]
+    if not len(ids):
+        return
+    cos = S / np.multiply.outer(cn, qn)
+    for j in range(len(qids)):
+        keep = ids != qids[j]
+        cc, vv = ids[keep], cos[keep, j]
+        if not len(cc):
+            continue
+        if len(cc) > k:  # top-k under (cos desc, id asc).
+            # Spark's desc window ranks NaN GREATEST (a zero-norm
+            # vector's 0/0 cosine); numpy sorts NaN last — map NaN
+            # to -inf on the negated key so both modes keep
+            # identical rows (review r10)
+            key = np.where(np.isnan(vv), -np.inf, -vv)
+            try:
+                sel = np.lexsort((cc, key))[:k]
+            except TypeError:  # non-numeric ids (object dtype):
+                # same total order via python sort
+                sel = np.array(sorted(
+                    range(len(cc)),
+                    key=lambda i: (key[i], cc[i]))[:k])
+            cc, vv = cc[sel], vv[sel]
+        outs.append(pd.DataFrame(
+            {"query_id": qids[j], "cand_id": cc, "cosine": vv}))
+
+
+#: target VECTOR BYTES per cogrouped score block in knn_join: each
+#: task materializes one query block × one candidate block in pandas,
+#: so both sides salt to ~this many bytes — group memory stays
+#: ~2×this regardless of corpus size, dim, or probe skew
+KNN_GROUP_BYTES = 64 << 20
+
+
+def knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    group_bytes: int = KNN_GROUP_BYTES,
+) -> DataFrame:
+    """Bulk k-NN join over the persisted index (r11; VERDICT r10 item
+    1 — the one remaining capability hole): top-k neighbors PER QUERY
+    ROW for arbitrarily large query sets — corpus-as-queries included —
+    which is what a SemDeDup-style semantic dedup or a kNN-graph build
+    needs and neither ``topk_ivf_index`` (broadcast-bounded serving
+    batches) nor the pair operators (threshold pairs, not top-k)
+    provide. Results are ROW-IDENTICAL to ``topk_ivf_index(
+    mode='join')`` at the same ``nprobe`` (pinned in tests): same
+    probe rule, same bitwise cosine fold, same (cosine desc, cand_id
+    asc) tie-break, same self-match/zero-norm/tombstone contracts.
+
+    Shape — nothing is collected or broadcast at data scale:
+
+    - queries assign to their probed cells SCAN-SIDE via the stored
+      quantizer (the same expression serving uses), checkpointed once;
+    - the only driver-side materialization is per-cell COUNTS (≤ nlist
+      rows — the _cell_shape pattern), which size the salt grid;
+    - both sides shuffle BY (cell, query-salt, candidate-salt):
+      candidates split into ~``group_bytes`` blocks, queries likewise,
+      each side replicated across the other's salt width, so every
+      (query, candidate) pair of a probed cell meets in EXACTLY ONE
+      cogroup — pairs never materialize as rows;
+    - each cogroup scores its blocks with the shared Arrow kernel
+      (element-order float64 — bitwise equal to the JVM fold) and cuts
+      block-local top-k, so only ≤ k × salt-width rows per query reach
+      the final ranking window.
+
+    Group memory is ~2 × group_bytes regardless of corpus size,
+    embedding width, or probe skew — a hot cell gets a wider salt
+    grid, not a bigger task. Serving-sized batches should keep using
+    topk_ivf_index (no shuffle of the query side); this is the
+    throughput path.
+
+    Reference anchor: extends SURVEY.md §2.8 (the reference has no ANN
+    surface); the fan-out-bounded pair-generation discipline follows
+    pipeline/dedup.py's bucketed operators."""
+    meta, data, has_tombs = _snapshot_full(spark, path)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    hier = meta.get("kind") == "hier"
+    if nprobe is None:
+        cal = meta.get("calibration")
+        if cal:
+            nprobe = cal["p1"] if hier else cal["nprobe"]
+        elif hier:
+            nprobe = max(2, math.ceil(meta["n1"] * AUTO_PROBE_FRAC))
+        else:
+            nprobe = auto_nprobe(meta["nlist"])
+    if hier:
+        probe_expr = hier_probe_np(meta["C1"], meta["C2"],
+                                   nprobe)(F.col("qvec"))
+    else:
+        probe_expr = _assign_expr(F.col("qvec"), meta["centroids"],
+                                  nprobe, vec_norm=F.col("qn"))
+    from .simsearch import _score_exprs
+
+    dim = int(meta.get("dim") or 0)
+    _norm, _ = _score_exprs(dim)
+    # assignment computed ONCE (the serving contract): the checkpoint
+    # is distributed — O(batch × (dim + nprobe)) across executors,
+    # never on the driver
+    q = (queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(vec_col).alias("qn"))
+         .filter(F.col("qn") != 0)
+         .withColumn("probe", probe_expr)
+         .localCheckpoint())
+
+    lid_t = data.schema["list_id"].dataType
+    qx = q.select("query_id", "qvec", "qn",
+                  F.explode("probe").alias("list_id")) \
+        .filter(F.col("list_id").isNotNull()) \
+        .withColumn("list_id", F.col("list_id").cast(lid_t))
+    # per-cell counts: the ONLY driver-side materialization, bounded
+    # by nlist (the _cell_shape pattern) — they size the salt grid
+    qcnt = {int(r["list_id"]): int(r["n"]) for r in
+            qx.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    cells = sorted(qcnt)
+    qt = q.schema["query_id"].dataType.simpleString()
+    ct = data.schema["vec_id"].dataType.simpleString()
+    out_schema = f"query_id {qt}, cand_id {ct}, cosine double"
+    if not cells:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(0).cast("long"))
+
+    cand = (data.filter(F.col("list_id").isin(cells))  # pruned scan
+            .select(F.col("vec_id").alias("cand_id"), "embedding",
+                    "list_id"))
+    if has_tombs:
+        cand = cand.join(
+            _tombstone_ids(data).withColumnRenamed("vec_id", "cand_id"),
+            "cand_id", "left_anti")
+    ccnt = {int(r["list_id"]): int(r["count"]) for r in
+            cand.groupBy("list_id").count().collect()}
+
+    vec_bytes = max(dim, 1) * 8 + 24
+
+    def width(n: int) -> int:
+        return max(1, -(-n * vec_bytes // max(group_bytes, vec_bytes)))
+
+    wdf = F.broadcast(spark.createDataFrame(
+        [(c, width(qcnt[c]), width(ccnt.get(c, 0))) for c in cells],
+        "list_id long, qw int, cw int")
+        .withColumn("list_id", F.col("list_id").cast(lid_t)))
+
+    # salt OWN side by id hash; replicate ACROSS the other side's
+    # width — full bipartite coverage, each pair in exactly one group
+    qg = (qx.join(wdf, "list_id")
+          .withColumn("qsalt", F.pmod(F.xxhash64("query_id"),
+                                      F.col("qw")).cast("int"))
+          .withColumn("csalt", F.explode(
+              F.sequence(F.lit(0), F.col("cw") - 1)))
+          .select("list_id", "qsalt", "csalt", "query_id", "qvec", "qn"))
+    cg = (cand.join(wdf, "list_id")
+          .withColumn("csalt", F.pmod(F.xxhash64("cand_id"),
+                                      F.col("cw")).cast("int"))
+          .withColumn("qsalt", F.explode(
+              F.sequence(F.lit(0), F.col("qw") - 1)))
+          .select("list_id", "qsalt", "csalt", "cand_id", "embedding"))
+
+    def _score_grp(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], "cand_id": [],
+                                 "cosine": []})
+        Q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in left["qvec"]])
+        qn = left["qn"].to_numpy(dtype=np.float64)
+        qids = left["query_id"].to_numpy()
+        C = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in right["embedding"]])
+        ids = right["cand_id"].to_numpy()
+        outs: list = []
+        _score_block_np(qids, Q, qn, ids, C, k, outs)
+        if not outs:
+            return pd.DataFrame({"query_id": [], "cand_id": [],
+                                 "cosine": []})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (qg.groupBy("list_id", "qsalt", "csalt")
+             .cogroup(cg.groupBy("list_id", "qsalt", "csalt"))
+             .applyInPandas(_score_grp, out_schema))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id"))
     return (

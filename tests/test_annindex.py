@@ -1436,3 +1436,95 @@ def test_has_tombstones_is_listing_not_input_files(spark, emb, tmp_path):
     got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
                             path, k=50, nprobe=8)
     assert not ({r["cand_id"] for r in got.collect()} & {1, 2})
+
+
+# ---------------------------------------------------------------------
+# r11: bulk kNN join (VERDICT r10 item 1)
+# ---------------------------------------------------------------------
+def _exact(df):
+    return sorted((r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+                  for r in df.collect())
+
+
+def test_knn_join_row_identical_to_topk_join_mode(spark, emb, tmp_path):
+    """The correctness contract: knn_join == topk_ivf_index(mode='join')
+    row for row (same probe rule, bitwise cosine fold, tie-break) — on
+    a serving-sized batch AND with the whole corpus as queries (the
+    SemDeDup / kNN-graph shape the broadcast-bounded serve refuses)."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 64)
+    want = _exact(AX.topk_ivf_index(spark, queries, path, k=5, nprobe=4,
+                                    mode="join"))
+    got = _exact(AX.knn_join(spark, queries, path, k=5, nprobe=4))
+    assert got == want and len(got) > 0
+
+    wantc = _exact(AX.topk_ivf_index(spark, emb, path, k=3, nprobe=4,
+                                     mode="join"))
+    gotc = _exact(AX.knn_join(spark, emb, path, k=3, nprobe=4))
+    assert gotc == wantc and len(gotc) > 0
+
+
+def test_knn_join_salt_grid_invariance(spark, emb, tmp_path):
+    """Tiny group_bytes forces a wide salt grid (many query × candidate
+    blocks per cell): results must be identical — every pair meets in
+    exactly one cogroup and block-local top-k preserves the global
+    order."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 40)
+    wide = _exact(AX.knn_join(spark, queries, path, k=5, nprobe=4,
+                              group_bytes=4096))
+    one = _exact(AX.knn_join(spark, queries, path, k=5, nprobe=4))
+    assert wide == one and len(one) > 0
+
+
+def test_knn_join_masks_tombstones_and_self(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=8)
+    AX.ivf_index_delete([7, 11], path, batch_id=0, spark=spark)
+    got = AX.knn_join(spark, emb.filter(F.col("vec_id") < 30), path,
+                      k=50, nprobe=8)
+    rows = [(r["query_id"], r["cand_id"]) for r in got.collect()]
+    assert rows
+    assert not ({c for _, c in rows} & {7, 11})  # deleted never served
+    assert all(q != c for q, c in rows)          # self excluded
+    # row-identity with the serve path holds through the tombstones
+    want = _exact(AX.topk_ivf_index(spark,
+                                    emb.filter(F.col("vec_id") < 30),
+                                    path, k=50, nprobe=8, mode="join"))
+    assert _exact(got) == want
+
+
+def test_knn_join_hier_and_empty(spark, emb, tmp_path):
+    """Two-level quantizer: the probe rule and combined cell ids flow
+    through the same path; an empty query batch returns an empty frame
+    with the contract schema."""
+    path = str(tmp_path / "ivf_h")
+    AX.build_ivf_index(emb, path, n1=3, n2=3)
+    queries = emb.filter(F.col("vec_id") < 24)
+    want = _exact(AX.topk_ivf_index(spark, queries, path, k=4, nprobe=2,
+                                    mode="join"))
+    got = _exact(AX.knn_join(spark, queries, path, k=4, nprobe=2))
+    assert got == want and len(got) > 0
+
+    empty = AX.knn_join(spark, emb.filter(F.col("vec_id") < 0), path, k=4)
+    assert empty.columns == ["query_id", "cand_id", "cosine", "rank"]
+    assert empty.count() == 0
+
+
+def test_knn_join_plan_prunes_and_never_cartesian(spark, emb, tmp_path):
+    """Plan pins: the candidate scan keeps the probed-cell
+    PartitionFilters (unprobed cells never read) and the pair
+    generation is the cogroup — no cartesian/broadcast-nested-loop
+    node anywhere."""
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb, path, nlist=16)
+    got = AX.knn_join(spark, emb.filter(F.col("vec_id") < 8), path,
+                      k=5, nprobe=2)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:500]
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
