@@ -191,6 +191,60 @@ def _flat_assigned(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _cent_by_cell(meta: dict):
+    """(nlist, dim) numpy table mapping cell id → its centroid — flat
+    centroids directly; hier cells t·n2+j map to C2[t][j] (absolute
+    vectors — see hier_seed_centroids)."""
+    import numpy as np
+
+    if meta.get("kind") == "hier":
+        return np.asarray(meta["C2"], dtype=np.float64).reshape(
+            -1, meta["dim"])
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def _pq_augment(assigned: DataFrame, meta: dict) -> DataFrame:
+    """Add the PQ columns the write path stores beside each vector:
+    ``pq_code`` (m-byte residual code) and ``vnorm`` (the exact norm
+    the ADC denominator divides by). Shared by build, append and the
+    streaming ingest (which goes through append)."""
+    import numpy as np
+
+    from . import pq as PQ
+    from .simsearch import _score_exprs
+
+    _norm, _ = _score_exprs(int(meta.get("dim") or 0))
+    cb = np.asarray(meta["pq"]["codebooks"], dtype=np.float64)
+    enc = PQ.encode_udf(cb, _cent_by_cell(meta))
+    return (assigned
+            .withColumn("vnorm", _norm("embedding"))
+            .withColumn("pq_code", enc(F.col("embedding"),
+                                       F.col("list_id"))))
+
+
+def _pq_train_meta(assigned: DataFrame, pq_m: int, meta: dict) -> dict:
+    """Train the residual codebooks on a bounded deterministic sample
+    of the assigned corpus (smallest-id rows — the trained_centroids
+    seed-rule contract; driver-side numpy, build-time only) and return
+    the meta record stored in the generation's ``_meta.json``."""
+    import numpy as np
+
+    from . import pq as PQ
+
+    rows = (assigned.select("vec_id", "embedding", "list_id")
+            .filter(F.col("list_id").isNotNull())
+            .orderBy("vec_id").limit(PQ.PQ_TRAIN_CAP).collect())
+    if not rows:
+        raise ValueError("build_ivf_index(pq_m=...): empty corpus")
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    L = np.asarray([r["list_id"] for r in rows], dtype=np.int64)
+    cc = _cent_by_cell(meta)
+    codebooks = PQ.train_codebooks(X - cc[L], pq_m, seed=42)
+    return {"m": pq_m, "ks": PQ.PQ_KS, "dsub": X.shape[1] // pq_m,
+            "trained_n": len(rows),
+            "codebooks": codebooks.tolist()}
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -205,6 +259,7 @@ def build_ivf_index(
     n2: int | None = None,
     carry_appended: bool = False,
     rows_per_task: int = SALT_ROWS_PER_TASK,
+    pq_m: int | None = None,
 ) -> dict:
     """Build the index: resolve the quantizer (same rules as
     topk_ivf_det — √N auto-scale via ``nlist=None``), assign every
@@ -233,7 +288,18 @@ def build_ivf_index(
     assignment two bounded matmuls per row instead of √N dots; the
     combined cell id keeps the identical partition layout, so probes
     prune the same way. Explicit ``n1``/``n2`` force the hierarchy at
-    any size. Returns the meta dict (kind: flat | hier)."""
+    any size. Returns the meta dict (kind: flat | hier).
+
+    ``pq_m`` (r11; VERDICT r10 item 6): store an IVF-PQ residual code
+    beside each vector — ``m`` bytes per vector (plus the exact norm)
+    encoding the residual against the cell centroid through
+    per-sub-quantizer codebooks trained here on a bounded
+    deterministic sample (:mod:`andl_spark.pipeline.pq`). Queries of a
+    PQ-built index default to ADC candidate scoring over the code
+    columns alone (the embedding bytes are never read in the first
+    pass) with exact re-rank of the survivors — see topk_ivf_index's
+    ``use_pq``/``rerank``. Appends and the streaming ingest encode
+    against the STORED codebooks, like centroids."""
     if carry_appended:
         spark = corpus.sparkSession
         data_root = fsio.join(path, "data")
@@ -280,11 +346,11 @@ def build_ivf_index(
             calibration = calibrate_probe_hier(
                 corpus, id_col, vec_col, k=k, target_recall=calibrate,
                 n1=n1, n2=n2, quantizer=quantizer, cents=cents)
-        assigned = _cell_shape(corpus.select(
+        assigned = corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"),
-        ), rows_per_task)
+        )
         meta = {
             "version": META_VERSION, "kind": "hier",
             "nlist": n1 * n2, "n1": n1, "n2": n2,
@@ -293,6 +359,10 @@ def build_ivf_index(
             "dim": len(C1[0]) if C1 else 0,
             "calibration": calibration,
         }
+        if pq_m:
+            meta["pq"] = _pq_train_meta(assigned, pq_m, meta)
+            assigned = _pq_augment(assigned, meta)
+        assigned = _cell_shape(assigned, rows_per_task)
         seed_neardup_index(assigned, fsio.join(path, "data"),
                            part_cols=PART_COLS,
                            meta_files={"_meta.json": json.dumps(meta)},
@@ -319,12 +389,6 @@ def build_ivf_index(
             corpus, id_col, vec_col, k=k, target_recall=calibrate,
             nlist=len(centroids), quantizer=quantizer, centroids=centroids)
     assigned = _flat_assigned(corpus, id_col, vec_col, centroids)
-    # one shuffle on the cell id so each cell is written by exactly
-    # one task: without it every map task writes every cell — measured
-    # 32,000 files (32 tasks x 1000 cells) at 1M vectors, a listing/
-    # open-cost tax on every probe; with it, files == cells for
-    # uniform corpora, and hot cells fan out (_cell_shape, r9)
-    assigned = _cell_shape(assigned, rows_per_task)
     meta = {
         "version": META_VERSION,
         "kind": "flat",
@@ -336,6 +400,15 @@ def build_ivf_index(
         "dim": len(centroids[0]) if centroids else 0,
         "calibration": calibration,
     }
+    if pq_m:
+        meta["pq"] = _pq_train_meta(assigned, pq_m, meta)
+        assigned = _pq_augment(assigned, meta)
+    # one shuffle on the cell id so each cell is written by exactly
+    # one task: without it every map task writes every cell — measured
+    # 32,000 files (32 tasks x 1000 cells) at 1M vectors, a listing/
+    # open-cost tax on every probe; with it, files == cells for
+    # uniform corpora, and hot cells fan out (_cell_shape, r9)
+    assigned = _cell_shape(assigned, rows_per_task)
     # the meta commits INSIDE the generation, before the pointer flip:
     # a rebuild (new quantizer) can never leave a reader pairing the
     # new generation's cells with the old generation's centroids
@@ -579,6 +652,10 @@ def _append_loop(batch, path, data_root, batch_id, id_col, vec_col,
         else:
             assigned = _flat_assigned(batch, id_col, vec_col,
                                       meta["centroids"])
+        if meta.get("pq"):
+            # encode against the STORED codebooks — the same frozen-
+            # quantizer contract appends already follow for centroids
+            assigned = _pq_augment(assigned, meta)
         (
             _cell_shape(assigned, rows_per_task)
             .withColumn("_batch_id", F.lit(batch_id))
@@ -628,11 +705,22 @@ def ivf_index_delete(ids, path: str, batch_id: int,
     spark = ids.sparkSession
     meta, data = read_ivf_snapshot(spark, path)
     id_col = id_col or meta["id_col"]
-    tomb = ids.select(F.col(id_col).alias("vec_id")).distinct().select(
-        "vec_id",
-        F.lit(None).cast(data.schema["embedding"].dataType)
-        .alias("embedding"),
-        F.lit(TOMBSTONE_LIST).alias("list_id"))
+    # tombstone rows conform to the index's FULL schema (r11: PQ-built
+    # indexes carry pq_code/vnorm columns — a narrower tombstone file
+    # would make the generation's parquet schema ambiguous): vec_id +
+    # the reserved cell id, every other column NULL of its stored type
+    cols = []
+    for f in data.schema.fields:
+        if f.name in ("_batch_id",):
+            continue
+        if f.name == "vec_id":
+            cols.append(F.col("vec_id"))
+        elif f.name == "list_id":
+            cols.append(F.lit(TOMBSTONE_LIST).alias("list_id"))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    tomb = (ids.select(F.col(id_col).alias("vec_id")).distinct()
+            .select(*cols))
     try:
         commit_batch_partitions(tomb, batch_id, fsio.join(path, "data"),
                                 part_cols=PART_COLS)
@@ -872,7 +960,8 @@ def compact_ivf_index(spark: SparkSession, path: str,
                       rows_per_task: int = SALT_ROWS_PER_TASK,
                       gauge: bool | None = None,
                       gauge_holdout: int = 32,
-                      incremental: bool = True) -> None:
+                      incremental: bool = True,
+                      quiesce_timeout: float = 120.0) -> None:
     """Fold the accumulated ``_batch_id`` partitions into the seed
     partition behind an atomic generation flip — exactly
     compact_neardup_index with the cell-nested layout; see its
@@ -955,9 +1044,66 @@ def compact_ivf_index(spark: SparkSession, path: str,
                               shape=lambda df: _cell_shape(df,
                                                            rows_per_task),
                               max_records_per_file=rows_per_task,
-                              meta_overrides=meta_overrides)
+                              meta_overrides=meta_overrides,
+                              quiesce_timeout=quiesce_timeout,
+                              # the IVF index's incrementality IS the
+                              # dirty-cell fold_plan above; the flat
+                              # tiered default doesn't fit the nested
+                              # layout
+                              incremental=False)
     finally:
         _invalidate_data_cache(path)
+
+
+def maintain_ivf_index(spark: SparkSession, path: str,
+                       target: float | None = None,
+                       gauge_holdout: int = 32,
+                       rows_per_task: int = SALT_ROWS_PER_TASK,
+                       incremental: bool = True) -> dict:
+    """The ONE-CALL maintenance pass (r11; VERDICT r10 item 3): the
+    recall-decay gauge committed a number into each generation's meta,
+    but nothing ACTED on it — 'rebuild when recall decays' was a human
+    reading a log line. This closes the loop: compact (which measures
+    and commits the gauge), read it back, and when recall at the
+    stored operating point fell below ``target`` (default: the
+    build-time calibration's own target), trigger the rebuild the
+    gauge exists to signal — ``build_ivf_index(carry_appended=True)``
+    seeded from the index's OWN live rows, same quantizer kind,
+    re-calibrated to the same target, cell count re-derived by the
+    auto rule at the CURRENT corpus size (growth is usually WHY recall
+    decayed). Run it from the same single maintenance job that owns
+    compaction.
+
+    A healthy gauge (or an index with no calibration/appends — the
+    gauge has nothing to measure) provably does NOT rebuild (pinned).
+    Rebuild semantics follow build_ivf_index's documented contract:
+    tombstones clear (deleted ids are already excluded from the live
+    rows the rebuild feeds on), appended vectors are kept.
+
+    Returns ``{"gauge": <gauge or None>, "rebuilt": bool,
+    "meta": <current meta after the pass>}``."""
+    compact_ivf_index(spark, path, rows_per_task=rows_per_task,
+                      gauge_holdout=gauge_holdout,
+                      incremental=incremental)
+    meta = read_ivf_meta(path)
+    gauge = meta.get("gauge")
+    cal = meta.get("calibration") or {}
+    tgt = target if target is not None else cal.get("target")
+    at_stored = (gauge or {}).get("recall_at_stored")
+    decayed = (gauge is not None and tgt is not None
+               and at_stored is not None and at_stored < tgt)
+    if not decayed:
+        return {"gauge": gauge, "rebuilt": False, "meta": meta}
+    _, data = read_ivf_snapshot(spark, path)
+    empty = (data.filter(F.col("list_id") != TOMBSTONE_LIST).limit(0)
+             .select(F.col("vec_id").alias(meta["id_col"]),
+                     F.col("embedding").alias(meta["vec_col"])))
+    new_meta = build_ivf_index(
+        empty, path, id_col=meta["id_col"], vec_col=meta["vec_col"],
+        quantizer=meta["quantizer"], calibrate=tgt,
+        k=cal.get("k", 5), carry_appended=True,
+        rows_per_task=rows_per_task)
+    return {"gauge": gauge, "rebuilt": True, "meta": new_meta}
 
 
 def topk_ivf_index(
@@ -969,6 +1115,8 @@ def topk_ivf_index(
     id_col: str | None = None,
     vec_col: str | None = None,
     mode: str | None = None,
+    use_pq: bool | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Query the persisted index: assign each query its ``nprobe``
     nearest cells, then scan ONLY those cells — the probe set is
@@ -1004,7 +1152,19 @@ def topk_ivf_index(
     SHARED_MAX_QUERIES) take the shared path, single queries and
     oversized batches keep the join (a single query has nothing to
     share; an oversized batch would trip the shared broadcast bound,
-    which explicit ``mode="shared"`` still enforces loudly)."""
+    which explicit ``mode="shared"`` still enforces loudly).
+
+    ``use_pq`` / ``rerank`` (r11; VERDICT r10 item 6): an index built
+    with ``pq_m=`` defaults to ADC serving — the candidate pass scans
+    ONLY (id, pq_code, vnorm, list_id), so the embedding bytes of the
+    probed cells are never read (parquet column pruning; at
+    production widths that is ~99% of the probed bytes), approximate
+    cosines come from m table lookups per candidate, and the top
+    ``rerank`` (default max(32, 4k)) survivors per query re-rank
+    EXACTLY against their float embeddings through the same JVM
+    scoring expression as the exact modes. Recall ≥ 0.9 vs the exact
+    path is pinned on clustered and smooth corpora; ``use_pq=False``
+    forces the exact modes on a PQ-built index."""
     meta, data, has_tombs = _snapshot_full(spark, path)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
@@ -1038,6 +1198,16 @@ def topk_ivf_index(
     cells = sorted({c for r in q.select(
         F.explode("probe").alias("c")).distinct().collect()
         for c in [r["c"]] if c is not None})
+    pq = meta.get("pq")
+    if use_pq is None:
+        use_pq = pq is not None  # a PQ-built index defaults to ADC
+    if use_pq:
+        if pq is None:
+            raise ValueError(
+                "topk_ivf_index(use_pq=True): this index stores no PQ "
+                "codes — build with build_ivf_index(pq_m=...)")
+        return _topk_pq(spark, q, data, cells, k, has_tombs, meta,
+                        int(rerank) if rerank else max(32, 4 * k))
     if mode is None or mode == "shared":
         # the shared path is bounded by BYTES, not just query count
         # (r11; VERDICT r10 item 4): at production embedding widths
@@ -1218,6 +1388,147 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
         F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _topk_pq(spark: SparkSession, q: DataFrame, data: DataFrame,
+             cells: list, k: int, has_tombs: bool, meta: dict,
+             rerank: int) -> DataFrame:
+    """ADC + exact-re-rank serve for a PQ-built index (see
+    topk_ivf_index's ``use_pq``). Two passes:
+
+    1. APPROX: the probed-cell scan reads only (cand_id, pq_code,
+       vnorm, list_id) — column pruning never opens the embedding
+       bytes — and a mapInPandas kernel scores each cell chunk against
+       the cell's probing queries via per-query (m × ks) lookup tables
+       (cached per task), keeping the top ``rerank`` per query per
+       chunk under (approx desc, cand_id asc); a window cuts the
+       global top ``rerank`` survivors per query.
+    2. EXACT: survivors (≤ queries × rerank rows — broadcast) join
+       their float embeddings and re-score through the same JVM
+       expression as the exact modes, so the final cosines, ordering
+       and tie-breaks are exactly the join mode's on the surviving
+       candidate set.
+
+    The query batch is broadcast (the serving-path contract, same
+    bound as mode='shared'); zero-norm and tombstoned candidates are
+    unservable as everywhere else."""
+    import numpy as np
+
+    from . import pq as PQ
+
+    pqm = meta["pq"]
+    qrows = q.limit(SHARED_MAX_QUERIES + 1).collect()
+    if len(qrows) > SHARED_MAX_QUERIES:
+        raise ValueError(
+            f"topk_ivf_index(use_pq): query batch exceeds "
+            f"{SHARED_MAX_QUERIES}. Use knn_join for bulk corpus-scale "
+            "top-k.")
+    cc = _cent_by_cell(meta)
+    percell: dict = {}
+    for r in qrows:
+        vec = np.asarray(r["qvec"], dtype=np.float64)
+        qn = float(r["qn"])
+        if qn == 0:
+            continue
+        for cell in r["probe"]:
+            if cell is not None:
+                # dot(q, c_cell): the exact half of the ADC numerator
+                percell.setdefault(cell, []).append(
+                    (r["query_id"], vec, qn, float(vec @ cc[cell])))
+    cellmap = {
+        cell: (np.array([t[0] for t in entries]),
+               np.stack([t[1] for t in entries]),
+               np.array([t[2] for t in entries], dtype=np.float64),
+               np.array([t[3] for t in entries], dtype=np.float64))
+        for cell, entries in percell.items()
+    }
+    cb = np.asarray(pqm["codebooks"], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cellmap, cb))
+
+    cand = (data.filter(F.col("list_id").isin(cells))
+            .select(F.col("vec_id").alias("cand_id"), "pq_code",
+                    "vnorm", "list_id")
+            .filter(F.col("pq_code").isNotNull()
+                    & (F.col("vnorm") != 0)))
+    if has_tombs:
+        cand = cand.join(
+            _tombstone_ids(data).withColumnRenamed("vec_id", "cand_id"),
+            "cand_id", "left_anti")
+
+    def _approx(batches):
+        import pandas as pd
+
+        m_cellmap, m_cb = bc.value
+        lut_cache: dict = {}
+        for pdf in batches:
+            outs = []
+            for cell, grp in pdf.groupby("list_id", sort=False):
+                entry = m_cellmap.get(cell)
+                if entry is None:
+                    continue
+                qids, Q, qns, qdc = entry
+                codes = np.stack([np.frombuffer(b, dtype=np.uint8)
+                                  for b in grp["pq_code"]])
+                vn = grp["vnorm"].to_numpy(dtype=np.float64)
+                ids = grp["cand_id"].to_numpy()
+                for j in range(len(qids)):
+                    qid = qids[j]
+                    luts = lut_cache.get(qid)
+                    if luts is None:
+                        luts = PQ.adc_tables(Q[j], m_cb)
+                        lut_cache[qid] = luts
+                    approx = PQ.adc_score(codes, luts, qdc[j], qns[j],
+                                          vn)
+                    keep = ids != qid
+                    cids, vv = ids[keep], approx[keep]
+                    if not len(cids):
+                        continue
+                    if len(cids) > rerank:
+                        key = np.where(np.isnan(vv), -np.inf, -vv)
+                        try:
+                            sel = np.lexsort((cids, key))[:rerank]
+                        except TypeError:
+                            sel = np.array(sorted(
+                                range(len(cids)),
+                                key=lambda i: (key[i], cids[i]))
+                                [:rerank])
+                        cids, vv = cids[sel], vv[sel]
+                    outs.append(pd.DataFrame(
+                        {"query_id": qid, "cand_id": cids,
+                         "approx": vv}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    qt = q.schema["query_id"].dataType.simpleString()
+    ct = data.schema["vec_id"].dataType.simpleString()
+    approx_pairs = cand.mapInPandas(
+        _approx, f"query_id {qt}, cand_id {ct}, approx double")
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("cand_id"))
+    survivors = (approx_pairs
+                 .withColumn("arank", F.row_number().over(aw))
+                 .filter(F.col("arank") <= rerank)
+                 .select("query_id", "cand_id"))
+
+    from .simsearch import _score_exprs
+
+    _norm, _cos = _score_exprs(int(meta.get("dim") or 0))
+    cemb = (data.filter(F.col("list_id").isin(cells))
+            .select(F.col("vec_id").alias("cand_id"), "embedding",
+                    _norm("embedding").alias("cn"))
+            .filter(F.col("cn") != 0))
+    qv = q.select("query_id", "qvec", "qn")
+    exact = (F.broadcast(survivors).join(cemb, "cand_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "cand_id",
+                     _cos("qvec", "embedding", "qn", "cn")
+                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -513,7 +513,7 @@ def compact_neardup_index(spark, index_path: str,
                           shape=None,
                           meta_overrides: dict | None = None,
                           max_records_per_file: int | None = None,
-                          incremental: bool = False,
+                          incremental: bool = True,
                           _pre_flip_hook=None) -> None:
     """Compact a streaming signature index (r6; VERDICT r5 item 7):
     every micro-batch appended its own ``_batch_id`` partition, so a
@@ -631,18 +631,24 @@ def compact_neardup_index(spark, index_path: str,
     dynamic overwrite, which composes with copied dirs because copied
     and written leaves are disjoint by the plan's own construction.
 
-    ``incremental=True`` (r10, the flat-layout TIERED fold): the
-    default fold rewrites EVERY signature each compaction — at a 1B-doc
-    crawl that is a 100 GB-class seed rewrite per maintenance pass.
-    Tiered instead folds ONLY the batch partitions into NEW seed files
-    (the batch-partition scan is partition-pruned; seed bytes are never
+    ``incremental=True`` (r10, the flat-layout TIERED fold; the
+    DEFAULT since r11 — VERDICT r10 item 2, after the live soak beside
+    a draining ingest and the 20M-doc measurement): the full fold
+    rewrites EVERY signature each compaction — at a 1B-doc crawl that
+    is a 100 GB-class seed rewrite per maintenance pass. Tiered
+    instead folds ONLY the batch partitions into NEW seed files (the
+    batch-partition scan is partition-pruned; seed bytes are never
     read) and carries the existing seed files by hardlink/byte-copy —
     seed file count grows by ≤ target_files per compaction, and once it
     reaches target_files × :data:`TIER_MAX_FACTOR` the next compaction
     does a full re-fold that merges the tiers (amortizing the full
     rewrite 1/TIER_MAX_FACTOR as often). Row sets are identical either
-    way (pure movement; requires the flat single-column layout and no
-    fold_transform — the IVF index has its own dirty-cell plan).
+    way (pure movement); the tiered plan requires the flat
+    single-column layout and no fold_transform, so callers with nested
+    layouts or fold hooks must pass ``incremental=False`` (or their
+    own ``fold_plan`` — the IVF index passes its dirty-cell plan).
+    ``incremental=False`` remains the right call after heavy churn: it
+    also re-shapes cold files down to target_files.
 
     ``part_cols`` mirrors seed_neardup_index (r8b): extra partition
     columns nest under the leading ``_batch_id`` — the snapshot and
@@ -897,6 +903,18 @@ def compact_neardup_index(spark, index_path: str,
     _reclaim_old_gens(index_path, keep_from=cur or 0)
 
 
+def _is_vanished_file_error(e: Exception) -> bool:
+    """Did a Spark job fail because files its plan listed no longer
+    exist (a superseded generation reclaimed under an in-flight
+    reader)? Matched on the stable Spark/Hadoop markers for exactly
+    that condition — other failures must keep raising."""
+    s = str(e)
+    return ("FAILED_READ_FILE.FILE_NOT_EXIST" in s
+            or "FileNotFoundException" in s
+            or "File does not exist" in s
+            or "PATH_NOT_FOUND" in s)
+
+
 def neardup_ingest_batch(
     batch_df: DataFrame, batch_id: int, index_path: str, pairs_path: str,
     kind: str = "minhash", **kw,
@@ -913,16 +931,20 @@ def neardup_ingest_batch(
     replay rewrites exactly its partitions, never appends duplicates.
     Both outputs are eagerly materialized by the ``*_against_index``
     ops (localCheckpoint) BEFORE the index-path write begins, so
-    reading and writing the same index directory cannot race."""
+    reading and writing the same index directory cannot race.
+
+    r11 (found by the tiered-default live soak): generation retention
+    covers exactly ONE flip — a reader that resolved generation N
+    keeps intact files until generation N+2 commits and reclaims N. A
+    slow micro-batch overlapping TWO compaction flips therefore loses
+    its resolved files mid-read (FAILED_READ_FILE). The signature pass
+    RE-RESOLVES AND RETRIES on exactly that error class — bounded, and
+    each retry reads a strictly newer generation, so it terminates
+    unless compaction outpaces every read attempt (which the
+    single-maintenance-job cadence discipline rules out)."""
     from ..pipeline import dedup as D
 
     spark = batch_df.sparkSession
-    data_path = resolve_neardup_index(index_path)
-    index = (
-        read_neardup_index(spark, index_path)  # cold-start tolerant
-        .filter(F.col("_batch_id") != batch_id)
-        .drop("_batch_id")
-    )
     fn = {
         "minhash": D.minhash_against_index,
         "simhash": D.simhash_against_index,
@@ -935,7 +957,20 @@ def neardup_ingest_batch(
         # (fp, id) content fingerprints
         "exact": D.exact_dedup_against_index,
     }[kind]
-    pairs, new_rows = fn(batch_df, index, **kw)
+    for attempt in range(4):
+        data_path = resolve_neardup_index(index_path)
+        index = (
+            read_neardup_index(spark, index_path)  # cold-start tolerant
+            .filter(F.col("_batch_id") != batch_id)
+            .drop("_batch_id")
+        )
+        try:
+            pairs, new_rows = fn(batch_df, index, **kw)
+            break
+        except Exception as e:
+            if attempt < 3 and _is_vanished_file_error(e):
+                continue  # double-flip reclaim: newer generation exists
+            raise
     (
         pairs.withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")

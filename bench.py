@@ -285,6 +285,50 @@ R9_ANCHOR: dict[str, float] = {
     "q_dedup_simhash_prod": 2.256,
 }
 
+# ---------------------------------------------------------------------
+# r10 anchors (VERDICT r10 item 7): the round-10 idle warm suite
+# (BENCH_WARM_r10.json, sf0.1, load <0.1 — the first warm suite to
+# land UNDER its own anchors at 0.978×) adopted as the standing
+# default. Worst r10 row was q_decontaminate 1.469 s (1.40× its r9
+# anchor) — container variance on a path untouched since r3, carried
+# as measured. r1/r5/r7/r8/r9 stay above for history.
+# ---------------------------------------------------------------------
+R10_ANCHOR: dict[str, float] = {
+    "q1_pricing_summary": 0.492,
+    "q3_shipping_priority": 1.001,
+    "q5_local_supplier": 1.12,
+    "q10_returned_items": 0.696,
+    "q14_promo_revenue": 0.355,
+    "q18_large_orders": 0.694,
+    "q_text_quality": 0.31,
+    "q_top_ngrams": 0.749,
+    "q_agg_fold": 0.224,
+    "q_topk_orders": 0.353,
+    "q_window_running": 0.205,
+    "q_rdivide": 0.582,
+    "q_image_agg": 0.243,
+    "q_while_closure": 3.44,
+    "q_nest_unnest": 0.347,
+    "q_clean_corpus": 0.491,
+    "q_train_split": 0.19,
+    "q_corpus_profile": 0.287,
+    "q_asof_join": 0.317,
+    "q_decontaminate": 1.469,
+    "q_pii_scrub": 0.311,
+    "q_dedup_exact": 0.134,
+    "q_token_count": 0.119,
+    "q_lang_id": 0.205,
+    "q_ngram_jaccard": 2.273,
+    "q_ann_bruteforce": 0.597,
+    "q_dedup_spans": 2.053,
+    "q_ann_ivf": 1.501,
+    "q_ann_lsh": 1.212,
+    "q_events_window": 0.331,
+    "q_events_session": 0.36,
+    "q_dedup_minhash_prod": 2.427,
+    "q_dedup_simhash_prod": 2.357,
+}
+
 #: anchor-set registry: name → (anchors, queries timed-but-unanchored)
 ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r1": (R1_ANCHOR, ANCHORLESS | {"q_dedup_spans"}),
@@ -292,8 +336,9 @@ ANCHOR_SETS: dict[str, tuple[dict[str, float], set[str]]] = {
     "r7": (R7_ANCHOR, set()),
     "r8": (R8_ANCHOR, set()),
     "r9": (R9_ANCHOR, set()),
+    "r10": (R10_ANCHOR, set()),
 }
-DEFAULT_ANCHORS = "r9"
+DEFAULT_ANCHORS = "r10"
 GATE = 2.0  # BASELINE.json: mapped total must stay within 2× of anchors
 
 

@@ -145,6 +145,75 @@ class FakeStore:
             self._tick()  # flat key space: nothing to create
 
 
+class HybridLaggedStore(FakeStore):
+    """Object-store semantics for the PROTOCOL's small files, the real
+    filesystem for everything else under the same prefix (r11; VERDICT
+    r10 item 8): fsio-written objects — in-flight markers, pointer
+    files, meta sidecars, clock probes — live in the fake store with
+    its lagged LIST / conditional-PUT / no-rename regime, while
+    Spark's parquet generations land on the real local directory and
+    surface through the merged listing. This routes the FULL index
+    lifecycle (build/seed → ingest → delete → compact → query) through
+    the store semantics its maintenance plane must tolerate, as close
+    as a single box gets to 'index tree on S3'.
+
+    Documented store requirement surfaced by this shim: the MARKER
+    quiesce signal needs LIST-after-PUT visibility within the quiesce
+    poll window (S3 LIST is strongly consistent since 2020-12; the lag
+    knob models older stores/caching proxies). A marker invisible to
+    LIST degrades to the quiesce timeout + post-flip audit path —
+    bounded delay, not lost data — and a DELETED marker still listed
+    merely delays the flip by one timeout."""
+
+    def exists(self, path: str) -> bool:
+        import os
+
+        return super().exists(path) or os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with self.lock:
+            self._tick()
+            if path in self.objects:
+                return self.objects[path][0]
+        import os
+
+        if os.path.isfile(path):
+            with open(path) as f:
+                return f.read()
+        raise FileNotFoundError(path)
+
+    def listdir(self, path: str) -> list[str]:
+        import os
+
+        fake = super().listdir(path)
+        real = os.listdir(path) if os.path.isdir(path) else []
+        return sorted(set(fake) | set(real))
+
+    def delete(self, path: str) -> None:
+        import os
+        import shutil
+
+        super().delete(path)
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path) or os.path.islink(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def stat(self, path: str) -> tuple[float, int]:
+        with self.lock:
+            self._tick()
+            if path in self.objects:
+                text, mt = self.objects[path]
+                return mt, len(text.encode())
+        import os
+
+        st = os.stat(path)  # raises OSError when missing (contract)
+        return st.st_mtime, st.st_size
+
+
 _ROUTED = ["exists", "read_text", "write_text", "write_text_atomic",
            "write_text_create", "listdir", "delete", "stat", "mkdirs"]
 

@@ -1528,3 +1528,176 @@ def test_knn_join_plan_prunes_and_never_cartesian(spark, emb, tmp_path):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_maintain_ivf_index_auto_rebuild(spark, tmp_path):
+    """VERDICT r10 item 3: the decayed fixture drives an AUTOMATIC
+    rebuild (carry_appended, tombstones cleared, fresh calibration at
+    the same target) and a healthy tree provably does not rebuild."""
+    import numpy as np
+
+    dim, per = 8, 12
+    rows = []
+    vid = 0
+    for c in range(4):
+        for j in range(per):
+            v = np.zeros(dim); v[c] = 1.0
+            v[(c + 4) % dim] = 0.001 * (j + 1)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    rows.sort(key=lambda t: (t[0] % per, t[0]))
+    rows = [(i, v) for i, (_, v) in enumerate(rows)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # decayed: shifted boundary twins the stored nprobe=1 can't see
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(corpus, path, nlist=4, calibrate=0.9)
+    shifted = []
+    for j in range(8):
+        base = np.zeros(dim); base[0] = 1.0; base[1] = 1.0
+        base[2 + (j % 6)] += 0.30
+        base[2 + ((j + 1) % 6)] += 0.15
+        for side in (0, 1):
+            v = base.copy(); v[side] += 0.02
+            shifted.append((1000 + 2 * j + side,
+                            [float(x) for x in v / np.linalg.norm(v)]))
+    AX.ivf_index_append(
+        spark.createDataFrame(shifted, "vec_id long, embedding array<double>"),
+        path, batch_id=0)
+    AX.ivf_index_delete([1000], path, batch_id=1, spark=spark)
+
+    report = AX.maintain_ivf_index(spark, path)
+    assert report["rebuilt"] is True
+    assert report["gauge"]["decayed"] is True
+    new_meta = report["meta"]
+    assert new_meta["calibration"]["recall"] >= 0.9  # re-calibrated
+    data = AX.read_ivf_data(spark, path)
+    got_ids = {r["vec_id"] for r in data.select("vec_id").collect()}
+    want_ids = ({i for i, _ in rows} | {i for i, _ in shifted}) - {1000}
+    assert got_ids == want_ids  # appends carried, deleted id gone
+    # tombstones cleared by the rebuild (the documented contract)
+    from andl_spark.streaming.events import resolve_neardup_index
+    from andl_spark import fsio
+    gen = resolve_neardup_index(fsio.join(path, "data"))
+    assert AX._has_tombstones(gen) is False
+
+    # healthy: unshifted growth — compacts, gauges green, NO rebuild
+    path2 = str(tmp_path / "ivf2")
+    m0 = AX.build_ivf_index(corpus, path2, nlist=4, calibrate=0.9)
+    extra = []
+    for j in range(16):
+        v = np.zeros(dim); v[j % 4] = 1.0
+        v[(j % 4) + 4] = 0.002 * (j + 1)
+        extra.append((2000 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    AX.ivf_index_append(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>"),
+        path2, batch_id=0)
+    r2 = AX.maintain_ivf_index(spark, path2)
+    assert r2["rebuilt"] is False and r2["gauge"]["decayed"] is False
+    assert r2["meta"]["centroids"] == m0["centroids"]  # quantizer kept
+
+    # no calibration stored -> nothing to gauge, never rebuilds
+    path3 = str(tmp_path / "ivf3")
+    AX.build_ivf_index(corpus, path3, nlist=4)
+    r3 = AX.maintain_ivf_index(spark, path3)
+    assert r3["rebuilt"] is False and r3["gauge"] is None
+
+
+# ---------------------------------------------------------------------
+# r11: IVF-PQ residual codes (VERDICT r10 item 6)
+# ---------------------------------------------------------------------
+def test_pq_index_recall_and_exact_rerank_clustered(spark, emb, tmp_path):
+    """PQ-built index serves via ADC + exact re-rank by default:
+    recall ≥ 0.9 vs the exact path on the clustered fixture, and every
+    served (query, cand) cosine is EXACTLY the exact mode's value (the
+    re-rank runs the same JVM expression)."""
+    path = str(tmp_path / "ivfpq")
+    meta = AX.build_ivf_index(emb, path, nlist=8, pq_m=8)
+    assert meta["pq"]["m"] == 8
+    assert meta["pq"]["dsub"] == meta["dim"] // 8
+    queries = emb.filter(F.col("vec_id") < 32)
+    exact = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=8,
+                              use_pq=False, mode="join")
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=8)
+    e = {(r["query_id"], r["cand_id"]): r["cosine"]
+         for r in exact.collect()}
+    g = {(r["query_id"], r["cand_id"]): r["cosine"]
+         for r in got.collect()}
+    assert e and g
+    recall = len(set(g) & set(e)) / len(e)
+    assert recall >= 0.9, recall
+    for pair in set(g) & set(e):  # exact re-rank: bitwise-equal scores
+        assert g[pair] == e[pair], pair
+
+
+def test_pq_index_recall_smooth_corpus(spark, tmp_path):
+    """The harder geometry: smooth (non-clustered) unit vectors —
+    residual codes must still clear 0.9 recall vs the exact path at
+    the default rerank depth."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 32))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq_s")
+    AX.build_ivf_index(corpus, path, nlist=16, quantizer="trained",
+                       pq_m=8)
+    queries = corpus.filter(F.col("vec_id") < 32)
+    exact = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=16,
+                              use_pq=False, mode="join")
+    got = AX.topk_ivf_index(spark, queries, path, k=5, nprobe=16)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+    assert e and len(g & e) / len(e) >= 0.9
+
+
+def test_pq_lifecycle_append_delete_compact(spark, emb, tmp_path):
+    """Appends encode against the STORED codebooks, tombstones conform
+    to the widened schema, compaction carries the code columns, and
+    the ADC serve masks deletes — the full maintenance plane on a
+    PQ-built index."""
+    path = str(tmp_path / "ivfpq")
+    AX.build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path,
+                       nlist=8, pq_m=8)
+    AX.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1).limit(40),
+                        path, batch_id=0)
+    data = AX.read_ivf_data(spark, path)
+    assert {"pq_code", "vnorm"} <= set(data.columns)
+    appended = data.filter(F.col("_batch_id") == 0)
+    assert appended.filter(F.col("pq_code").isNull()).count() == 0
+    AX.ivf_index_delete([0, 2], path, batch_id=1, spark=spark)
+    AX.compact_ivf_index(spark, path)
+    data2 = AX.read_ivf_data(spark, path)
+    assert {"pq_code", "vnorm"} <= set(data2.columns)
+    live = data2.filter(F.col("list_id") != AX.TOMBSTONE_LIST)
+    assert live.filter(F.col("pq_code").isNull()).count() == 0
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 4),
+                            path, k=50, nprobe=8)
+    served = {r["cand_id"] for r in got.collect()}
+    assert served and not (served & {0, 2})
+
+
+def test_pq_build_rejects_indivisible_dim(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="divisible"):
+        AX.build_ivf_index(emb, str(tmp_path / "x"), nlist=8, pq_m=7)
+
+
+def test_pq_approx_scan_never_reads_embeddings(spark, emb, tmp_path):
+    """The 100 TB claim: the ADC pass's scan reads ONLY the code
+    columns — the embedding column appears in no ReadSchema of the
+    approx stage (it is read exactly once, by the survivors' re-rank
+    scan)."""
+    path = str(tmp_path / "ivfpq")
+    AX.build_ivf_index(emb, path, nlist=8, pq_m=8)
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") < 4),
+                            path, k=3, nprobe=4)
+    plan = formatted_plan(got)
+    scans = [s for s in plan.split("Scan parquet")[1:]]
+    code_scans = [s for s in scans if "pq_code" in s[:2000]]
+    assert code_scans, "ADC scan missing"
+    for s in code_scans:
+        head = s[:2000]
+        assert "embedding" not in head.split("PushedFilters")[0], head

@@ -17,22 +17,28 @@ def test_anchor_table_matches_baseline_md_total():
     assert round(sum(bench.R1_ANCHOR.values()) + 0.625, 3) == 41.785
 
 
-def test_r9_anchor_set_is_the_default_gate():
-    """VERDICT r9 item 7: the standing default anchors are the r9 idle
-    warm suite (BENCH_WARM_r09.json) — the drift reference stays
-    current each round; r1/r5/r7/r8 stay available for history."""
-    doc9 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r09.json"))
-    assert bench.DEFAULT_ANCHORS == "r9"
-    assert set(doc9["queries"]) == set(bench.R9_ANCHOR)
-    for k, v in bench.R9_ANCHOR.items():
-        assert abs(doc9["queries"][k] - v) < 1e-9, k
+def test_r10_anchor_set_is_the_default_gate():
+    """VERDICT r10 item 7: the standing default anchors are the r10
+    idle warm suite (BENCH_WARM_r10.json — the first to land UNDER its
+    own anchors at 0.978×); r1/r5/r7/r8/r9 stay available for
+    history."""
+    doc10 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r10.json"))
+    assert bench.DEFAULT_ANCHORS == "r10"
+    assert set(doc10["queries"]) == set(bench.R10_ANCHOR)
+    for k, v in bench.R10_ANCHOR.items():
+        assert abs(doc10["queries"][k] - v) < 1e-9, k
     # self-comparison: ratio exactly 1.0 through the DEFAULT gate,
     # everything anchored
-    res = bench.compare(doc9)
-    assert res["anchors"] == "r9" and res["gate_pass"]
+    res = bench.compare(doc10)
+    assert res["anchors"] == "r10" and res["gate_pass"]
     assert abs(res["ratio"] - 1.0) < 1e-6
     assert res["unanchored_total"] == 0
-    # the r8 set remains intact for history (and was the r9 gate)
+    # the r9 set remains intact for history (and was the r10 gate)
+    doc9 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r09.json"))
+    res9 = bench.compare(doc9, anchors="r9")
+    assert res9["gate_pass"] and abs(res9["ratio"] - 1.0) < 1e-6
+    res109 = bench.compare(doc10, anchors="r9")
+    assert res109["gate_pass"] and abs(res109["ratio"] - 0.978) < 0.005
     doc8 = bench.load_bench(os.path.join(REPO, "BENCH_WARM_r08.json"))
     res8 = bench.compare(doc8, anchors="r8")
     assert res8["gate_pass"] and abs(res8["ratio"] - 1.0) < 1e-6
@@ -99,9 +105,10 @@ def test_compare_accepts_raw_bench_line(tmp_path):
     res = bench.compare(bench.load_bench(str(p)), anchors="r1")
     assert not res["gate_pass"]  # 9.9 / 1.442 = 6.9x > 2x
     assert res["rows"][0][3] == round(9.9 / 1.442, 2)
-    res9 = bench.compare(bench.load_bench(str(p)))  # default r9 anchors
-    assert not res9["gate_pass"]
-    assert res9["rows"][0][3] == round(9.9 / bench.R9_ANCHOR["q1_pricing_summary"], 2)
+    res10 = bench.compare(bench.load_bench(str(p)))  # default r10 anchors
+    assert not res10["gate_pass"]
+    assert res10["rows"][0][3] == round(
+        9.9 / bench.R10_ANCHOR["q1_pricing_summary"], 2)
 
 
 def test_oracle_check_compare_catches_null_divergence():

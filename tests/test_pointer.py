@@ -531,3 +531,61 @@ def test_vanished_listed_pointers_raise_not_fresh(monkeypatch):
             del store.objects[k]
     with pytest.raises(RuntimeError, match="vanished"):
         pointer.read(root, "_pointer")
+
+
+# ---------------------------------------------------------------------
+# r11 (VERDICT r10 item 8): the FULL index lifecycle under object-store
+# semantics — protocol files in the fake store (lagged LIST,
+# conditional PUT, no rename), parquet on the real directory
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("lag,cput", [(0, True), (2, True), (0, False)])
+def test_ivf_lifecycle_on_object_store_semantics(spark, tmp_path,
+                                                 monkeypatch, lag, cput):
+    """build → append → delete → compact → query with every fsio
+    primitive routed through HybridLaggedStore: markers, pointers,
+    metas and clock probes live under S3-like semantics (write_text_
+    atomic RAISES — proving the lifecycle is rename-free end-to-end),
+    under LIST lag and under the advisory HEAD-then-PUT regime. The
+    lifecycle must stay green: appended vectors served, deleted ids
+    masked pre- and post-fold, row sets exact."""
+    from fakestore import HybridLaggedStore, install
+    from andl_spark.pipeline import annindex as AX
+    from andl_spark.session import load_tables
+
+    from conftest import SF_SMOKE
+
+    store = HybridLaggedStore(lag_ops=lag, conditional_put=cput)
+    install(monkeypatch, store, str(tmp_path))
+
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    path = str(tmp_path / "ivf")
+    AX.build_ivf_index(emb.limit(300), path, nlist=8)
+    AX.ivf_index_append(
+        emb.filter(F.col("vec_id") >= 300).limit(40).localCheckpoint(),
+        path, batch_id=0)
+    AX.ivf_index_delete([1, 2], path, batch_id=1, spark=spark)
+
+    got = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
+                            path, k=50, nprobe=8)
+    pre = {r["cand_id"] for r in got.collect()}
+    assert pre and not (pre & {1, 2})  # masked before the fold
+
+    AX.compact_ivf_index(spark, path, quiesce_timeout=3.0)
+    data = AX.read_ivf_data(spark, path)
+    live = (data.filter(F.col("list_id") != AX.TOMBSTONE_LIST)
+            .join(AX._tombstone_ids(data), "vec_id", "left_anti"))
+    assert live.count() == 338  # 300 + 40 − 2 deleted
+    got2 = AX.topk_ivf_index(spark, emb.filter(F.col("vec_id") == 0),
+                             path, k=50, nprobe=8)
+    post = {r["cand_id"] for r in got2.collect()}
+    assert post and not (post & {1, 2})
+    # the protocol's files went through the store: pointer versions
+    # committed there, and at least one marker lifecycle ran
+    assert any("_pointer.v" in k for k in store.objects)
+    # second compaction reclaims the old generation through the store's
+    # delete (prefix delete on the flat keyspace + the real tree)
+    AX.compact_ivf_index(spark, path, quiesce_timeout=3.0)
+    import os
+    gens = {n for n in os.listdir(tmp_path / "ivf" / "data")
+            if n.startswith("gen=")}
+    assert len(gens) == 2  # keep-previous discipline held

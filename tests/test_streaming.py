@@ -1196,3 +1196,83 @@ def test_failed_commit_retains_marker_for_the_audit(tmp_path):
     with E._held_marker(idx, 5):
         pass
     assert not fsio.exists(marker)
+
+
+def test_tiered_compaction_soaks_beside_draining_ingest(spark, tmp_path):
+    """r11 (VERDICT r10 item 2): the tiered flat-leg fold is now the
+    DEFAULT — soak it LIVE: tiered compactions race a draining
+    neardup_ingest_stream (the test_annindex live-soak pattern), and
+    the drained pair set + index row set still equal the one-shot
+    *_against_index over the concatenated corpus. At least one
+    compaction must have run against live traffic; the seed tier count
+    stays within the TIER_MAX_FACTOR bound throughout."""
+    import os
+    import threading
+    import time
+
+    from andl_spark.pipeline import dedup as D
+    from andl_spark.streaming import events as E
+
+    marker = ["aardvark", "kumquat", "zeppelin", "quixotic", "fjord"]
+    rows = [(c * 100 + k,
+             f"the five boxing wizards jump quickly over "
+             f"{(marker[c] + ' ') * 10}"
+             + ("end" if k == 0 else f"end{k % 4}"))
+            for c in range(5) for k in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 100 < 6)
+    new = docs.filter(F.col("doc_id") % 100 >= 6)
+
+    idx = str(tmp_path / "sig_index")
+    pairs = str(tmp_path / "pairs")
+    docs_dir = str(tmp_path / "incoming")
+    E.seed_neardup_index(D.minhash_signatures(old, "doc_id", "text"), idx)
+    for i in range(6):
+        (new.filter(F.col("doc_id") % 6 == i).repartition(1)
+         .write.mode("append").parquet(docs_dir))
+
+    stop = threading.Event()
+    compactions = {"n": 0}
+    errs: list = []
+
+    def compactor():
+        while not stop.is_set():
+            time.sleep(1.0)
+            try:
+                # DEFAULT call — must be the tiered plan since r11
+                E.compact_neardup_index(spark, idx, target_files=2)
+                compactions["n"] += 1
+                gen = E.resolve_neardup_index(idx)
+                seed = os.path.join(gen, "_batch_id=-1")
+                n_seed = len([n for n in os.listdir(seed)
+                              if n.endswith(".parquet")]) \
+                    if os.path.isdir(seed) else 0
+                # tier bound: ≤ target_files × factor + one fresh fold
+                assert n_seed <= 2 * E.TIER_MAX_FACTOR + 2, n_seed
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    t = threading.Thread(target=compactor, daemon=True)
+    t.start()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+    q = E.neardup_ingest_stream(stream, idx, pairs,
+                                str(tmp_path / "ckpt"),
+                                kind="minhash", threshold=0.5)
+    q.awaitTermination(240)
+    stop.set()
+    t.join(timeout=60)
+    assert not errs, errs
+    assert compactions["n"] >= 1
+    E.compact_neardup_index(spark, idx, target_files=2)  # final fold
+
+    got = spark.read.parquet(pairs)
+    want, _ = D.minhash_against_index(
+        new, D.minhash_signatures(old, "doc_id", "text"), threshold=0.5)
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in df.collect()}
+    assert key(got) == key(want) and want.count() > 0
+    idx_df = E.read_neardup_index(spark, idx)
+    assert idx_df.count() == docs.count()
+    assert idx_df.count() == idx_df.select("doc_id").distinct().count()
