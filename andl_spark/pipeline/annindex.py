@@ -1363,8 +1363,6 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
             "cand_id", "left_anti")
 
     def _score(batches):
-        import pandas as pd
-
         m = bc.value
         for pdf in batches:
             outs = []
@@ -1377,8 +1375,9 @@ def _topk_shared(spark: SparkSession, q: DataFrame, data: DataFrame,
                               for v in grp["embedding"]])
                 ids = grp["cand_id"].to_numpy()
                 _score_block_np(qids, Q, qn, ids, C, k, outs)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            res = _block_finalize(outs)
+            if res is not None:
+                yield res
 
     qt = q.schema["query_id"].dataType.simpleString()
     ct = data.schema["vec_id"].dataType.simpleString()
@@ -1458,8 +1457,6 @@ def _topk_pq(spark: SparkSession, q: DataFrame, data: DataFrame,
             "cand_id", "left_anti")
 
     def _approx(batches):
-        import pandas as pd
-
         m_cellmap, m_cb = bc.value
         lut_cache: dict = {}
         for pdf in batches:
@@ -1483,23 +1480,11 @@ def _topk_pq(spark: SparkSession, q: DataFrame, data: DataFrame,
                                           vn)
                     keep = ids != qid
                     cids, vv = ids[keep], approx[keep]
-                    if not len(cids):
-                        continue
-                    if len(cids) > rerank:
-                        key = np.where(np.isnan(vv), -np.inf, -vv)
-                        try:
-                            sel = np.lexsort((cids, key))[:rerank]
-                        except TypeError:
-                            sel = np.array(sorted(
-                                range(len(cids)),
-                                key=lambda i: (key[i], cids[i]))
-                                [:rerank])
-                        cids, vv = cids[sel], vv[sel]
-                    outs.append(pd.DataFrame(
-                        {"query_id": qid, "cand_id": cids,
-                         "approx": vv}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    if len(cids):
+                        _block_topk(qid, cids, vv, rerank, outs)
+            res = _block_finalize(outs, value_name="approx")
+            if res is not None:
+                yield res
 
     qt = q.schema["query_id"].dataType.simpleString()
     ct = data.schema["vec_id"].dataType.simpleString()
@@ -1533,20 +1518,64 @@ def _topk_pq(spark: SparkSession, q: DataFrame, data: DataFrame,
     )
 
 
-def _score_block_np(qids, Q, qn, ids, C, k, outs) -> None:
-    """Score one query block × one candidate block and append each
-    query's block-local top-k to ``outs`` (pandas frames of query_id,
-    cand_id, cosine). The dot and norm accumulate PER COORDINATE IN
-    ELEMENT ORDER — the same left-associated IEEE float64 fold as the
-    JVM scoring expression — so cosines are BITWISE IDENTICAL to the
-    join mode's (pinned in tests). Top-k cuts under the final
-    (cosine desc, cand_id asc) total order, so a global top-k row is
-    necessarily in its own block's top-k; self-matches and zero-norm
-    candidates are dropped (the join mode's scan-side contract).
-    Shared by the cell-shared batch serve (_topk_shared) and the bulk
-    kNN join (knn_join)."""
+def _block_topk(qid, cc, vv, k, outs) -> None:
+    """Cut one query's candidate arrays to top-k under
+    (value desc, cand_id asc) and append the (qid, ids, values) TUPLE
+    to ``outs`` — NO per-query pandas frame: a corpus-as-queries block
+    holds hundreds of queries, and building a DataFrame per query was
+    the measured dominant kernel cost (200k frame constructions at the
+    100k-row profile). ``_block_finalize`` turns the accumulated
+    tuples into one frame per Arrow output batch."""
+    import numpy as np
+
+    if len(cc) > k:
+        # Spark's desc window ranks NaN GREATEST (a zero-norm
+        # vector's 0/0 cosine); numpy sorts NaN last — map NaN to
+        # -inf on the negated key so all paths keep identical rows
+        # (review r10)
+        key = np.where(np.isnan(vv), -np.inf, -vv)
+        try:
+            sel = np.lexsort((cc, key))[:k]
+        except TypeError:  # non-numeric ids (object dtype):
+            # same total order via python sort
+            sel = np.array(sorted(
+                range(len(cc)), key=lambda i: (key[i], cc[i]))[:k])
+        cc, vv = cc[sel], vv[sel]
+    outs.append((qid, cc, vv))
+
+
+def _block_finalize(outs, value_name: str = "cosine"):
+    """One pandas frame from the accumulated (qid, ids, values)
+    tuples (see _block_topk), or None when nothing survived."""
     import numpy as np
     import pandas as pd
+
+    if not outs:
+        return None
+    counts = [len(cc) for _, cc, _ in outs]
+    qarr = np.empty(len(outs), dtype=object)
+    for i, (qid, _, _) in enumerate(outs):
+        qarr[i] = qid
+    return pd.DataFrame({
+        "query_id": np.repeat(qarr, counts),
+        "cand_id": np.concatenate([cc for _, cc, _ in outs]),
+        value_name: np.concatenate([vv for _, _, vv in outs]),
+    })
+
+
+def _score_block_np(qids, Q, qn, ids, C, k, outs) -> None:
+    """Score one query block × one candidate block and append each
+    query's block-local top-k to ``outs`` as (qid, ids, cosines)
+    tuples (see _block_topk/_block_finalize). The dot and norm
+    accumulate PER COORDINATE IN ELEMENT ORDER — the same
+    left-associated IEEE float64 fold as the JVM scoring expression —
+    so cosines are BITWISE IDENTICAL to the join mode's (pinned in
+    tests). Top-k cuts under the final (cosine desc, cand_id asc)
+    total order, so a global top-k row is necessarily in its own
+    block's top-k; self-matches and zero-norm candidates are dropped
+    (the join mode's scan-side contract). Shared by the cell-shared
+    batch serve (_topk_shared) and the bulk kNN join (knn_join)."""
+    import numpy as np
 
     d = C.shape[1]
     S = np.multiply.outer(C[:, 0], Q[:, 0])
@@ -1564,24 +1593,8 @@ def _score_block_np(qids, Q, qn, ids, C, k, outs) -> None:
     for j in range(len(qids)):
         keep = ids != qids[j]
         cc, vv = ids[keep], cos[keep, j]
-        if not len(cc):
-            continue
-        if len(cc) > k:  # top-k under (cos desc, id asc).
-            # Spark's desc window ranks NaN GREATEST (a zero-norm
-            # vector's 0/0 cosine); numpy sorts NaN last — map NaN
-            # to -inf on the negated key so both modes keep
-            # identical rows (review r10)
-            key = np.where(np.isnan(vv), -np.inf, -vv)
-            try:
-                sel = np.lexsort((cc, key))[:k]
-            except TypeError:  # non-numeric ids (object dtype):
-                # same total order via python sort
-                sel = np.array(sorted(
-                    range(len(cc)),
-                    key=lambda i: (key[i], cc[i]))[:k])
-            cc, vv = cc[sel], vv[sel]
-        outs.append(pd.DataFrame(
-            {"query_id": qids[j], "cand_id": cc, "cosine": vv}))
+        if len(cc):
+            _block_topk(qids[j], cc, vv, k, outs)
 
 
 #: target VECTOR BYTES per cogrouped score block in knn_join: each
@@ -1589,6 +1602,15 @@ def _score_block_np(qids, Q, qn, ids, C, k, outs) -> None:
 #: so both sides salt to ~this many bytes — group memory stays
 #: ~2×this regardless of corpus size, dim, or probe skew
 KNN_GROUP_BYTES = 64 << 20
+
+#: row cap PER SIDE of one score block: the kernel's cost and memory
+#: are the nq×nc PRODUCT, which the byte bound alone does not cap — a
+#: hot cell (measured: 31× the mean on the analytic fixture) would put
+#: a multi-GB cosine matrix in ONE single-threaded block. 4096×4096
+#: doubles = 134 MB matrix, ~1 Gflop per block — big enough to
+#: amortize block overhead, small enough that hot cells spread across
+#: the salt grid's parallelism.
+KNN_BLOCK_ROWS = 4096
 
 
 def knn_join(
@@ -1699,9 +1721,13 @@ def knn_join(
             cand.groupBy("list_id").count().collect()}
 
     vec_bytes = max(dim, 1) * 8 + 24
+    # rows per block side: the BYTE bound (side vectors fit in the
+    # task) AND the ROW cap (the nq×nc score matrix is the real cost —
+    # see KNN_BLOCK_ROWS)
+    block_rows = max(1, min(group_bytes // vec_bytes, KNN_BLOCK_ROWS))
 
     def width(n: int) -> int:
-        return max(1, -(-n * vec_bytes // max(group_bytes, vec_bytes)))
+        return max(1, -(-n // block_rows))
 
     wdf = F.broadcast(spark.createDataFrame(
         [(c, width(qcnt[c]), width(ccnt.get(c, 0))) for c in cells],
@@ -1739,10 +1765,11 @@ def knn_join(
         ids = right["cand_id"].to_numpy()
         outs: list = []
         _score_block_np(qids, Q, qn, ids, C, k, outs)
-        if not outs:
+        res = _block_finalize(outs)
+        if res is None:
             return pd.DataFrame({"query_id": [], "cand_id": [],
                                  "cosine": []})
-        return pd.concat(outs, ignore_index=True)
+        return res
 
     pairs = (qg.groupBy("list_id", "qsalt", "csalt")
              .cogroup(cg.groupBy("list_id", "qsalt", "csalt"))
