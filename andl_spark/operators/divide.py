@@ -33,7 +33,13 @@ def rdivide(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
     if not x:
         raise ValueError("dividend must have attributes beyond the divisor heading")
     div = divisor.select(*y).dropDuplicates()
-    total = div.count()  # scalar; divisor is small by contract
+    # The divisor cardinality rides a broadcast cross join instead of a
+    # driver-side count() (r11): one fewer job per call, and the plan
+    # stays fully lazy — composable without a hidden action. The
+    # divisor is small by contract, so the 1-row total broadcast is
+    # free; rows are identical (empty divisor → empty inner join →
+    # empty result either way).
+    total = div.agg(F.count(F.lit(1)).alias("__total"))
     # Broadcast-filter FIRST (kills non-divisor rows at the scan), then
     # one shuffle on x does dedup + count together: countDistinct gets
     # map-side partial aggregation, vs. a full dropDuplicates shuffle
@@ -43,7 +49,8 @@ def rdivide(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
     return (
         matched.groupBy(*x)
         .agg(F.countDistinct(*y).alias("__n"))
-        .filter(F.col("__n") == F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__n") == F.col("__total"))
         .select(*x)
     )
 

@@ -436,12 +436,17 @@ def minhash_lsh_dedup(
     None = exact-unless-the-guard-trips, 0 = exact at any cost,
     auto_bound overrides the guard's threshold)."""
     # Persist + materialize signatures: they feed candidate generation
-    # AND both sides of the scoring join. Eager count() matters — the
-    # self-join's two scan stages run concurrently, and with a lazy
-    # persist they race and each runs the Pandas UDF over the full
-    # corpus before the cache lands.
+    # AND both sides of the scoring join. Eager materialization matters
+    # — the self-join's two scan stages run concurrently, and with a
+    # lazy persist they race and each runs the signature pipeline over
+    # the full corpus before the cache lands. When the fan-out guard
+    # will run (anchor_degree=None), its single pre-join aggregate IS
+    # the materializing action — a separate count() here would be one
+    # redundant full pass over the cached signatures per call (r11,
+    # guide §1.2); only the guard-less paths still need the count.
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, hash_fn=hash_fn).persist()
-    sigs.count()
+    if anchor_degree is not None:
+        sigs.count()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands,
                                 anchor_degree=anchor_degree,
                                 auto_bound=auto_bound)
@@ -650,11 +655,15 @@ def simhash_near_pairs(
     # run concurrently and would each recompute the signature pipeline
     # (chunk explode from cache is cheap — cache pre-explode, 1 row
     # instead of 10 per doc). Respect a caller-owned cache (skip the
-    # double persist+count when the input is already cached).
+    # double persist+count when the input is already cached). When the
+    # fan-out guard will run, its pre-join aggregate doubles as the
+    # materializing action (one fewer full pass per call, r11 — see
+    # minhash_lsh_dedup).
     caller_cached = signatures.is_cached
     if not caller_cached:
         signatures = signatures.persist()
-        signatures.count()
+        if anchor_degree is not None:
+            signatures.count()
     e = signatures.select(id_col, "sh_lo", "sh_hi", F.explode(chunks).alias("c")).select(
         id_col, "sh_lo", "sh_hi", "c.chunk", "c.val"
     )

@@ -43,6 +43,18 @@ def word_count(col: Column, word: str) -> Column:
     return F.regexp_count(F.lower(col), F.lit(rf"\b{word}\b"))
 
 
+def word_set_count(col: Column, words: list[str]) -> Column:
+    """Total occurrences of ANY of the whole words, in ONE regexp pass
+    (r11). Equals sum(word_count(col, w) for w in words) exactly: each
+    \\b-bounded token can match at most one alternative (a whole word
+    equals at most one of the list), matches never overlap, and Java
+    regex backtracks within the alternation, so alternative order can't
+    drop a match. One pass over the text instead of len(words) — at
+    corpus scale this is the scan cost of lang_id/quality_score."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
 def lang_id(text: Column | str, langs: dict[str, list[str]] | None = None) -> Column:
     """Heuristic language ID: argmax of stopword hit counts, 'und' when
     no stopword fires. Deterministic tie-break by language code order.
@@ -52,9 +64,11 @@ def lang_id(text: Column | str, langs: dict[str, list[str]] | None = None) -> Co
     """
     c = F.col(text) if isinstance(text, str) else text
     langs = langs or LANG_STOPWORDS
+    # one alternation regexp per language (word_set_count) instead of
+    # one per stopword: 5x fewer passes over the text, identical counts
     scored = [
         F.struct(
-            sum(word_count(c, w) for w in words).alias("score"),
+            word_set_count(c, words).alias("score"),
             F.lit(code).alias("code"),
         )
         for code, words in sorted(langs.items())
@@ -78,7 +92,7 @@ def quality_score(text: Column | str) -> Column:
     punct_ratio = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / n
     words = F.greatest(F.size(F.split(F.trim(c), r"\s+")), F.lit(1)).cast("double")
     mean_word_len = n / words
-    stop_hits = sum(word_count(c, w) for w in LANG_STOPWORDS["en"]).cast("double")
+    stop_hits = word_set_count(c, LANG_STOPWORDS["en"]).cast("double")
     stop_ratio = F.least(stop_hits / words * 10.0, F.lit(1.0))
     len_band = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0).otherwise(0.5)
     return (

@@ -40,11 +40,21 @@ def get_spark(app_name: str = "andl_spark", shuffle_partitions: int | None = Non
     """
     master = os.environ.get("SPARK_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     parts = shuffle_partitions or int(os.environ.get("ANDL_SHUFFLE_PARTITIONS", "32"))
+    # AQE coalescing keeps its parallelismFirst default DELIBERATELY
+    # (r11): the guide's "fewer, larger reduce partitions" (§2.2)
+    # targets byte-bound shuffles; this suite's reduce stages are
+    # CPU-bound with tiny byte sizes (pair joins, regex aggregation),
+    # and an in-session A/B measured parallelismFirst=false 22% SLOWER
+    # on q_ngram_jaccard (3.33→4.07 s) because size-based coalescing
+    # serialized a CPU-heavy stage to one task. The advisory partition
+    # size stays env-tunable for byte-bound cluster workloads.
+    advisory = os.environ.get("ANDL_ADVISORY_PARTITION_BYTES", "64m")
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -631,14 +631,23 @@ def q_while_closure(spark, sf_dir):
     """Andl .while() transitive closure (recursive.andl:36-38) —
     semi-naive fixpoint over a doubling-chain edge set."""
     cust = _t(spark, sf_dir)["customer"]
-    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    # max(c_custkey) rides a broadcast cross join instead of a driver
+    # collect (r11): one fewer job inside the timed region, same rows.
+    mx = cust.agg(F.max("c_custkey").alias("__mx"))
     edges = (
         cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
-        .filter(F.col("dst") <= max_key)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("dst") <= F.col("__mx"))
+        .select("src", "dst")
         .persist()  # reused every iteration of the fixpoint
     )
     seed = cust.filter(F.col("c_custkey").isin(3, 5)).select(F.col("c_custkey").alias("node"))
-    step = lambda fr: fr.join(edges, fr["node"] == edges["src"]).select(F.col("dst").alias("node"))
+    # The frontier is explicitly broadcast: in a doubling-chain graph
+    # (out-degree 1) the frontier never exceeds the seed count, while a
+    # checkpointed delta has no size statistics — without the hint the
+    # planner sort-merge-joins 2 rows against the edge table every
+    # round (measured ~4.0s -> ~3.3s over 13 rounds at sf0.1).
+    step = lambda fr: F.broadcast(fr).join(edges, fr["node"] == edges["src"]).select(F.col("dst").alias("node"))
     return W.fixpoint(seed, step)
 
 
@@ -654,10 +663,14 @@ def q_while_paths(spark, sf_dir):
     """Andl .while() with level tracking (org-chart flattening,
     recursive.andl:23-27)."""
     cust = _t(spark, sf_dir)["customer"]
-    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    # same r11 shape as q_while_closure: broadcast max + broadcast
+    # frontier (doubling-chain frontier is seed-bounded)
+    mx = cust.agg(F.max("c_custkey").alias("__mx"))
     edges = (
         cust.select(F.col("c_custkey").alias("src"), (F.col("c_custkey") * 2).alias("dst"))
-        .filter(F.col("dst") <= max_key)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("dst") <= F.col("__mx"))
+        .select("src", "dst")
         .persist()  # reused every iteration of the fixpoint
     )
     seed = (
@@ -666,7 +679,7 @@ def q_while_paths(spark, sf_dir):
     )
 
     def step(fr: DataFrame) -> DataFrame:
-        return fr.join(edges, fr["node"] == edges["src"]).select(
+        return F.broadcast(fr).join(edges, fr["node"] == edges["src"]).select(
             F.col("dst").alias("node"), (F.col("level") + 1).alias("level")
         )
 
