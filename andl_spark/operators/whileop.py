@@ -63,15 +63,26 @@ def _anti_new_only(produced: DataFrame, total: DataFrame, cols: list[str]) -> Da
     anti form dedups only the produced side and streams total's keys —
     measured 3.9s -> 3.3s over the 13-round closure at sf0.1).
     ``eqNullSafe`` keeps subtract's NULL semantics exactly: a produced
-    tuple with NULLs is dropped when total holds the same tuple."""
+    tuple with NULLs is dropped when total holds the same tuple.
+
+    The probe side is renamed to fresh names before the join: when
+    ``step`` passes frontier columns through unchanged, every delta
+    inherits the seed's attribute IDs, so both join inputs carry the
+    SAME expression IDs and Spark's self-join disambiguation can bind
+    both sides of the condition to one attribute — silently turning the
+    anti-join into drop-everything (premature convergence). Unique
+    names on the probe side make resolution unambiguous by name."""
     import functools
     import operator
 
-    p = produced.dropDuplicates().alias("__p")
-    t = total.alias("__t")
+    from pyspark.sql import functions as F
+
+    p = produced.dropDuplicates()
+    probe_names = [f"__fix_seen_{i}" for i in range(len(cols))]
+    t = total.select(*[F.col(c).alias(n) for c, n in zip(cols, probe_names)])
     cond = functools.reduce(
         operator.and_,
-        [p[c].eqNullSafe(t[c]) for c in cols],
+        [p[c].eqNullSafe(F.col(n)) for c, n in zip(cols, probe_names)],
     )
     return p.join(t, on=cond, how="leftanti")
 

@@ -67,6 +67,48 @@ def test_while_squares(spark):
     assert sorted(r[0] for r in out.collect()) == [2**i for i in range(10)]
 
 
+def test_while_null_tuples_terminate(spark):
+    """r11 pin for the anti-join delta (_anti_new_only): the fixpoint's
+    new-tuple test must treat NULL = NULL like subtract (EXCEPT
+    DISTINCT) does, or a step that keeps emitting a NULL-bearing tuple
+    never converges. The step re-emits every tuple it is given
+    (including one with a NULL column) plus a bounded generator — the
+    loop terminates only if NULL-bearing tuples are recognized as
+    already-seen."""
+    seed = spark.createDataFrame([(0, None), (0, 5)], "a long, b long")
+
+    def step(fr):
+        return fr.unionByName(
+            fr.select((F.col("a") + 1).alias("a"), "b").filter(F.col("a") < 3)
+        )
+
+    out = fixpoint(seed, step, max_iterations=10)
+    rows = {(r["a"], r["b"]) for r in out.collect()}
+    # the filter resolves against the renamed column, so it bounds
+    # a+1 < 3: generated rows stop at a=2 (matches subtract semantics)
+    assert rows == {(0, None), (1, None), (2, None),
+                    (0, 5), (1, 5), (2, 5)}
+
+
+def test_while_delta_lineage_truncated(spark):
+    """r11 pin for the lazy-checkpoint loop: the result of a fixpoint
+    must be backed by materialized (checkpointed) deltas — a flat
+    union whose plan holds no recursive step lineage — so deep
+    recursions cannot blow the analyzer or recompute earlier rounds.
+    'Scan ExistingRDD' nodes and the absence of any Join in the final
+    plan prove every delta was cut at its checkpoint."""
+    seed = spark.createDataFrame([(1,)], "x long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "src long, dst long")
+    out = fixpoint(
+        seed,
+        lambda fr: fr.join(edges, fr["x"] == edges["src"]).select(
+            F.col("dst").alias("x")),
+    )
+    assert sorted(r[0] for r in out.collect()) == list(range(1, 10))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # step lineage truncated at each delta
+
+
 def test_nest_unnest_roundtrip(spdb):
     SP = spdb["SP"]
     nested = nest(SP, ["S#"], rva="items")
