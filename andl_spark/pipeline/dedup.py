@@ -703,8 +703,13 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming is determined by the pair, so filtering BEFORE the
+        # dedup exchange is result-identical and ships only true
+        # near-pairs into the shuffle — on smooth corpora most chunk
+        # collisions are distant pairs, pure dropped bytes (guide §2.3;
+        # r11 — the embedding op already scored map-side first).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Materialize the (small) pair result, then release the signature
     # cache — each invocation used to leak a cached RDD (ADVICE r2).
@@ -1253,8 +1258,11 @@ def simhash_against_index(
             F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter-before-dedup: same reorder as simhash_near_pairs (r11)
+        # — hamming is pair-determined, so this is result-identical and
+        # the dedup exchange carries only true near-pairs.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)
     )
     return pairs, new_sigs
