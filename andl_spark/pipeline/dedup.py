@@ -1630,12 +1630,59 @@ def dedup_spans(
     spans = _span_table(base, window, hash_fn)
     if eager:
         spans = spans.persist()
-    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
-    marked = (
-        spans.join(first, "key")
-        .filter((F.col("id") != F.col("f.id")) | (F.col("start") != F.col("f.start")))
-        .select("id", "start")
-    )
+    # Only keys occurring >= 2 times can mark anything (a unique span
+    # equals its own min and survived the filter anyway), so the first
+    # table is trimmed to dup keys before the join — on mostly-unique
+    # corpora the join leg shrinks from |distinct keys| to |dup keys|,
+    # and AQE can broadcast it when the dup set is small (r11,
+    # guide §3.2). Result-identical by the argument above.
+    #
+    # First-occurrence aggregate: min(struct(id, start)) is NOT
+    # hash-aggregable (struct buffers are immutable in UnsafeRow), so
+    # Spark plans a SortAggregate — TWO full sorts of the corpus-sized
+    # span table, partial and final. For integral ids the lexicographic
+    # (id, start) order is encoded losslessly into one decimal(33,0)
+    # ((id + 2^63) * 2^32 + start — start is a token position, always
+    # in [0, 2^31)), whose min() IS hash-aggregable: the sorts vanish
+    # from the plan (r11; guide §5 "hash aggregate vs sort aggregate";
+    # plans/r11/dedup_spans_internal_*.txt). Non-integral ids keep the
+    # struct path. Identity pinned for both key modes in tests.
+    id_t = dict(spans.dtypes).get("id", "")
+    if id_t in ("tinyint", "smallint", "int", "bigint"):
+        off = F.lit(2 ** 62).cast("decimal(19,0)")
+        enc = ((F.col("id").cast("decimal(20,0)") + off + off)
+               * F.lit(2 ** 32).cast("decimal(10,0)")
+               + F.col("start").cast("decimal(10,0)"))
+        # derived frame under a NEW name: `spans` stays bound to the
+        # persisted plan so the eager unpersist below releases the
+        # actual cache entry (the ADVICE r2 leak class)
+        spans_enc = spans.withColumn("__enc", enc)
+        first = (
+            spans_enc.groupBy("key")
+            .agg(F.min("__enc").alias("__fenc"),
+                 F.count(F.lit(1)).alias("__kn"))
+            .filter(F.col("__kn") >= 2)
+            .drop("__kn")
+        )
+        marked = (
+            spans_enc.join(first, "key")
+            .filter(F.col("__enc") != F.col("__fenc"))
+            .select("id", "start")
+        )
+    else:
+        first = (
+            spans.groupBy("key")
+            .agg(F.min(F.struct("id", "start")).alias("f"),
+                 F.count(F.lit(1)).alias("__kn"))
+            .filter(F.col("__kn") >= 2)
+            .drop("__kn")
+        )
+        marked = (
+            spans.join(first, "key")
+            .filter((F.col("id") != F.col("f.id"))
+                    | (F.col("start") != F.col("f.start")))
+            .select("id", "start")
+        )
     out = _span_rebuild(base, marked, window, slice_tokens)
     if eager:
         out = out.localCheckpoint(eager=True)
@@ -1862,10 +1909,20 @@ def dedup_spans_against_index(
     spans = _span_table(base, window, hash_fn)
     if eager:
         spans = spans.persist()
-    first = spans.groupBy("key").agg(F.min(F.struct("id", "start")).alias("f"))
+    first_all = spans.groupBy("key").agg(
+        F.min(F.struct("id", "start")).alias("f"),
+        F.count(F.lit(1)).alias("__kn"),
+    )
+    first = first_all.drop("__kn")
+    # Trim the marked-join's first-leg to dup keys (the dedup_spans
+    # r11 reorder): a unique-key span can only be marked via __known,
+    # and with a LEFT join its NULL f makes the (id != f.id) disjunct
+    # NULL — filter semantics keep it exactly when __known fires, as
+    # before. new_index below still reads the UNFILTERED firsts.
+    first_dup = first_all.filter(F.col("__kn") >= 2).drop("__kn")
     known = index.select("key").withColumn("__known", F.lit(1))
     marked = (
-        spans.join(first, "key")
+        spans.join(first_dup, "key", "left")
         .join(known.hint("shuffle_hash"), "key", "left")
         .filter(
             F.col("__known").isNotNull()

@@ -239,3 +239,38 @@ def test_pack_greedy_string_ids_and_oversized_bins(spark):
     for docs in by_seq.values():
         assert sum({"big": 500, "tiny": 0, "a": 40, "b": 50}[x]
                    for x in docs) <= 100 or docs == ["big"]
+
+
+def test_pack_greedy_matches_linear_first_fit(spark):
+    """The r11 segment-tree first-fit must assign bit-identically to
+    the reference O(bins)-per-doc linear scan it replaced (leftmost
+    open bin with cap >= max(t, 1); an oversized bin stays closed)."""
+    import random
+
+    def linear_first_fit(toks, budget):
+        bins, assign = [], []
+        for t in toks:
+            t = int(t)
+            for i, cap in enumerate(bins):
+                if t <= cap and cap > 0:
+                    bins[i] = cap - t
+                    assign.append(i)
+                    break
+            else:
+                bins.append(budget - t)
+                assign.append(len(bins) - 1)
+        return assign
+
+    rng = random.Random(11)
+    budget = 64
+    rows = [(i, rng.choice([0, 0, rng.randint(1, budget * 2)]))
+            for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {r["doc_id"]: r["seq_id"]
+           for r in pack_greedy(d, "doc_id", "toks", budget,
+                                n_groups=1).collect()}
+    # FFD order inside the single group: (toks desc, id asc)
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want_assign = linear_first_fit([t for _, t in order], budget)
+    want = {doc: a for (doc, _), a in zip(order, want_assign)}
+    assert got == want

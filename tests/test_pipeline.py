@@ -1519,3 +1519,26 @@ def test_lsh_multiprobe3_matches_sql_oracle(spark, duck):
     )).fetchall()))
     assert len(grows) == len(orows) > 0
     assert grows == orows
+
+
+def test_dedup_spans_string_ids_match_encoded_path(spark):
+    """dedup_spans' r11 decimal-encoded first-occurrence aggregate
+    (integral ids, hash-aggregable) and the struct-min fallback
+    (non-integral ids) must pick identical first occurrences: the same
+    corpus under zero-padded string ids (string order == numeric
+    order) must produce the same clean texts."""
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(i, i + 30)))
+            for i in range(40)]
+    # plant exact repeats so spans actually dedup across docs
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    d_long = spark.createDataFrame(rows, "doc_id long, text string")
+    d_str = d_long.select(
+        F.format_string("%06d", F.col("doc_id")).alias("doc_id"), "text")
+    got_long = {r["id"]: (r["clean_text"], r["n_removed"])
+                for r in D.dedup_spans(d_long, "doc_id", "text",
+                                       window=10).collect()}
+    got_str = {int(r["id"]): (r["clean_text"], r["n_removed"])
+               for r in D.dedup_spans(d_str, "doc_id", "text",
+                                      window=10).collect()}
+    assert got_long == got_str
+    assert any(v[1] > 0 for v in got_long.values())  # dedup happened
