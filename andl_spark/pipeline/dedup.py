@@ -1635,54 +1635,18 @@ def dedup_spans(
     # table is trimmed to dup keys before the join — on mostly-unique
     # corpora the join leg shrinks from |distinct keys| to |dup keys|,
     # and AQE can broadcast it when the dup set is small (r11,
-    # guide §3.2). Result-identical by the argument above.
-    #
-    # First-occurrence aggregate: min(struct(id, start)) is NOT
-    # hash-aggregable (struct buffers are immutable in UnsafeRow), so
-    # Spark plans a SortAggregate — TWO full sorts of the corpus-sized
-    # span table, partial and final. For integral ids the lexicographic
-    # (id, start) order is encoded losslessly into one decimal(33,0)
-    # ((id + 2^63) * 2^32 + start — start is a token position, always
-    # in [0, 2^31)), whose min() IS hash-aggregable: the sorts vanish
-    # from the plan (r11; guide §5 "hash aggregate vs sort aggregate";
-    # plans/r11/dedup_spans_internal_*.txt). Non-integral ids keep the
-    # struct path. Identity pinned for both key modes in tests.
-    id_t = dict(spans.dtypes).get("id", "")
-    if id_t in ("tinyint", "smallint", "int", "bigint"):
-        off = F.lit(2 ** 62).cast("decimal(19,0)")
-        enc = ((F.col("id").cast("decimal(20,0)") + off + off)
-               * F.lit(2 ** 32).cast("decimal(10,0)")
-               + F.col("start").cast("decimal(10,0)"))
-        # derived frame under a NEW name: `spans` stays bound to the
-        # persisted plan so the eager unpersist below releases the
-        # actual cache entry (the ADVICE r2 leak class)
-        spans_enc = spans.withColumn("__enc", enc)
-        first = (
-            spans_enc.groupBy("key")
-            .agg(F.min("__enc").alias("__fenc"),
-                 F.count(F.lit(1)).alias("__kn"))
-            .filter(F.col("__kn") >= 2)
-            .drop("__kn")
-        )
-        marked = (
-            spans_enc.join(first, "key")
-            .filter(F.col("__enc") != F.col("__fenc"))
-            .select("id", "start")
-        )
-    else:
-        first = (
-            spans.groupBy("key")
-            .agg(F.min(F.struct("id", "start")).alias("f"),
-                 F.count(F.lit(1)).alias("__kn"))
-            .filter(F.col("__kn") >= 2)
-            .drop("__kn")
-        )
-        marked = (
-            spans.join(first, "key")
-            .filter((F.col("id") != F.col("f.id"))
-                    | (F.col("start") != F.col("f.start")))
-            .select("id", "start")
-        )
+    # guide §3.2). Result-identical by the argument above. The
+    # aggregate itself is the hash-aggregable encoded-min form for
+    # integral ids (see _span_first). spans_j is a derived frame:
+    # `spans` stays bound to the persisted plan so the eager unpersist
+    # below releases the actual cache entry (the ADVICE r2 leak class).
+    spans_j, first_all, notfirst, _ = _span_first(spans)
+    first_dup = first_all.filter(F.col("__kn") >= 2).drop("__kn")
+    marked = (
+        spans_j.join(first_dup, "key")
+        .filter(notfirst)
+        .select("id", "start")
+    )
     out = _span_rebuild(base, marked, window, slice_tokens)
     if eager:
         out = out.localCheckpoint(eager=True)
@@ -1734,6 +1698,60 @@ def _span_table(base: DataFrame, window: int, hash_fn: str | None) -> DataFrame:
         )
         .select("id", "s.start", "s.key")
     )
+
+
+def _span_first(spans: DataFrame):
+    """First-occurrence machinery shared by :func:`dedup_spans` and
+    :func:`dedup_spans_against_index`: returns ``(spans_j, first_all,
+    notfirst, first_cols)`` where ``first_all`` is the per-key
+    aggregate carrying the lexicographic (id, start) minimum plus a
+    ``__kn`` occurrence count, ``notfirst`` is the Column (over
+    ``spans_j`` joined to the aggregate on key) deciding "this span is
+    NOT its key's first occurrence" (NULL when the first-leg is absent
+    in a left join — callers rely on SQL three-valued filtering), and
+    ``first_cols`` projects ``(key, id, start)`` back out of the
+    aggregate for index appends.
+
+    min(struct(id, start)) is NOT hash-aggregable (struct buffers are
+    immutable in UnsafeRow), so Spark plans a SortAggregate — TWO full
+    sorts of the corpus-sized span table, partial and final. For
+    integral ids the lexicographic order is encoded losslessly into
+    one decimal(33,0) ((id + 2^63) · 2^32 + start — start is a token
+    position, always in [0, 2^31)), whose min() IS hash-aggregable:
+    both sorts vanish from the plan (r11; guide §5 "hash aggregate vs
+    sort aggregate"; plans/r11/dedup_spans_internal_*.txt).
+    Non-integral ids keep the struct path — pinned equivalent in
+    tests (zero-padded string ids reproduce the encoded results)."""
+    id_t = dict(spans.dtypes).get("id", "")
+    if id_t in ("tinyint", "smallint", "int", "bigint"):
+        off = F.lit(2 ** 62).cast("decimal(19,0)")
+        step = F.lit(2 ** 32).cast("decimal(10,0)")
+        enc = ((F.col("id").cast("decimal(20,0)") + off + off) * step
+               + F.col("start").cast("decimal(10,0)"))
+        spans_j = spans.withColumn("__enc", enc)
+        first_all = spans_j.groupBy("key").agg(
+            F.min("__enc").alias("__fenc"),
+            F.count(F.lit(1)).alias("__kn"),
+        )
+        notfirst = F.col("__enc") != F.col("__fenc")
+        # decode (exact integer decimal arithmetic, applied only to the
+        # small per-key aggregate, never to the span table)
+        fstart = F.col("__fenc") % step
+        fid = ((F.col("__fenc") - fstart) / step).cast("decimal(21,0)") \
+            - off - off
+        first_cols = [F.col("key"), fid.cast(id_t).alias("id"),
+                      fstart.cast("int").alias("start")]
+    else:
+        spans_j = spans
+        first_all = spans_j.groupBy("key").agg(
+            F.min(F.struct("id", "start")).alias("f"),
+            F.count(F.lit(1)).alias("__kn"),
+        )
+        notfirst = (F.col("id") != F.col("f.id")) \
+            | (F.col("start") != F.col("f.start"))
+        first_cols = [F.col("key"), F.col("f.id").alias("id"),
+                      F.col("f.start").alias("start")]
+    return spans_j, first_all, notfirst, first_cols
 
 
 def _span_rebuild(base: DataFrame, marked: DataFrame, window: int,
@@ -1901,40 +1919,34 @@ def dedup_spans_against_index(
     and both probes reuse one exchange; the corpus-sized index side
     carries a shuffle_hash hint (AQE must not broadcast a corpus). The
     per-doc coverage/reassembly stages are identical to dedup_spans
-    (doc-sized window partitions, skew-immune min-struct aggregate),
-    including the ``slice_tokens`` monster-doc escape hatch (r8)."""
+    (doc-sized window partitions, the skew-immune hash-aggregable
+    first-occurrence min of _span_first), including the
+    ``slice_tokens`` monster-doc escape hatch (r8)."""
     base = _span_base(new_docs, id_col, text_col)
     if eager:
         base = base.persist()
     spans = _span_table(base, window, hash_fn)
     if eager:
         spans = spans.persist()
-    first_all = spans.groupBy("key").agg(
-        F.min(F.struct("id", "start")).alias("f"),
-        F.count(F.lit(1)).alias("__kn"),
-    )
-    first = first_all.drop("__kn")
-    # Trim the marked-join's first-leg to dup keys (the dedup_spans
-    # r11 reorder): a unique-key span can only be marked via __known,
-    # and with a LEFT join its NULL f makes the (id != f.id) disjunct
-    # NULL — filter semantics keep it exactly when __known fires, as
-    # before. new_index below still reads the UNFILTERED firsts.
+    # Same first-occurrence machinery as dedup_spans (_span_first):
+    # hash-aggregable encoded min for integral ids, dup-key-trimmed
+    # marked-join leg. A unique-key span can only be marked via
+    # __known, and with a LEFT join the absent first-leg makes
+    # `notfirst` NULL — filter semantics keep the row exactly when
+    # __known fires, as before. new_index below still reads the
+    # UNFILTERED firsts (decoded by first_cols).
+    spans_j, first_all, notfirst, first_cols = _span_first(spans)
     first_dup = first_all.filter(F.col("__kn") >= 2).drop("__kn")
     known = index.select("key").withColumn("__known", F.lit(1))
     marked = (
-        spans.join(first_dup, "key", "left")
+        spans_j.join(first_dup, "key", "left")
         .join(known.hint("shuffle_hash"), "key", "left")
-        .filter(
-            F.col("__known").isNotNull()
-            | (F.col("id") != F.col("f.id"))
-            | (F.col("start") != F.col("f.start"))
-        )
+        .filter(F.col("__known").isNotNull() | notfirst)
         .select("id", "start")
     )
     out = _span_rebuild(base, marked, window, slice_tokens)
     new_index = (
-        first.select("key", F.col("f.id").alias("id"),
-                     F.col("f.start").alias("start"))
+        first_all.select(*first_cols)
         .join(index.select("key").hint("shuffle_hash"), "key", "leftanti")
     )
     if eager:

@@ -1542,3 +1542,20 @@ def test_dedup_spans_string_ids_match_encoded_path(spark):
                                       window=10).collect()}
     assert got_long == got_str
     assert any(v[1] > 0 for v in got_long.values())  # dedup happened
+
+
+def test_dedup_spans_index_decode_extreme_ids(spark):
+    """The r11 encoded first-occurrence min round-trips (id, start)
+    exactly through the decimal decode at both ends of the long range
+    — new_index rows must carry the true winner, not a rounded one."""
+    txt = " ".join(f"w{j}" for j in range(12))
+    ids = [-(2 ** 63), -5, 0, 7, 2 ** 63 - 1]
+    docs = spark.createDataFrame([(i, txt) for i in ids],
+                                 "doc_id long, text string")
+    clean, new_idx = D.dedup_spans_against_index(
+        docs, D.empty_span_index(spark), window=10)
+    rows = sorted((r["id"], r["start"]) for r in new_idx.collect())
+    # all docs identical: every span key's first occurrence is MIN(id)
+    assert rows == [(-(2 ** 63), 0), (-(2 ** 63), 1), (-(2 ** 63), 2)]
+    got = {r["id"]: r["n_removed"] for r in clean.collect()}
+    assert got[-(2 ** 63)] == 0 and all(got[i] == 12 for i in ids[1:])

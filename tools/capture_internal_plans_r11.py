@@ -79,21 +79,13 @@ def spans_out(docs, order, window=20):
     else:
         # the shipped shape: dup-key-trimmed first + the decimal-encoded
         # hash-aggregable first-occurrence min (integral-id fast path)
-        off = F.lit(2 ** 62).cast("decimal(19,0)")
-        enc = ((F.col("id").cast("decimal(20,0)") + off + off)
-               * F.lit(2 ** 32).cast("decimal(10,0)")
-               + F.col("start").cast("decimal(10,0)"))
-        spans_enc = spans.withColumn("__enc", enc)
-        first = (
-            spans_enc.groupBy("key")
-            .agg(F.min("__enc").alias("__fenc"),
-                 F.count(F.lit(1)).alias("__kn"))
-            .filter(F.col("__kn") >= 2)
-            .drop("__kn")
-        )
+        from andl_spark.pipeline.dedup import _span_first
+
+        spans_j, first_all, notfirst, _ = _span_first(spans)
+        first = first_all.filter(F.col("__kn") >= 2).drop("__kn")
         marked = (
-            spans_enc.join(first, "key")
-            .filter(F.col("__enc") != F.col("__fenc"))
+            spans_j.join(first, "key")
+            .filter(notfirst)
             .select("id", "start")
         )
     return _span_rebuild(base, marked, window, None)
