@@ -197,14 +197,33 @@ def minhash_signatures(
 def _band_buckets(
     signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(id, band, bucket) — one row per LSH band, bucket = the band's
-    signature slice as a join-keyable string."""
-    bands = F.expr("array(" + ", ".join(
-        f"struct({i} AS band, concat_ws('_', transform("
-        f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
-        f"x -> cast(x AS string))) AS bucket)"
-        for i in range(num_bands)
-    ) + ")")
+    """(id, band, bucket) — one row per LSH band; bucket packs the
+    band's signature slice losslessly into ceil(r/2) longs (each
+    minhash value is < 2^32 by construction — ``% _MINHASH_P`` — so two
+    fit a long via shiftleft|or, a pure bit move with no overflow).
+    The encoding is injective, so every (band, bucket) GROUP is
+    identical to the former ~40-char string keys: same candidate
+    pairs, same fan-out-guard estimates, same anchor selection — while
+    the bucket join/window shuffles ~16 bytes per band row instead of
+    a digit string (guide §2.3 narrower types; r11). Requires
+    num_bands × rows_per_band ≤ len(signature) — both internal callers
+    derive rows_per_band = num_perm // num_bands."""
+    def _bucket(i: int) -> str:
+        base = i * rows_per_band
+        parts = []
+        for j in range(0, rows_per_band - 1, 2):
+            parts.append(
+                f"shiftleft(element_at(signature, {base + j + 1}), 32) | "
+                f"element_at(signature, {base + j + 2})"
+            )
+        if rows_per_band % 2:
+            parts.append(f"element_at(signature, {base + rows_per_band})")
+        inner = ", ".join(f"{p} AS p{k}" for k, p in enumerate(parts))
+        return f"struct({i} AS band, struct({inner}) AS bucket)"
+
+    bands = F.expr(
+        "array(" + ", ".join(_bucket(i) for i in range(num_bands)) + ")"
+    )
     return signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )

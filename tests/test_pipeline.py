@@ -824,6 +824,35 @@ def _pair_set(df, *extra):
     return {tuple(r) for r in df.select("id_a", "id_b", *extra).collect()}
 
 
+@pytest.mark.parametrize("num_bands,rows_per_band", [(16, 4), (16, 3)])
+def test_band_bucket_packing_matches_string_grouping(docs, num_bands,
+                                                     rows_per_band):
+    """r11 (guide §2.3): _band_buckets packs each band's signature
+    slice into ceil(r/2) longs instead of a ~40-char digit string. The
+    encoding must be injective per band — identical (band, bucket)
+    GROUPS as the r10 string keys — or the candidate pair set, the
+    fan-out-guard estimates, and the anchor selection would silently
+    shift. Proven as a bijection between the two encodings over the
+    real corpus, for the even-pair path (r=4) and the odd-tail path
+    (r=3)."""
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    packed = D._band_buckets(sigs, "doc_id", num_bands, rows_per_band)
+    strings = sigs.select(
+        F.col("doc_id"),
+        F.explode(F.expr("array(" + ", ".join(
+            f"struct({i} AS band, concat_ws('_', transform("
+            f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
+            f"x -> cast(x AS string))) AS bucket)"
+            for i in range(num_bands)) + ")")).alias("bb"),
+    ).select("doc_id", "bb.band", F.col("bb.bucket").alias("sbucket"))
+    joined = packed.join(strings, ["doc_id", "band"]).select(
+        "band", "bucket", "sbucket")
+    n_both = joined.distinct().count()
+    n_str = joined.select("band", "sbucket").distinct().count()
+    n_pack = joined.select("band", "bucket").distinct().count()
+    assert n_both == n_str == n_pack > 0
+
+
 def test_minhash_incremental_index_equals_full_recompute(docs, spark, tmp_path):
     """batch+index must reproduce the full-corpus recompute exactly:
     old×old pairs from the index build, plus every pair touching the

@@ -61,6 +61,38 @@ def simhash_pairs(sigs, id_col, max_hamming, order):
         .dropDuplicates(["id_a", "id_b"])
 
 
+def band_buckets_old(signatures, id_col, num_bands, rows_per_band):
+    """The r10 _band_buckets: band slice concat'd into a ~40-char
+    string join key (vs the shipped packed-longs struct)."""
+    bands = F.expr("array(" + ", ".join(
+        f"struct({i} AS band, concat_ws('_', transform("
+        f"slice(signature, {i * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x AS string))) AS bucket)"
+        for i in range(num_bands)
+    ) + ")")
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_pairs(sigs, id_col, order):
+    """lsh_candidate_pairs' bucket self-join body with the bucket
+    encoding under test ('old' = string keys, 'new' = the shipped
+    packed-longs struct); guard/anchor/checkpoint plumbing elided —
+    identical in both and does not affect this plan segment."""
+    impl = band_buckets_old if order == "old" else D._band_buckets
+    exploded = impl(sigs, id_col, 16, 4)
+    a = exploded.alias("a")
+    b = exploded.alias("b").hint("shuffle_hash")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
 def spans_out(docs, order, window=20):
     """dedup_spans' plan with the first-table treatment under test
     ('old' = all distinct keys join the span table, 'new' = the
@@ -100,9 +132,12 @@ def main() -> None:
     docs = workload._t(spark, sf_dir)["documents"]
     sigs = D.simhash_signatures(docs, "doc_id", "text")
 
+    msigs = D.minhash_signatures(docs, "doc_id", "text")
     captures = {
         "simhash_pairs_internal_before": simhash_pairs(sigs, "doc_id", 3, "old"),
         "simhash_pairs_internal_after": simhash_pairs(sigs, "doc_id", 3, "new"),
+        "minhash_buckets_internal_before": minhash_pairs(msigs, "doc_id", "old"),
+        "minhash_buckets_internal_after": minhash_pairs(msigs, "doc_id", "new"),
         "dedup_spans_internal_before": spans_out(docs, "old"),
         "dedup_spans_internal_after": spans_out(docs, "new"),
     }
