@@ -1655,10 +1655,8 @@ def dedup_spans(
     # corpora the join leg shrinks from |distinct keys| to |dup keys|,
     # and AQE can broadcast it when the dup set is small (r11,
     # guide §3.2). Result-identical by the argument above. The
-    # aggregate itself is the hash-aggregable encoded-min form for
-    # integral ids (see _span_first). spans_j is a derived frame:
-    # `spans` stays bound to the persisted plan so the eager unpersist
-    # below releases the actual cache entry (the ADVICE r2 leak class).
+    # aggregate is the struct-min SortAggregate — measured faster than
+    # a hash-aggregable encoding at every tested scale (_span_first).
     spans_j, first_all, notfirst, _ = _span_first(spans)
     first_dup = first_all.filter(F.col("__kn") >= 2).drop("__kn")
     marked = (
@@ -1732,45 +1730,26 @@ def _span_first(spans: DataFrame):
     aggregate for index appends.
 
     min(struct(id, start)) is NOT hash-aggregable (struct buffers are
-    immutable in UnsafeRow), so Spark plans a SortAggregate — TWO full
-    sorts of the corpus-sized span table, partial and final. For
-    integral ids the lexicographic order is encoded losslessly into
-    one decimal(33,0) ((id + 2^63) · 2^32 + start — start is a token
-    position, always in [0, 2^31)), whose min() IS hash-aggregable:
-    both sorts vanish from the plan (r11; guide §5 "hash aggregate vs
-    sort aggregate"; plans/r11/dedup_spans_internal_*.txt).
-    Non-integral ids keep the struct path — pinned equivalent in
-    tests (zero-padded string ids reproduce the encoded results)."""
-    id_t = dict(spans.dtypes).get("id", "")
-    if id_t in ("tinyint", "smallint", "int", "bigint"):
-        off = F.lit(2 ** 62).cast("decimal(19,0)")
-        step = F.lit(2 ** 32).cast("decimal(10,0)")
-        enc = ((F.col("id").cast("decimal(20,0)") + off + off) * step
-               + F.col("start").cast("decimal(10,0)"))
-        spans_j = spans.withColumn("__enc", enc)
-        first_all = spans_j.groupBy("key").agg(
-            F.min("__enc").alias("__fenc"),
-            F.count(F.lit(1)).alias("__kn"),
-        )
-        notfirst = F.col("__enc") != F.col("__fenc")
-        # decode (exact integer decimal arithmetic, applied only to the
-        # small per-key aggregate, never to the span table)
-        fstart = F.col("__fenc") % step
-        fid = ((F.col("__fenc") - fstart) / step).cast("decimal(21,0)") \
-            - off - off
-        first_cols = [F.col("key"), fid.cast(id_t).alias("id"),
-                      fstart.cast("int").alias("start")]
-    else:
-        spans_j = spans
-        first_all = spans_j.groupBy("key").agg(
-            F.min(F.struct("id", "start")).alias("f"),
-            F.count(F.lit(1)).alias("__kn"),
-        )
-        notfirst = (F.col("id") != F.col("f.id")) \
-            | (F.col("start") != F.col("f.start"))
-        first_cols = [F.col("key"), F.col("f.id").alias("id"),
-                      F.col("f.start").alias("start")]
-    return spans_j, first_all, notfirst, first_cols
+    immutable in UnsafeRow), so Spark plans a SortAggregate. A
+    hash-aggregable alternative — the lexicographic order encoded
+    losslessly into one decimal(33,0) min — was built and iso-measured
+    this round (r11) and was consistently SLOWER: at 18M spans,
+    struct-min 1.65 s vs encoded-min 2.87 s on dup-heavy geometry and
+    1.83 s vs 2.09 s on mostly-unique geometry (noop-sink isolation,
+    both aggregates carrying the same __kn count; 1.8M-span runs
+    agree). Spark's sort of a long-keyed span table is radix-fast,
+    while 128-bit decimal min costs more per row than the sorts save —
+    so the struct path is the measured keeper (guide §1.1: the "ideal
+    plan" lost the empirical loop). Details in OPTIMIZATION_r11.md."""
+    first_all = spans.groupBy("key").agg(
+        F.min(F.struct("id", "start")).alias("f"),
+        F.count(F.lit(1)).alias("__kn"),
+    )
+    notfirst = (F.col("id") != F.col("f.id")) \
+        | (F.col("start") != F.col("f.start"))
+    first_cols = [F.col("key"), F.col("f.id").alias("id"),
+                  F.col("f.start").alias("start")]
+    return spans, first_all, notfirst, first_cols
 
 
 def _span_rebuild(base: DataFrame, marked: DataFrame, window: int,
@@ -1938,22 +1917,21 @@ def dedup_spans_against_index(
     and both probes reuse one exchange; the corpus-sized index side
     carries a shuffle_hash hint (AQE must not broadcast a corpus). The
     per-doc coverage/reassembly stages are identical to dedup_spans
-    (doc-sized window partitions, the skew-immune hash-aggregable
-    first-occurrence min of _span_first), including the
-    ``slice_tokens`` monster-doc escape hatch (r8)."""
+    (doc-sized window partitions, the shared first-occurrence
+    aggregate of _span_first), including the ``slice_tokens``
+    monster-doc escape hatch (r8)."""
     base = _span_base(new_docs, id_col, text_col)
     if eager:
         base = base.persist()
     spans = _span_table(base, window, hash_fn)
     if eager:
         spans = spans.persist()
-    # Same first-occurrence machinery as dedup_spans (_span_first):
-    # hash-aggregable encoded min for integral ids, dup-key-trimmed
-    # marked-join leg. A unique-key span can only be marked via
-    # __known, and with a LEFT join the absent first-leg makes
-    # `notfirst` NULL — filter semantics keep the row exactly when
-    # __known fires, as before. new_index below still reads the
-    # UNFILTERED firsts (decoded by first_cols).
+    # Same first-occurrence machinery as dedup_spans (_span_first),
+    # with the dup-key-trimmed marked-join leg. A unique-key span can
+    # only be marked via __known, and with a LEFT join the absent
+    # first-leg makes `notfirst` NULL — filter semantics keep the row
+    # exactly when __known fires, as before. new_index below still
+    # reads the UNFILTERED firsts (projected by first_cols).
     spans_j, first_all, notfirst, first_cols = _span_first(spans)
     first_dup = first_all.filter(F.col("__kn") >= 2).drop("__kn")
     known = index.select("key").withColumn("__known", F.lit(1))

@@ -1551,11 +1551,13 @@ def test_lsh_multiprobe3_matches_sql_oracle(spark, duck):
 
 
 def test_dedup_spans_string_ids_match_encoded_path(spark):
-    """dedup_spans' r11 decimal-encoded first-occurrence aggregate
-    (integral ids, hash-aggregable) and the struct-min fallback
-    (non-integral ids) must pick identical first occurrences: the same
-    corpus under zero-padded string ids (string order == numeric
-    order) must produce the same clean texts."""
+    """dedup_spans' first-occurrence selection must be id-type
+    independent: the same corpus under zero-padded string ids (string
+    order == numeric order) must produce the same clean texts as under
+    long ids. (Originally pinned the r11 decimal-encoded integral-id
+    fast path against the struct-min fallback; the encoding was
+    iso-measured slower and reverted — see _span_first — and this
+    stays as the key-type-independence pin.)"""
     rows = [(i, " ".join(f"w{j % 7}" for j in range(i, i + 30)))
             for i in range(40)]
     # plant exact repeats so spans actually dedup across docs
@@ -1574,9 +1576,11 @@ def test_dedup_spans_string_ids_match_encoded_path(spark):
 
 
 def test_dedup_spans_index_decode_extreme_ids(spark):
-    """The r11 encoded first-occurrence min round-trips (id, start)
-    exactly through the decimal decode at both ends of the long range
-    — new_index rows must carry the true winner, not a rounded one."""
+    """new_index rows must carry the exact (id, start) winner at both
+    ends of the long range — no rounding or overflow anywhere in the
+    first-occurrence projection (guards any future re-encoding of the
+    aggregate; the r11 decimal encoding this originally pinned was
+    reverted as measured-slower)."""
     txt = " ".join(f"w{j}" for j in range(12))
     ids = [-(2 ** 63), -5, 0, 7, 2 ** 63 - 1]
     docs = spark.createDataFrame([(i, txt) for i in ids],

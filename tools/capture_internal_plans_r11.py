@@ -109,8 +109,9 @@ def spans_out(docs, order, window=20):
             .select("id", "start")
         )
     else:
-        # the shipped shape: dup-key-trimmed first + the decimal-encoded
-        # hash-aggregable first-occurrence min (integral-id fast path)
+        # the shipped shape: dup-key-trimmed first leg + the shared
+        # struct-min first-occurrence aggregate (the r11 decimal-encoded
+        # variant was iso-measured slower and reverted — _span_first)
         from andl_spark.pipeline.dedup import _span_first
 
         spans_j, first_all, notfirst, _ = _span_first(spans)
