@@ -73,7 +73,6 @@ from .simsearch import (
     auto_nprobe,
     calibrate_probe,
     calibrate_probe_hier,
-    cosine_n_expr,
     dot_expr_fixed,
     norm_expr_fixed,
     hier_assign_np,
@@ -83,7 +82,7 @@ from .simsearch import (
     hier_trained_centroids,
     nearest_lists_cosine,
     nearest_lists_np,
-    norm_expr,
+    _hof_norm_sql,
     seed_centroids,
     trained_centroids,
 )
@@ -152,9 +151,10 @@ def read_ivf_data(spark: SparkSession, path: str) -> DataFrame:
     return read_neardup_index(spark, fsio.join(path, "data"))
 
 
-def _assign_expr(vec_col, centroids: list[list[float]], nprobe: int,
-                 vec_norm=None):
-    """The serving assignment rule: numpy matmul at nlist ≥
+def _assign_expr(vec_col: str, centroids: list[list[float]], nprobe: int,
+                 vec_norm: str | None = None):
+    """The serving assignment rule (takes column NAMES — the JVM
+    branch builds as one parsed SQL string, r11): numpy matmul at nlist ≥
     NP_ASSIGN_MIN_NLIST, JVM literal expression below. NOTE the
     equivalence contract with topk_ivf_det: identical for nlist < 64
     and in the auto-scale regime; for an EXPLICIT nlist ≥ 64
@@ -179,15 +179,15 @@ def _flat_assigned(df: DataFrame, id_col: str, vec_col: str,
     review r8b). The numpy path ignores vec_norm."""
     dim = len(centroids[0]) if centroids else 0
     _norm = (norm_expr_fixed if 0 < dim <= UNROLL_MAX_DIM
-             else lambda name, *_: norm_expr(F.col(name)))
+             else lambda name, *_: F.expr(_hof_norm_sql(name)))
     return (
         df.select(F.col(id_col).alias("vec_id"),
                   F.col(vec_col).alias("embedding"))
         .withColumn("__n", _norm("embedding", dim))
         .select("vec_id", "embedding",
                 F.element_at(_assign_expr(
-                    F.col("embedding"), centroids, 1,
-                    vec_norm=F.col("__n")), 1).alias("list_id"))
+                    "embedding", centroids, 1,
+                    vec_norm="__n"), 1).alias("list_id"))
     )
 
 
@@ -1181,8 +1181,8 @@ def topk_ivf_index(
         probe_expr = hier_probe_np(meta["C1"], meta["C2"],
                                    nprobe)(F.col("qvec"))
     else:
-        probe_expr = _assign_expr(F.col("qvec"), meta["centroids"],
-                                  nprobe, vec_norm=F.col("qn"))
+        probe_expr = _assign_expr("qvec", meta["centroids"],
+                                  nprobe, vec_norm="qn")
     # scoring: the index KNOWS its dimension, so the dot/norm unroll
     # to fixed-dim codegen'd arithmetic (r9) — bitwise identical to
     # the HOF forms (pinned row-identical to topk_ivf_det), measured
@@ -1675,8 +1675,8 @@ def knn_join(
         probe_expr = hier_probe_np(meta["C1"], meta["C2"],
                                    nprobe)(F.col("qvec"))
     else:
-        probe_expr = _assign_expr(F.col("qvec"), meta["centroids"],
-                                  nprobe, vec_norm=F.col("qn"))
+        probe_expr = _assign_expr("qvec", meta["centroids"],
+                                  nprobe, vec_norm="qn")
     from .simsearch import _score_exprs
 
     dim = int(meta.get("dim") or 0)

@@ -1305,7 +1305,7 @@ def embedding_index(
     with different parameters lands in incompatible buckets. Persist
     with Catalog.put — versioning keeps every pre-ingest state
     time-travelable, exactly like the MinHash signature index."""
-    from .simsearch import hyperplane_bucket, norm_expr
+    from .simsearch import _hof_norm_sql, hyperplane_bucket
 
     if dim is None:
         raise ValueError("embedding_index requires dim (no driver-side inference)")
@@ -1319,7 +1319,7 @@ def embedding_index(
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm_expr(F.col(vec_col)).alias("nrm"),
+        F.expr(_hof_norm_sql(vec_col)).alias("nrm"),
         tables.alias("buckets"),
     )
 
@@ -1372,7 +1372,7 @@ def embedding_dup_against_index(
     fan-out (Σ n_new·n_all per shared bucket) is estimated first and
     anchors engage above ``auto_bound`` (logged + FANOUT_STATS);
     ``anchor_degree=0`` opts out — exact pair parity at any cost."""
-    from .simsearch import cosine_n_expr
+    from .simsearch import _hof_dot_sql
 
     new_index = embedding_index(
         new_df, id_col, vec_col, bucket_bits, n_tables, dim, seed
@@ -1415,9 +1415,8 @@ def embedding_dup_against_index(
         )
     a = new_e.alias("a")
     b = corpus_side.alias("b").hint("shuffle_hash")
-    cos = cosine_n_expr(
-        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
-    )
+    cos = (F.expr(_hof_dot_sql("a.vec", "b.vec"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     pairs = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("a.id") != F.col("b.id"))

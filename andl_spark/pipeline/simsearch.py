@@ -115,6 +115,29 @@ def _dot_sql(a: str, b: str, dim: int) -> str:
         for i in range(dim))
 
 
+def _hof_dot_sql(a: str, b: str) -> str:
+    """dot_expr (generic zip_with+aggregate HOF) as ONE parsed SQL
+    string — same Catalyst tree, ~2 py4j round-trips instead of ~80
+    (each F.zip_with/F.aggregate lambda costs ~16 ms of py4j chatter;
+    measured r11: plan CONSTRUCTION was over half of q_ann_lsh's wall
+    time). Lambda variables carry a ``__h`` prefix so no realistic
+    column name is shadowed inside the lambda bodies; evaluation is
+    identical regardless of the variable names."""
+    qa, qb = _sql_name(a), _sql_name(b)
+    return (f"aggregate(zip_with({qa}, {qb}, (__hx, __hy) -> "
+            "CAST(__hx AS DOUBLE) * CAST(__hy AS DOUBLE)), 0.0D, "
+            "(__hacc, __hv) -> __hacc + __hv)")
+
+
+def _hof_norm_sql(a: str) -> str:
+    """norm_expr (generic HOF) as ONE parsed SQL string — see
+    _hof_dot_sql (same tree: sqrt of the left fold of squares)."""
+    qa = _sql_name(a)
+    return ("sqrt(aggregate(transform(" + qa + ", __hx -> "
+            "CAST(__hx AS DOUBLE) * CAST(__hx AS DOUBLE)), 0.0D, "
+            "(__hacc, __hv) -> __hacc + __hv))")
+
+
 def dot_expr_fixed(a: str, b: str, dim: int) -> Column:
     """Dot product UNROLLED for a known dimension (r9): the HOF path
     (zip_with + aggregate) is interpreted per element and allocates an
@@ -147,9 +170,13 @@ def _score_exprs(dim: int | None):
         return (lambda name: norm_expr_fixed(name, dim),
                 lambda a, b, na, nb: dot_expr_fixed(a, b, dim)
                 / (F.col(na) * F.col(nb)))
-    return (lambda name: norm_expr(F.col(name)),
-            lambda a, b, na, nb: cosine_n_expr(
-                F.col(a), F.col(b), F.col(na), F.col(nb)))
+    # generic HOF forms as parsed SQL (r11): the Column-op spelling
+    # (cosine_n_expr / norm_expr) costs ~80 py4j round-trips per call
+    # in lambda conversion alone; one parse yields the same tree
+    # bitwise (pinned in test_pipeline).
+    return (lambda name: F.expr(_hof_norm_sql(name)),
+            lambda a, b, na, nb: F.expr(_hof_dot_sql(a, b))
+            / (F.col(na) * F.col(nb)))
 
 
 def topk_bruteforce(
@@ -221,18 +248,24 @@ def _lit_vec_sql(values) -> str:
 def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int = 42) -> Column:
     """Sign-bit bucket id from ``bits`` fixed random hyperplanes,
     computed as a JVM expression (the hyperplane matrix is baked into
-    the plan as literals — no UDF, no broadcast needed)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    the plan as literals — no UDF, no broadcast needed). Built as ONE
+    parsed SQL string (r11): the per-bit Column-op spelling cost
+    ~0.35 s of py4j lambda chatter per call (two calls per topk_lsh
+    plan); the parse yields the value-identical tree — integer sum of
+    sign CASEs over the same double folds."""
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "hyperplane_bucket takes a column NAME (the expression "
+            "builds as one parsed SQL string — see _sql_name)")
+    qv = _sql_name(vec_col)
     planes = _hyperplanes(dim, bits, seed)
-    bucket = F.lit(0)
+    terms = ["0"]
     for i in range(bits):
-        plane = F.expr(_lit_vec_sql(planes[i]))
-        d = F.aggregate(
-            F.zip_with(v, plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        dot = (f"aggregate(zip_with({qv}, {_lit_vec_sql(planes[i])}, "
+               "(__hx, __hp) -> CAST(__hx AS DOUBLE) * __hp), 0.0D, "
+               "(__hacc, __hv) -> __hacc + __hv)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def hyperplane_bucket_sql(vec: str, dim: int, bits: int = 8, seed: int = 42) -> str:
@@ -320,7 +353,10 @@ def topk_ivf(
     scored = (
         F.broadcast(q).join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .select("query_id", "cand_id",
+                F.expr(f"{_hof_dot_sql('qvec', 'cvec')} / "
+                       f"({_hof_norm_sql('qvec')} * {_hof_norm_sql('cvec')})")
+                .alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -554,10 +590,10 @@ def _py_norm(vec: list[float]) -> float:
 
 
 def nearest_lists_cosine(
-    vec_col: Column | str,
+    vec_col: str,
     centroids: list[list[float]],
     nprobe: int,
-    vec_norm: Column | None = None,
+    vec_norm: str | None = None,
 ) -> Column:
     """array<int> of the ``nprobe`` centroid ids by ROUNDED cosine
     (descending, ties to the smaller list_id). Rounding to 4 decimals
@@ -568,35 +604,44 @@ def nearest_lists_cosine(
 
     Centroid norms are constants, so they are folded in Python
     (_py_norm — bitwise equal to norm_expr) instead of re-aggregated
-    per row; pass ``vec_norm`` (a column holding norm_expr(vec) from
-    an earlier projection) and the per-row cost drops from
+    per row; pass ``vec_norm`` (the NAME of a column holding
+    norm_expr(vec) from an earlier projection) and the per-row cost
+    drops from
     nlist × (dot + 2 norms) to nlist × dot + 1 norm — a 3× flop cut
     on the interpreted higher-order functions that dominate
     assignment, with bitwise-identical cosines."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    vn = vec_norm if vec_norm is not None else norm_expr(v)
-    cents = F.expr("array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")")
-    cnorms = F.array(*[F.lit(_py_norm(c)) for c in centroids])
-
-    def _negc(i):
-        # zero-norm guard (ADVICE r6): under ANSI mode (Spark 4
-        # default) a bare 0-divisor division THROWS — a zero vector or
-        # zero centroid must instead score NaN, which sorts LAST in
-        # the ascending struct order (ties fall back to list_id), the
-        # exact behavior numpy's stable argsort gives nearest_lists_np
-        denom = vn * F.element_at(cnorms, i)
-        cos = F.when(
-            denom != 0,
-            F.round(dot_expr(v, F.element_at(cents, i)) / denom
-                    + F.lit(1e-9), 4),
-        ).otherwise(F.lit(float("nan")))
-        return -cos
-
-    scored = F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
-        lambda i: F.struct(_negc(i).alias("negc"), (i - 1).alias("list_id")),
-    )
-    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["list_id"])
+    # Built as ONE parsed SQL string (r11): the Column-op spelling cost
+    # ~0.1 s of py4j lambda chatter per call; the parse yields the
+    # value-identical tree (same folds, same rounding, same NaN guard).
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "nearest_lists_cosine takes a column NAME (the expression "
+            "builds as one parsed SQL string — see _sql_name)")
+    if vec_norm is not None and not isinstance(vec_norm, str):
+        raise TypeError(
+            "nearest_lists_cosine takes the norm column's NAME (or None "
+            "to fold the norm inline)")
+    qv = _sql_name(vec_col)
+    vn = _sql_name(vec_norm) if vec_norm is not None else _hof_norm_sql(vec_col)
+    cents = "array(" + ", ".join(_lit_vec_sql(c) for c in centroids) + ")"
+    cnorms = "array(" + ", ".join(
+        f"CAST('{_flit(_py_norm(c))}' AS DOUBLE)" for c in centroids) + ")"
+    # zero-norm guard (ADVICE r6): under ANSI mode (Spark 4 default) a
+    # bare 0-divisor division THROWS — a zero vector or zero centroid
+    # must instead score NaN, which sorts LAST in the ascending struct
+    # order (ties fall back to list_id), the exact behavior numpy's
+    # stable argsort gives nearest_lists_np
+    denom = f"({vn} * element_at({cnorms}, __hi))"
+    dot = (f"aggregate(zip_with({qv}, element_at({cents}, __hi), "
+           "(__hx, __hy) -> CAST(__hx AS DOUBLE) * CAST(__hy AS DOUBLE)), "
+           "0.0D, (__hacc, __hv) -> __hacc + __hv)")
+    negc = (f"-(CASE WHEN {denom} != 0 "
+            f"THEN round({dot} / {denom} + 1.0E-9D, 4) "
+            "ELSE CAST('NaN' AS DOUBLE) END)")
+    return F.expr(
+        f"transform(slice(array_sort(transform(sequence(1, {len(centroids)}), "
+        f"__hi -> struct({negc} AS negc, __hi - 1 AS list_id))), 1, {nprobe}), "
+        "__hs -> __hs.list_id)")
 
 
 #: Probed-cell fraction the auto-tuned nprobe holds. Measured at sf10
@@ -802,7 +847,7 @@ def topk_ivf_det(
     ).withColumn(
         "list_id",
         F.element_at(
-            nearest_lists_cosine("cvec", centroids, 1, vec_norm=F.col("cn")), 1),
+            nearest_lists_cosine("cvec", centroids, 1, vec_norm="cn"), 1),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
@@ -810,7 +855,7 @@ def topk_ivf_det(
     ).withColumn(
         "list_id",
         F.explode(
-            nearest_lists_cosine("qvec", centroids, nprobe, vec_norm=F.col("qn"))),
+            nearest_lists_cosine("qvec", centroids, nprobe, vec_norm="qn")),
     )
     scored = (
         F.broadcast(q).join(c, "list_id")
@@ -875,8 +920,7 @@ def _topk_ivf_det_quantized(
             nearest_lists_np(centroids, 1)(F.col("__raw")), 1)
     else:
         assign1 = F.element_at(
-            nearest_lists_cosine("__raw", centroids, 1,
-                                 vec_norm=norm_expr(F.col("__raw"))), 1)
+            nearest_lists_cosine("__raw", centroids, 1), 1)
     _norm, _cos = _score_exprs(len(centroids[0]) if centroids else None)
     qz = quantize_embeddings(
         corpus.select(F.col(id_col).alias("cand_id"),
@@ -899,7 +943,7 @@ def _topk_ivf_det_quantized(
         q = q.withColumn(
             "list_id",
             F.explode(nearest_lists_cosine(
-                "qvec", centroids, nprobe, vec_norm=F.col("qn"))),
+                "qvec", centroids, nprobe, vec_norm="qn")),
         )
     scored = (
         F.broadcast(q).join(c, "list_id")
@@ -1391,7 +1435,7 @@ def _calib_holdout(corpus: DataFrame, id_col: str, vec_col: str,
         src_df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qvec"),
-                norm_expr(F.col(vec_col)).alias("qn"))
+                F.expr(_hof_norm_sql(vec_col)).alias("qn"))
         .where(F.col("qn") > 0)
         .orderBy(order).limit(n_holdout)
     )
@@ -1460,16 +1504,16 @@ def calibrate_probe(
         assign1 = F.element_at(nearest_lists_np(centroids, 1)(F.col(vec_col)), 1)
     else:
         assign1 = F.element_at(
-            nearest_lists_cosine(F.col(vec_col), centroids, 1), 1)
+            nearest_lists_cosine(vec_col, centroids, 1), 1)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"), assign1.alias("list_id"))
+        F.expr(_hof_norm_sql(vec_col)).alias("cn"), assign1.alias("list_id"))
     h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     if use_np:
         order = nearest_lists_np(centroids, n_cells)(F.col("qvec"))
     else:
-        order = nearest_lists_cosine(F.col("qvec"), centroids, n_cells,
-                                     vec_norm=F.col("qn"))
+        order = nearest_lists_cosine("qvec", centroids, n_cells,
+                                     vec_norm="qn")
     grid = h.select("query_id", F.posexplode(order).alias("pos0", "list_id")
                     ).withColumn("probe_pos", F.col("pos0") + 1)
     rows = _calib_pass(c, grid, h, k,
@@ -1547,7 +1591,7 @@ def calibrate_probe_hier(
     n1, n2 = len(C1), (len(C2[0]) if C2 else 0)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        F.expr(_hof_norm_sql(vec_col)).alias("cn"),
         hier_assign_np(C1, C2)(F.col(vec_col)).alias("list_id"))
     h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     grid = h.select(
@@ -1610,12 +1654,12 @@ def calibrate_probe_lsh(
         return _CALIB_CACHE[key]
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+        F.expr(_hof_norm_sql(vec_col)).alias("cn"),
         hyperplane_bucket(vec_col, dim, bits, seed).alias("list_id"))
     h = _calib_holdout(corpus, id_col, vec_col, n_holdout, holdout)
     grid = (
         h.withColumn("bucket0",
-                     hyperplane_bucket(F.col("qvec"), dim, bits, seed))
+                     hyperplane_bucket("qvec", dim, bits, seed))
         .select("query_id", "bucket0",
                 F.explode(F.sequence(F.lit(0), F.lit(2 ** bits - 1))
                           ).alias("list_id"))

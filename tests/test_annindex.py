@@ -361,7 +361,7 @@ def test_ivf_ingest_stream_drained_equals_batch(spark, emb, tmp_path):
     want = {(r["vec_id"], r["list_id"]) for r in new.select(
         F.col("vec_id"),
         F.element_at(AX._assign_expr(
-            F.col("embedding"), meta["centroids"], 1), 1).alias("list_id")
+            "embedding", meta["centroids"], 1), 1).alias("list_id")
     ).collect()}
     assert got == want
     served = AX.topk_ivf_index(spark, new.limit(2), path, k=3, nprobe=16)

@@ -1592,3 +1592,74 @@ def test_dedup_spans_index_decode_extreme_ids(spark):
     assert rows == [(-(2 ** 63), 0), (-(2 ** 63), 1), (-(2 ** 63), 2)]
     got = {r["id"]: r["n_removed"] for r in clean.collect()}
     assert got[-(2 ** 63)] == 0 and all(got[i] == 12 for i in ids[1:])
+
+
+def test_parsed_sql_hof_forms_bitwise_equal_column_ops(emb):
+    """r11: the hot-path expression builders (_hof_dot_sql /
+    _hof_norm_sql / hyperplane_bucket / nearest_lists_cosine) build as
+    ONE parsed SQL string instead of Column-op/lambda chains (~80 py4j
+    round-trips each — plan construction was over half of q_ann_lsh's
+    wall time). This pins the parsed forms BITWISE equal to the
+    Column-op spellings they replaced, reconstructed inline here."""
+    import struct as _struct
+
+    # --- dot / norm: parsed vs Column-op HOFs --------------------------
+    old_norm = SS.norm_expr(F.col("embedding"))
+    old_dot = SS.dot_expr(F.col("embedding"), F.col("embedding"))
+    rows = emb.select(
+        old_norm.alias("onrm"), F.expr(SS._hof_norm_sql("embedding")).alias("nnrm"),
+        old_dot.alias("odot"), F.expr(SS._hof_dot_sql("embedding", "embedding")).alias("ndot"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert _struct.pack("d", r.onrm) == _struct.pack("d", r.nnrm)
+        assert _struct.pack("d", r.odot) == _struct.pack("d", r.ndot)
+
+    # --- hyperplane bucket: parsed vs per-bit Column loop --------------
+    dim, bits, seed = 64, 8, 42
+    planes = SS._hyperplanes(dim, bits, seed)
+    old_bucket = F.lit(0)
+    for i in range(bits):
+        plane = F.expr(SS._lit_vec_sql(planes[i]))
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"), plane,
+                       lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, x: acc + x)
+        old_bucket = old_bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    got = emb.select(
+        old_bucket.alias("ob"),
+        SS.hyperplane_bucket("embedding", dim, bits, seed).alias("nb"),
+    ).collect()
+    assert all(r.ob == r.nb for r in got)
+
+    # --- nearest_lists_cosine: parsed vs Column-op build ----------------
+    cents = SS.seed_centroids(emb, nlist=16)
+    cents_arr = F.expr("array(" + ", ".join(SS._lit_vec_sql(c) for c in cents) + ")")
+    cnorms = F.array(*[F.lit(SS._py_norm(c)) for c in cents])
+    vn = SS.norm_expr(F.col("embedding"))
+
+    def _negc(i):
+        denom = vn * F.element_at(cnorms, i)
+        cos = F.when(
+            denom != 0,
+            F.round(SS.dot_expr(F.col("embedding"), F.element_at(cents_arr, i))
+                    / denom + F.lit(1e-9), 4),
+        ).otherwise(F.lit(float("nan")))
+        return -cos
+
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(_negc(i).alias("negc"), (i - 1).alias("list_id")))
+    old_lists = F.transform(F.slice(F.array_sort(scored), 1, 3),
+                            lambda s: s["list_id"])
+    got = emb.select(
+        old_lists.alias("ol"),
+        SS.nearest_lists_cosine("embedding", cents, 3).alias("nl"),
+    ).collect()
+    assert all(list(r.ol) == list(r.nl) for r in got)
+
+    # Column inputs now raise (the builders take NAMES):
+    with pytest.raises(TypeError):
+        SS.hyperplane_bucket(F.col("embedding"), dim, bits, seed)
+    with pytest.raises(TypeError):
+        SS.nearest_lists_cosine(F.col("embedding"), cents, 3)
