@@ -1673,14 +1673,22 @@ def dedup_spans(
 
 def _span_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, arr, n) tokenized base for the span ops — split on ' ',
-    the corpus' own token separator, mirrored exactly by the oracle."""
+    the corpus' own token separator, mirrored exactly by the oracle.
+
+    ensure_parallelism (r11): the tokenize + window-explode above this
+    base is the CPU-heavy part of dedup_spans, and a sub-128 MB corpus
+    file arrives as ONE scan task — at sf10 the whole 500k-doc span
+    explode ran on a single core (the other shingling ops already
+    spread the same way; a no-op at production scale where the scan
+    has many splits)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     # empty text → EMPTY array (split('', ' ') would yield [''] — one
     # phantom token per empty doc, and a negative n_removed once the
     # kept '' token outnumbered n_tokens=0; review r6)
     arr = F.when(txt == "", F.array().cast("array<string>")).otherwise(
         F.split(txt, " "))
-    return docs.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
+    src = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    return src.select(F.col(id_col).alias("id"), arr.alias("arr")).withColumn(
         "n", F.size("arr")
     )
 
