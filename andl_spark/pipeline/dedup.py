@@ -1676,11 +1676,12 @@ def _span_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the corpus' own token separator, mirrored exactly by the oracle.
 
     ensure_parallelism (r11): the tokenize + window-explode above this
-    base is the CPU-heavy part of dedup_spans, and a sub-128 MB corpus
-    file arrives as ONE scan task — at sf10 the whole 500k-doc span
-    explode ran on a single core (the other shingling ops already
-    spread the same way; a no-op at production scale where the scan
-    has many splits)."""
+    base is the CPU-heavy part of dedup_spans, and a single sub-128 MB
+    corpus file arrives as ONE scan task (the bench's sf dirs are one
+    file per table), serializing the whole explode on one core — the
+    other shingling ops already spread the same way; a no-op at
+    production scale where the scan has many splits. Measured at
+    sf0.1: 2.42→1.83 s at 32 cores, 2.83→2.22 s at 4 cores."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     # empty text → EMPTY array (split('', ' ') would yield [''] — one
     # phantom token per empty doc, and a negative n_removed once the
