@@ -373,3 +373,36 @@ def test_tiered_neardup_compaction_bounds_rewrites(spark, tmp_path,
                     "doc_id", "text").collect()}
         assert got == want
     assert carried and merged
+
+
+def test_load_tables_handle_cache_and_stat_invalidation(spark, tmp_path):
+    """r11: load_tables memoizes the lazy table HANDLES per (session,
+    dir, views) so repeated queries stop paying a schema-inference job
+    per table per call — but the memo must be a plan cache, never a
+    data cache: rewriting a table's files must produce a rebuilt handle
+    that reads the NEW data on the same session and path."""
+    import shutil
+
+    from andl_spark.session import load_tables
+    from conftest import SF_SMOKE
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/region.parquet", d / "region.parquet")
+
+    t1 = load_tables(spark, str(d), register_views=False)
+    n1 = t1["region"].count()
+    assert n1 == 5
+    # same files -> same handle object (the memo hit)
+    t2 = load_tables(spark, str(d), register_views=False)
+    assert t2 is t1
+
+    # rewrite the table (different content) -> fingerprint miss ->
+    # fresh handles that see the new data
+    t1["region"].limit(2).write.mode("overwrite").parquet(str(d / "region2.parquet"))
+    shutil.rmtree(d / "region.parquet", ignore_errors=True)
+    (d / "region.parquet").unlink(missing_ok=True)
+    shutil.move(str(d / "region2.parquet"), str(d / "region.parquet"))
+    t3 = load_tables(spark, str(d), register_views=False)
+    assert t3 is not t1
+    assert t3["region"].count() == 2
