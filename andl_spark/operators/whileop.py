@@ -45,14 +45,41 @@ def _run(
     # before the anti-join change below). AQE's partition coalescing
     # keeps each delta to a handful of partitions, so the union stays
     # narrow even after many rounds.
+    #
+    # STRIDE-2 emptiness checks (r12): two step applications share one
+    # count job — delta1 stays a lazy checkpoint that delta2's count
+    # materializes through its lineage, so the scheduled count jobs per
+    # iteration drop from 1 to ~0.5 (guide §1.2 fixed per-round
+    # latency). Semantics are unchanged: delta2 non-empty ⟹ delta1
+    # non-empty (an empty frontier can only produce an empty delta), so
+    # a positive count certifies both rounds really advanced, and on
+    # count==0 the fixpoint is already closed — `total` holds every
+    # tuple whether convergence happened at the odd or the even round
+    # (unioning an empty delta adds nothing). The iteration budget is
+    # counted in STEP APPLICATIONS, exactly as before: convergence at
+    # application k ≤ max_iterations returns, all-nonempty through
+    # max_iterations raises.
     total = seed.localCheckpoint(eager=True)
     frontier = total
-    for _ in range(max_iterations):
+    steps = 0
+    while steps < max_iterations:
         delta = new_only(produce(frontier), total).localCheckpoint(eager=False)
-        if delta.count() == 0:
-            return total
-        total = total.unionByName(delta)
-        frontier = delta
+        steps += 1
+        if steps < max_iterations:  # fuse the next round into this count
+            mid_total = total.unionByName(delta)
+            delta2 = new_only(produce(delta), mid_total).localCheckpoint(eager=False)
+            steps += 1
+            if delta2.count() == 0:
+                # closed at the odd or the even round; empty union legs
+                # are free and keep `total` a flat union of checkpoints
+                return mid_total.unionByName(delta2)
+            total = mid_total.unionByName(delta2)
+            frontier = delta2
+        else:
+            if delta.count() == 0:
+                return total
+            total = total.unionByName(delta)
+            frontier = delta
     raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
 
 
@@ -124,15 +151,37 @@ def fixpoint_naive(
     because it is re-joined wholly."""
     cols = seed.columns
     total = seed.dropDuplicates().localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        # one job per pass (r11): lazy checkpoint materialized by the
-        # emptiness count, same as _run; the anti-join delta matches
-        # subtract's NULL semantics via _anti_new_only
-        delta = _anti_new_only(step(total).select(*cols), total, cols
-                               ).localCheckpoint(eager=False)
-        if delta.count() == 0:
-            return total
-        total = total.unionByName(delta).localCheckpoint(eager=True)
+    steps = 0
+
+    def _delta(t: DataFrame) -> DataFrame:
+        # lazy checkpoint materialized by the next emptiness count
+        # (r11); the anti-join delta matches subtract's NULL semantics
+        # via _anti_new_only
+        return _anti_new_only(step(t).select(*cols), t, cols
+                              ).localCheckpoint(eager=False)
+
+    while steps < max_iterations:
+        # STRIDE-2 (r12, same argument as _run): two passes share one
+        # count job, and the accumulated total's checkpoint goes LAZY —
+        # it materializes through the next count's lineage instead of
+        # paying its own scheduled job per pass (was: count + eager
+        # union checkpoint = 2 jobs/pass; now ~0.5 count jobs/pass).
+        # delta2 non-empty ⟹ delta1 non-empty (step(total1)=step(total0)
+        # when delta1 was empty), so the budget semantics in PASSES are
+        # unchanged.
+        delta = _delta(total)
+        steps += 1
+        if steps < max_iterations:
+            mid = total.unionByName(delta).localCheckpoint(eager=False)
+            delta2 = _delta(mid)
+            steps += 1
+            if delta2.count() == 0:
+                return mid.unionByName(delta2)
+            total = mid.unionByName(delta2).localCheckpoint(eager=False)
+        else:
+            if delta.count() == 0:
+                return total
+            total = total.unionByName(delta).localCheckpoint(eager=False)
     raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
 
 

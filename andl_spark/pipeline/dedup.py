@@ -422,16 +422,69 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, id_col: str = "id") -> DataFrame:
+def _packed_sig_sql(n: int) -> str:
+    """SQL for ``signature`` (array<long>[n], every value < 2^32 by
+    ``% _MINHASH_P``) packed 2-per-long: the same lossless shiftleft|or
+    bit move as _band_buckets' bucket keys (r11), applied to the WHOLE
+    signature for the score legs (r12) — ceil(n/2) longs instead of n,
+    so the pair-score join's exchanges carry half the signature bytes
+    (guide §2.3; UnsafeRow stores 8 bytes per element regardless of
+    declared type, so halving the element COUNT is the only narrowing
+    that actually shrinks the rows)."""
+    parts = []
+    for j in range(0, n - 1, 2):
+        parts.append(
+            f"shiftleft(element_at(signature, {j + 1}), 32) | "
+            f"element_at(signature, {j + 2})"
+        )
+    if n % 2:
+        parts.append(f"element_at(signature, {n})")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def minhash_jaccard(signatures: DataFrame, pairs: DataFrame, id_col: str = "id",
+                    num_perm: int | None = None) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of equal
-    signature positions (zip_with, JVM-side)."""
-    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    signature positions (JVM-side, no UDF).
+
+    With ``num_perm`` given (both internal callers pass it), the
+    signatures ship through the score join PACKED 2-per-long
+    (_packed_sig_sql) and equal positions are counted by comparing the
+    hi/lo 32-bit halves of each packed long — provably the same count
+    (packing is positional and injective per half), at half the
+    score-leg shuffle bytes. For an odd ``num_perm`` the tail long
+    holds one value whose hi half is 0 on both sides (always "equal"),
+    so the statically-known overcount of 1 is subtracted. Without
+    ``num_perm`` (external callers, unknown width) the legacy unpacked
+    zip_with path runs — same result, wider rows."""
+    if num_perm is None:
+        sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+        matched = pairs.join(sa, "id_a").join(sb, "id_b")
+        eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+        num = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+        return matched.select(
+            "id_a", "id_b", (num / F.size("sig_a")).alias("est_jaccard")
+        )
+    packed = _packed_sig_sql(num_perm)
+    sa = signatures.selectExpr(f"`{id_col}` AS id_a", f"{packed} AS __sig_a")
+    sb = signatures.selectExpr(f"`{id_col}` AS id_b", f"{packed} AS __sig_b")
     matched = pairs.join(sa, "id_a").join(sb, "id_b")
-    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
-    num = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
-    return matched.select(
-        "id_a", "id_b", (num / F.size("sig_a")).alias("est_jaccard")
+    # one parsed SQL string (r11 batch 8: HOF lambdas via Column ops
+    # cost ~16 ms of py4j chatter each); __mj_ prefixes keep lambda
+    # variables from shadowing any realistic column name
+    cmp = (
+        "aggregate(zip_with(__sig_a, __sig_b, (__mj_x, __mj_y) -> "
+        "(CASE WHEN shiftright(__mj_x, 32) = shiftright(__mj_y, 32) "
+        "THEN 1 ELSE 0 END) + "
+        "(CASE WHEN (__mj_x & 4294967295) = (__mj_y & 4294967295) "
+        "THEN 1 ELSE 0 END)), 0, (__mj_acc, __mj_v) -> __mj_acc + __mj_v)"
+    )
+    if num_perm % 2:
+        cmp = f"({cmp} - 1)"
+    return matched.selectExpr(
+        "id_a", "id_b",
+        f"CAST({cmp} AS DOUBLE) / CAST({num_perm} AS INT) AS est_jaccard",
     )
 
 
@@ -469,7 +522,7 @@ def minhash_lsh_dedup(
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm // num_bands,
                                 anchor_degree=anchor_degree,
                                 auto_bound=auto_bound)
-    scored = minhash_jaccard(sigs, pairs, id_col)
+    scored = minhash_jaccard(sigs, pairs, id_col, num_perm=num_perm)
     # Materialize the (small) pair result and release the signature
     # cache — each invocation used to leak a cached RDD (ADVICE r2).
     out = scored.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
@@ -1205,7 +1258,7 @@ def minhash_against_index(
         )
         .dropDuplicates()
     )
-    scored = minhash_jaccard(all_sigs, pairs, id_col)
+    scored = minhash_jaccard(all_sigs, pairs, id_col, num_perm=num_perm)
     out = scored.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
     return out, new_sigs
 

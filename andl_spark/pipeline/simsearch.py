@@ -245,8 +245,9 @@ def _lit_vec_sql(values) -> str:
     return "array(" + ", ".join(f"cast('{_flit(x)}' as double)" for x in values) + ")"
 
 
-def hyperplane_bucket(vec_col: Column | str, dim: int, bits: int = 8, seed: int = 42) -> Column:
-    """Sign-bit bucket id from ``bits`` fixed random hyperplanes,
+def hyperplane_bucket(vec_col: str, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Takes a column NAME (r11 contract; Columns raise TypeError).
+    Sign-bit bucket id from ``bits`` fixed random hyperplanes,
     computed as a JVM expression (the hyperplane matrix is baked into
     the plan as literals — no UDF, no broadcast needed). Built as ONE
     parsed SQL string (r11): the per-bit Column-op spelling cost

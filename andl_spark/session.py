@@ -109,6 +109,13 @@ _TABLES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _sf_fingerprint(sf_dir: str) -> tuple:
+    """Stat-fingerprint of every table LazyTables can serve (exactly the
+    TABLES tuple — ``LazyTables.__missing__`` raises KeyError for any
+    other name, so nothing servable escapes invalidation). For
+    directory-style parquet tables (generated scale dirs hold part
+    files) the fingerprint includes each entry's (name, mtime_ns,
+    size): an in-place rewrite of a part-file changes the entry stats
+    even when the directory's own mtime/size do not (r12, ADVICE)."""
     out = []
     for name in TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
@@ -116,7 +123,17 @@ def _sf_fingerprint(sf_dir: str) -> tuple:
             st = os.stat(p)
         except OSError:
             continue
-        out.append((name, st.st_mtime_ns, st.st_size))
+        if os.path.isdir(p):
+            entries = []
+            for e in sorted(os.listdir(p)):
+                try:
+                    est = os.stat(os.path.join(p, e))
+                except OSError:
+                    continue
+                entries.append((e, est.st_mtime_ns, est.st_size))
+            out.append((name, st.st_mtime_ns, st.st_size, tuple(entries)))
+        else:
+            out.append((name, st.st_mtime_ns, st.st_size))
     return tuple(out)
 
 
@@ -136,6 +153,14 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -
     per = _TABLES_CACHE.setdefault(spark, {})
     hit = per.get(key)
     if hit is not None and hit[0] == fp:
+        if register_views:
+            # Re-register on every hit (r12, ADVICE): another sf_dir
+            # loaded on the same session in between would have pointed
+            # the session's temp views at ITS data; re-binding the
+            # cached handles is pure py4j (no schema-inference job) and
+            # restores the pre-memo behavior for spark.sql callers.
+            for name, df in hit[1].items():
+                df.createOrReplaceTempView(name)
         return hit[1]
     tables = LazyTables(spark, sf_dir, register_views)
     if register_views:

@@ -853,6 +853,31 @@ def test_band_bucket_packing_matches_string_grouping(docs, num_bands,
     assert n_both == n_str == n_pack > 0
 
 
+@pytest.mark.parametrize("num_perm", [64, 7])
+def test_packed_score_leg_matches_unpacked_jaccard(docs, num_perm):
+    """r12 (guide §2.3): minhash_jaccard with num_perm packs the
+    signatures 2-per-long through the score join and counts equal
+    positions on the hi/lo 32-bit halves. The estimated Jaccard must be
+    BITWISE equal to the legacy unpacked zip_with path for every pair —
+    including the odd-width tail (num_perm=7), whose always-equal zero
+    hi half is statically subtracted."""
+    import struct
+
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=num_perm)
+    sigs = sigs.persist()
+    sigs.count()
+    pairs = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_bands=max(1, num_perm // 4),
+        rows_per_band=min(4, num_perm), anchor_degree=0)
+    legacy = {(r.id_a, r.id_b): struct.pack("d", r.est_jaccard)
+              for r in D.minhash_jaccard(sigs, pairs, "doc_id").collect()}
+    packed = {(r.id_a, r.id_b): struct.pack("d", r.est_jaccard)
+              for r in D.minhash_jaccard(sigs, pairs, "doc_id",
+                                         num_perm=num_perm).collect()}
+    sigs.unpersist()
+    assert legacy == packed and len(packed) > 0
+
+
 def test_minhash_incremental_index_equals_full_recompute(docs, spark, tmp_path):
     """batch+index must reproduce the full-corpus recompute exactly:
     old×old pairs from the index build, plus every pair touching the

@@ -406,3 +406,57 @@ def test_load_tables_handle_cache_and_stat_invalidation(spark, tmp_path):
     t3 = load_tables(spark, str(d), register_views=False)
     assert t3 is not t1
     assert t3["region"].count() == 2
+
+
+def test_load_tables_fingerprint_covers_everything_servable(tmp_path):
+    """r12 (VERDICT r11 item 10): _sf_fingerprint stats exactly the
+    TABLES tuple, and LazyTables refuses to serve any other name — so
+    no servable table can escape stat invalidation."""
+    from andl_spark import session as S
+
+    # every name LazyTables can serve is fingerprinted ...
+    lt = S.LazyTables(None, str(tmp_path), register_views=False)
+    with pytest.raises(KeyError):
+        lt["not_a_table"]
+    # ... and the fingerprint covers directory-style tables per ENTRY:
+    # an in-place part-file rewrite (same names, same dir stats) must
+    # change the fingerprint (ADVICE r11).
+    d = tmp_path / "region.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"aa")
+    fp1 = S._sf_fingerprint(str(tmp_path))
+    os.utime(d, ns=(1, 1))  # pin dir stats so only the entry differs
+    fp_before = S._sf_fingerprint(str(tmp_path))
+    part.write_bytes(b"bb")  # same name, same size, new mtime
+    os.utime(d, ns=(1, 1))
+    fp_after = S._sf_fingerprint(str(tmp_path))
+    assert fp1 and fp_before != fp_after
+
+
+def test_load_tables_cache_hit_rebinds_views(spark, tmp_path):
+    """r12 (ADVICE r11, medium): a memo HIT with register_views=True
+    must re-register the cached frames as temp views — after another
+    sf_dir was loaded on the same session, spark.sql would otherwise
+    silently read the OTHER dir's data while the returned handles read
+    the requested dir."""
+    import shutil
+
+    from andl_spark.session import load_tables
+    from conftest import SF_SMOKE
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    shutil.copy(f"{SF_SMOKE}/region.parquet", d1 / "region.parquet")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").limit(2).write.parquet(
+        str(d2 / "region.parquet"))
+
+    load_tables(spark, str(d1), register_views=True)
+    assert spark.sql("SELECT count(*) c FROM region").head()["c"] == 5
+    load_tables(spark, str(d2), register_views=True)
+    assert spark.sql("SELECT count(*) c FROM region").head()["c"] == 2
+    # memo hit for d1 — the view must point back at d1's data
+    load_tables(spark, str(d1), register_views=True)
+    assert spark.sql("SELECT count(*) c FROM region").head()["c"] == 5
